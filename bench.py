@@ -1,0 +1,72 @@
+"""Benchmark harness: run every registered verification query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query wall-clock seconds.
+
+Timing convention: per query, median of 3 runs after 1 warm-up (JIT,
+code-gen and file-listing effects land in the warm-up).  The metric is the
+sum of per-query medians — lower is better, compared against the DuckDB
+baseline in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    from flowbyte_spark.queries import QUERIES
+    from flowbyte_spark.session import get_spark
+
+    spark = get_spark(app_name="flowbyte-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def execute(df) -> None:
+        # noop sink: full plan executes (every column materialized, nothing
+        # collected) — .count() would let Catalyst prune the real work.
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            execute(fn(spark, sf_dir))  # warm-up: plan + codegen + IO cache
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                execute(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:  # a broken query shouldn't zero the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": round(sum(ok.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Fixture-table catalog: load the TESTDATA parquet tables and register views.
+
+The reference addresses tables as ``schema.table`` inside an attached MSSQL
+database (/root/reference/src/flowbyte/sql.py:174, :292-302).  Here the
+catalog is Spark's own: each parquet file becomes a temp view so the full
+Tier-B relational surface is reachable through ``spark.sql`` and the
+DataFrame API alike.
+
+Parquet + temp views keep scans pruned and pushed down: filters and column
+selections land in the parquet reader (check ``PushedFilters``/``ReadSchema``
+in ``df.explain('formatted')``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (Spark has no nanos type).
+
+    Footer-only inspection via pyarrow — O(1) regardless of data size, so
+    it is safe on the driver even for 100 TB datasets.
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not files:
+            return []
+        target = os.path.join(path, files[0])
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table; nanosecond timestamps come back as proper
+    TimestampType (truncated to micros, matching what DuckDB does when it
+    reads the same files)."""
+    path = table_path(sf_dir, name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in _nano_timestamp_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,90 @@
+"""Engine function library.
+
+Scalar/array helpers shared by queries and operators.  Everything here is a
+*Catalyst expression builder* — pure JVM-side built-ins, no Python UDFs —
+so expressions stay inside whole-stage codegen and scale to 100 TB.
+
+Cross-engine canonicalization (SURVEY.md §2.11): float aggregates are summed
+over DECIMAL(38,6)-cast inputs (exact, order-independent) and only then cast
+back to double and rounded, so Spark's partial-aggregation order can never
+produce a different hash than the single-threaded duckdb oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+DEC = DecimalType(38, 6)
+
+
+def dec_sum(expr: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent SUM: cast each input to DECIMAL(38,6), sum exactly,
+    cast back to double, round.  Matches oracle pattern
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), scale)``."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(c.cast(DEC)).cast("double"), scale).alias(alias)
+
+
+def dec_avg(expr: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent AVG via exact decimal sum / count."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c), scale
+    ).alias(alias)
+
+
+def ts_str(expr: Column | str, alias: str | None = None) -> Column:
+    """Render a timestamp as ISO-ish 'yyyy-MM-dd HH:mm:ss' (oracle twin:
+    ``strftime(ts, '%Y-%m-%d %H:%M:%S')``) so timestamp semantics never
+    enter the hash comparison."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    out = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.alias(alias) if alias else out
+
+
+# ---------------------------------------------------------------------------
+# Array / vector math (embeddings are ArrayType(FloatType), 64-d fixtures).
+# Pure Catalyst: zip_with + aggregate, no UDF — vectorizable, codegen-friendly.
+# ---------------------------------------------------------------------------
+
+def _as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays (computed in double)."""
+    return F.aggregate(
+        F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _as_double_array(a), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; both inputs summed in array
+    order so the value is bit-identical across engines."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _as_double_array(a),
+                _as_double_array(b),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

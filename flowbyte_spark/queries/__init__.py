@@ -1,0 +1,49 @@
+"""Query registry: every verification query (SURVEY.md §2.11) registered as
+a (Spark callable, DuckDB oracle SQL) pair.
+
+``QUERIES[name]`` is ``(spark, sf_dir) -> DataFrame``; ``ORACLE[name]`` is
+ANSI SQL DuckDB runs over the same parquet fixtures.  Column names/aliases
+match exactly between the two — the driver sorts columns by name before
+hashing values.  Queries with no SQL-expressible oracle (streaming, LSH
+internals) register with ``oracle=None`` and get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle) to the
+    registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    # Import for side effects: each module registers its queries.
+    from flowbyte_spark.queries import relational  # noqa: F401
+    try:
+        from flowbyte_spark.queries import tier_a  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from flowbyte_spark.queries import llm  # noqa: F401
+    except ImportError:
+        pass
+
+
+_load_all()

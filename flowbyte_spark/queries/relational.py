@@ -1,0 +1,548 @@
+"""Relational verification queries V01-V16 (SURVEY.md §2.11, Tier B).
+
+The reference delegates this entire surface to its attached SQL engine via
+pass-through SQL (/root/reference/src/flowbyte/sql.py:109); here each shape
+is expressed with the Spark DataFrame API so Catalyst plans it (pushdown,
+pruning, join selection, AQE) — nothing below needs custom execution code.
+
+Cross-engine determinism conventions (shared with the DuckDB oracles):
+- float SUMs go through DECIMAL(38,6)-cast inputs (exact, order-independent),
+  then cast back to double and ROUND — see functions.dec_sum/dec_avg;
+- computed integer columns are cast to BIGINT on both sides;
+- timestamps render as 'yyyy-MM-dd HH:mm:ss' strings before leaving the plan;
+- every ORDER BY ends in a unique key so LIMIT/ranking queries cannot tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.functions import DEC, dec_avg, dec_sum, ts_str
+from flowbyte_spark.queries import register
+
+# Exact decimal-sum pattern, the SQL twin of functions.dec_sum
+_DSUM = "ROUND(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE), 2)"
+_DAVG = "ROUND(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({x}), 2)"
+
+
+# ---------------------------------------------------------------------------
+# V01 — bare scan
+# ---------------------------------------------------------------------------
+@register("v01_scan", oracle="SELECT * FROM region ORDER BY r_regionkey")
+def v01_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region").orderBy("r_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# V02 — projection + arithmetic + filter + limit
+# ---------------------------------------------------------------------------
+@register(
+    "v02_project_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def v02_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # Filter + 3-column projection both reach the parquet scan
+    # (PushedFilters / ReadSchema in explain).
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast(DEC)
+                .cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# V03 — TPC-H Q1 shape: wide hash aggregate (partial + final via Catalyst)
+# ---------------------------------------------------------------------------
+@register(
+    "v03_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DSUM.format(x='l_quantity')} AS sum_qty,
+           {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_DAVG.format(x='l_quantity')} AS avg_qty,
+           {_DAVG.format(x='l_extendedprice')} AS avg_price,
+           {_DAVG.format(x='l_discount')} AS avg_disc,
+           COUNT(*) AS count_order,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def v03_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V04 — inner equi-join + aggregate (small dim broadcast)
+# ---------------------------------------------------------------------------
+@register(
+    "v04_join_agg",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS order_cnt,
+           {_DSUM.format(x='o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def v04_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # customer is a dimension (~1.5k rows at sf0.1): broadcast it so the fact
+    # table never shuffles for this join.
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dec_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V05 — TPC-H Q3 shape: 3-way join, agg, top-10
+# ---------------------------------------------------------------------------
+@register(
+    "v05_q3_top10",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def v05_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    # Dim filters first so only matching keys flow into the fact join;
+    # filtered customer+orders are broadcast-sized relative to lineitem.
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            ts_str("o_orderdate", "orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# V06 — left outer join + COALESCE null handling
+# ---------------------------------------------------------------------------
+@register(
+    "v06_left_join_coalesce",
+    oracle="""
+    SELECT c_custkey, COALESCE(o.cnt, 0) AS order_cnt
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def v06_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("order_cnt"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V07 — left semi + left anti
+# ---------------------------------------------------------------------------
+@register(
+    "v07_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS grp, COUNT(*) AS cnt
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS grp, COUNT(*) AS cnt
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY grp
+    """,
+)
+def v07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("with_orders").alias("grp"), "cnt")
+    )
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("without_orders").alias("grp"), "cnt")
+    )
+    return semi.unionByName(anti).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# V08 — non-equi (theta) join
+# ---------------------------------------------------------------------------
+@register(
+    "v08_theta_join",
+    oracle="""
+    SELECT COUNT(*) AS cnt
+    FROM part JOIN lineitem
+      ON l_partkey = p_partkey AND l_quantity < p_size
+    """,
+)
+def v08_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    # Equi-key carries the join (hash join); the inequality is a residual
+    # post-join filter — no nested-loop blowup at scale.
+    return li.join(
+        F.broadcast(part),
+        (li.l_partkey == part.p_partkey) & (li.l_quantity < part.p_size),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# V09 — ROLLUP + GROUPING markers
+# ---------------------------------------------------------------------------
+@register(
+    "v09_rollup",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS cnt,
+           {_DSUM.format(x='o_totalprice')} AS total_price,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+    ORDER BY g_seg, g_status, c_mktsegment, o_orderstatus
+    """,
+)
+def v09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum("o_totalprice", "total_price"),
+            F.grouping("c_mktsegment").cast("long").alias("g_seg"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .orderBy("g_seg", "g_status", "c_mktsegment", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V10 — window ranking: top-3 orders per customer
+# ---------------------------------------------------------------------------
+@register(
+    "v10_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def v10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V11 — window analytics: lag + running total
+# ---------------------------------------------------------------------------
+@register(
+    "v11_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def v11_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("prev_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(wf).cast("double"), 2
+        ).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# V12 — set operations
+# ---------------------------------------------------------------------------
+@register(
+    "v12_set_ops",
+    oracle="""
+    SELECT 'except' AS op, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS cnt FROM (
+        SELECT s_nationkey FROM supplier INTERSECT SELECT c_nationkey FROM customer) t
+    UNION ALL
+    SELECT 'union_all' AS op, COUNT(*) AS cnt FROM (
+        SELECT s_nationkey AS k FROM supplier UNION ALL SELECT c_nationkey FROM customer) t
+    ORDER BY op
+    """,
+)
+def v12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(op).alias("op"), "cnt"
+        )
+
+    return (
+        counted(cust.subtract(supp), "except")        # EXCEPT (distinct)
+        .unionByName(counted(supp.intersect(cust), "intersect"))
+        .unionByName(counted(supp.unionAll(cust), "union_all"))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V13 — scalar functions: string / date / CASE
+# ---------------------------------------------------------------------------
+@register(
+    "v13_scalar_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(SUBSTRING(c_name, 1, 8)) AS cust_prefix,
+           CONCAT(c_mktsegment, '|', c_name) AS tagged,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS prio_bucket
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def v13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("cust_prefix"),
+            F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+            .otherwise("low")
+            .alias("prio_bucket"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V14 — JSON extraction over events.props
+# ---------------------------------------------------------------------------
+@register(
+    "v14_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def v14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V15 — tumbling-window batch twin (F.window == streaming window semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "v15_time_bucket",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS cnt,
+           {_DSUM.format(x='value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def v15_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # F.window is the same operator Structured Streaming uses for tumbling
+    # windows — this query is the deterministic batch twin of the streaming
+    # aggregation in flowbyte_spark.streaming.
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start"), "hour_ts"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V16 — exact COUNT(DISTINCT); approx twin tested separately with tolerance
+# ---------------------------------------------------------------------------
+@register(
+    "v16_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS uniq_users,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def v16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type")
+    )

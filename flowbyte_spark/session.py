@@ -1,0 +1,89 @@
+"""SparkSession factory for the flowbyte-spark engine.
+
+The reference opens a pyodbc/SQLAlchemy connection per call
+(/root/reference/src/flowbyte/sql.py:36-58); the Spark-native analog is a
+single long-lived SparkSession configured for columnar (Arrow) interchange
+and adaptive execution.  All engine entry points accept an externally
+created session too (the driver passes one in), so this factory is only a
+convenience with good defaults.
+
+Scale notes (100 TB design point):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` defaults to 32 locally but on a real
+  cluster should be ~2-3x total cores; AQE coalesces the excess.
+- Arrow on: every pandas/driver boundary (toPandas, pandas UDFs,
+  applyInPandas) moves columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults applied when *we* build the session.  Most also make sense as
+# --conf on a cluster submit; none are local-mode-only.
+ENGINE_CONF: dict[str, str] = {
+    # columnar interchange at every Python boundary
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # adaptive execution: coalesce shuffles, convert to broadcast at runtime,
+    # split skewed partitions
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # deterministic cross-engine semantics (duckdb oracle runs naive-UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # local-test-appropriate shuffle width; cluster deployments override
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # ANSI off: the reference's pass-through surface is permissive T-SQL
+    "spark.sql.ansi.enabled": "false",
+    # fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark has no
+    # native type for; read as long and convert in the catalog loader
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "flowbyte-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` resolution order: explicit arg > $SPARK_GRAFT_MASTER >
+    local[$SPARK_GRAFT_CPUS] > local[*].
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Apply runtime-settable confs even when an existing session was reused
+    # (getOrCreate ignores configs on reuse).
+    for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep the session's value
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally created session.
+
+    The verify driver owns session creation; this aligns timezone/Arrow/AQE
+    behavior so results are identical to sessions built by :func:`get_spark`.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
