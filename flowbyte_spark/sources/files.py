@@ -1,0 +1,57 @@
+"""File-format sources/sinks.
+
+The reference is ODBC-only (pyproject.toml lists no file-format deps);
+file formats are an engine addition that Spark provides natively.  These
+helpers add the engine's conventions: explicit format dispatch, partitioned
+writes, and schema enforcement at ingest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_READERS = ("parquet", "csv", "json", "orc", "text", "binaryFile")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table from files.
+
+    CSV/JSON default to header+inferSchema unless a schema is given —
+    explicit ``StructType`` is strongly preferred at scale (schema inference
+    reads the data twice).
+    """
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_READERS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options,
+) -> None:
+    """Write a table; ``partition_by`` produces hive-style partition dirs so
+    downstream reads get partition pruning for free."""
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
