@@ -35,6 +35,20 @@ def dec_avg(expr: Column | str, alias: str, scale: int = 2) -> Column:
     ).alias(alias)
 
 
+def q4(expr: Column, scale: int = 4) -> Column:
+    """Quantize a double to ``scale`` decimals with HALF-UP semantics using
+    only binary float ops: ``floor(x * 10^s + 0.5) / 10^s``.
+
+    Unlike ROUND, every step (multiply, add, floor, divide) is IEEE-exact
+    and identical across engines — Spark's BigDecimal-based ROUND and
+    DuckDB's C round() disagree on values whose shortest decimal repr sits
+    on the .xxxx5 boundary; this never does.  Oracle twin:
+    ``FLOOR((x) * 1e4 + 0.5) / 1e4``.
+    """
+    factor = float(10**scale)
+    return F.floor(expr * factor + F.lit(0.5)) / factor
+
+
 def ts_str(expr: Column | str, alias: str | None = None) -> Column:
     """Render a timestamp as ISO-ish 'yyyy-MM-dd HH:mm:ss' (oracle twin:
     ``strftime(ts, '%Y-%m-%d %H:%M:%S')``) so timestamp semantics never

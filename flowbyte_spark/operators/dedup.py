@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, from cheapest to fuzziest (charter scope — the reference has no
+dedup; its closest capability is keyed overwrite, sql.py:191-249):
+
+- exact row dedup            → hash shuffle on the subset columns
+- content-hash dedup         → sha2/md5 digest + first-wins window
+- n-gram Jaccard (exact)     → shingle explode + self-join on shingle
+- MinHash + LSH (approx)     → signature → band buckets → candidate join
+
+Scale notes: exact Jaccard shuffles (doc, shingle) pairs — fine to ~10⁹
+shingles; past that, MinHash/LSH bounds the pair search to colliding
+buckets, which is the 100 TB path.  All expressions are Catalyst built-ins;
+nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flowbyte_spark.functions.hashing import (
+    hamming_distance,
+    lsh_band_hashes,
+    minhash_signature,
+    simhash_bits,
+    word_shingles,
+    words,
+)
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact deduplication on ``subset`` (default: whole row).
+
+    ``dropDuplicates`` is a hash aggregate on the subset — one shuffle,
+    map-side partial dedup first.  Which surviving row wins is arbitrary;
+    use :func:`dedup_by_content_hash` when a deterministic winner matters.
+    """
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def dedup_by_content_hash(
+    df: DataFrame,
+    content_columns: Sequence[str],
+    order_by: Sequence[str],
+    hash_algo: str = "sha2",
+) -> DataFrame:
+    """Keep exactly one row per content digest — the first by ``order_by``.
+
+    Deterministic winner (unlike dropDuplicates).  The digest shuffle key
+    also makes the subsequent groupBy skew-resistant: identical documents
+    hash to one partition regardless of their source distribution.
+    """
+    content = F.concat_ws("\x1f", *[F.col(c) for c in content_columns])
+    digest: Column = (
+        F.sha2(content, 256) if hash_algo == "sha2" else F.md5(content)
+    )
+    w = Window.partitionBy("__digest__").orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__digest__", digest)
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__digest__", "__rn__")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard ≥ threshold (exact).
+
+    Plan shape: explode distinct shingles → self-join on shingle (shuffle
+    co-locates equal shingles) → per-pair intersection counts → Jaccard from
+    set sizes.  Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard
+    rounded to 4 d.p. for canonical comparison.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.where(F.col("n_sh") > 0).select(
+        "id", "n_sh", F.explode("sh").alias("g")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding, verified
+    with exact Jaccard.
+
+    Three stages, all shuffle-bounded:
+    1. signature: one pass, md5-family min-hashes over distinct shingles;
+    2. candidates: explode band keys, self-join on (band, hash) — only
+       colliding buckets produce pairs (never the O(n²) cross join);
+    3. verify: exact Jaccard on the candidates' shingle sets, filter.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.  With b=8, r=4 the LSH
+    S-curve crosses ~50% collision probability at jaccard ≈ (1/8)^(1/4) ≈
+    0.59, so threshold=0.5 keeps verification honest (candidates below it
+    are filtered by stage 3, not trusted from banding).
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn("bands", lsh_band_hashes(F.col("sig"), bands, rows_per_band))
+    )
+    buckets = base.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select("id", "sh")
+    verified = (
+        candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: 60-bit signatures, banded bucket
+    join, exact Hamming verification.
+
+    Pigeonhole guarantee: two signatures within ``max_hamming`` ≤ bands-1
+    bits must agree on at least one of ``bands`` equal bit-slices, so the
+    bucket join has perfect recall for the returned distance bound while
+    avoiding the cross join.  Returns (id_a, id_b, hamming).
+    """
+    from flowbyte_spark.functions.hashing import SIMHASH_BITS
+
+    slice_len = SIMHASH_BITS // bands
+    base = (
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("w"))
+        .where(F.size("w") > 0)
+        .withColumn("bits", simhash_bits(F.col("w")))
+        .withColumn(
+            "bands",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.array_join(
+                    F.slice(F.col("bits"), j * slice_len + 1, slice_len), ""
+                ),
+            ),
+        )
+    )
+    buckets = base.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sigs = base.select("id", "bits")
+    return (
+        candidates.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
+        .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
+        .withColumn("hamming", hamming_distance(F.col("bits_a"), F.col("bits_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

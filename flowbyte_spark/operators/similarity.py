@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Charter scope (the reference has no vector capability).  Three operators:
+
+- :func:`cosine_topk` — exact brute-force top-k for one query vector.
+  Baseline and always-correct path; one scan, no shuffle (top-k is a
+  TakeOrdered over partial per-partition heaps).
+- :func:`embedding_neardup_pairs` — all pairs above a cosine threshold.
+  Exact O(n²) comparison; the block-join keeps it runnable at fixture
+  scale, LSH/IVF replace it at 100 TB.
+- :func:`ivf_topk` — IVF-style ANN: deterministic coarse centroids, one
+  assignment pass builds the inverted lists, queries probe only the
+  ``nprobe`` nearest lists.  The scale path: search cost drops from O(n)
+  to O(n * nprobe / ncentroids) per query, and the lists partition cleanly
+  across executors.
+
+All vector math is pure Catalyst (zip_with + aggregate in double
+precision) — see flowbyte_spark.functions — so values are bit-identical
+to the DuckDB oracle's list_* functions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flowbyte_spark.functions import cosine_similarity, q4
+
+
+def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
+    return df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv__")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest to the vector of ``query_id`` by cosine.
+
+    The one-row query side is cross-broadcast; ranking happens in a single
+    scan with per-partition partial top-k (Spark's TakeOrderedAndProject) —
+    no full sort, no shuffle of the corpus.
+    Returns (id, sim) with sim rounded to 4 d.p., ties broken by id.
+    """
+    qv = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    scored = df.crossJoin(qv).select(
+        F.col(id_col).alias("id"),
+        q4(cosine_similarity(F.col(vec_col), F.col("__qv__"))).alias("sim"),
+    )
+    if not include_self:
+        scored = scored.where(F.col("id") != query_id)
+    return scored.orderBy(F.col("sim").desc(), F.col("id")).limit(k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All (id_a, id_b, sim) pairs with cosine ≥ threshold, id_a < id_b.
+
+    Exact: self-join (id_a < id_b keeps each pair once).  Quadratic by
+    nature — correct at verification scale; swap in minhash/LSH bucketing
+    (see dedup.py) or ivf blocking before the join at production scale.
+    """
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", q4(cosine_similarity(F.col("va"), F.col("vb")))
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: (centroids, assignments).
+
+    Centroids are the ``num_centroids`` lowest-id vectors — deterministic
+    and cheap; a production build would run a few k-means rounds
+    (pyspark.ml KMeans) over a sample instead, the index structure is
+    identical.  Assignment is one broadcast-join pass: every vector joins
+    the centroid table and keeps its argmax-cosine centroid.
+    """
+    centroids = (
+        df.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
+        F.broadcast(centroids)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    assignments = (
+        scored.withColumn(
+            "csim", q4(cosine_similarity(F.col("vec"), F.col("cvec")))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cid", "vec")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k: probe the ``nprobe`` centroids nearest the query, rank
+    only their inverted lists.  Returns (id, sim) like :func:`cosine_topk`
+    (approximate: recall < 1 when true neighbors live in unprobed lists).
+    """
+    centroids, assignments = ivf_assign(df, id_col, vec_col, num_centroids)
+    qv = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    probed = F.broadcast(
+        centroids.crossJoin(qv)
+        .select(
+            "cid",
+            q4(cosine_similarity(F.col("cvec"), F.col("__qv__"))).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    candidates = assignments.join(probed, "cid")
+    return (
+        candidates.crossJoin(qv)
+        .select(
+            F.col("id"),
+            q4(cosine_similarity(F.col("vec"), F.col("__qv__"))).alias("sim"),
+        )
+        .where(F.col("id") != query_id)
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1,0 +1,94 @@
+"""Unit/property tests for LLM-data operators beyond the oracle checks:
+approximation quality (LSH recall, IVF recall) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from flowbyte_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    with_media_column,
+)
+from flowbyte_spark.operators.similarity import cosine_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_covers_high_jaccard_pairs(spark):
+    """LSH candidates must include every pair the exact method finds at a
+    similarity well above the banding S-curve threshold."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    missing = exact - approx
+    assert not missing, f"LSH missed high-similarity pairs: {missing}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = [r.id for r in cosine_topk(emb, "vec_id", "embedding", 7, k=5).collect()]
+    approx = [
+        r.id
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", 7, k=5, num_centroids=16, nprobe=4
+        ).collect()
+    ]
+    # ANN with nprobe=4/16 should recover most of the true top-5
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"IVF recall too low: {overlap}/5 ({exact} vs {approx})"
+
+
+def test_extract_features_strict_mode_raises(spark):
+    docs = load_table(spark, SF, "documents").limit(4)
+    media = with_media_column(docs, "text")
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_extract_features_batch_shape(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = with_media_column(docs, "text")
+    out = extract_features(media, batch_size=4, fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    assert all(r.n_bytes > 0 for r in rows)
+    # schema contract
+    assert [f.name for f in out.schema.fields] == [
+        "media_id",
+        "kind",
+        "n_bytes",
+        "features",
+    ]
+
+
+def test_fingerprint_blocks_exact_duplicates(spark):
+    from flowbyte_spark.operators.text import fingerprint
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    dup = docs.unionByName(docs)  # every doc duplicated
+    fp = fingerprint(dup, "text", "fp")
+    counts = [r["count"] for r in fp.groupBy("fp").count().collect()]
+    # identical texts always collide -> every block has even size >= 2;
+    # near-duplicate docs may legitimately share one fingerprint (that is
+    # the blocking property), so the number of blocks can be < 20
+    assert sum(counts) == 40
+    assert all(c >= 2 and c % 2 == 0 for c in counts)
