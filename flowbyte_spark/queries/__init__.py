@@ -44,6 +44,10 @@ def _load_all() -> None:
         from flowbyte_spark.queries import llm  # noqa: F401
     except ImportError:
         pass
+    try:
+        from flowbyte_spark.queries import streaming_q  # noqa: F401
+    except ImportError:
+        pass
 
 
 _load_all()

@@ -1,0 +1,156 @@
+"""Structured Streaming operators (charter scope; the reference is
+batch-only — SURVEY.md §2.9).
+
+Everything operates on the ``events`` shape (event_id, ts, user_id,
+event_type, value, props) and mirrors a batch twin so correctness is
+checkable deterministically:
+
+- tumbling/sliding windowed aggregation == V15's ``F.window`` batch query;
+- session windows via ``F.session_window``;
+- stateful dedup via ``dropDuplicatesWithinWatermark``;
+- ``foreach_batch_sink`` carries the reference's post-load orchestration
+  hook (Power BI refresh trigger, pbi.py:163-214) into streaming land.
+
+Watermarks bound state: at 100 TB/day the windowed-agg state store holds
+only (watermark horizon / slide) windows per key, and late rows beyond the
+horizon are dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from flowbyte_spark.functions import dec_sum
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str = EVENTS_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over parquet event files.
+
+    ``maxFilesPerTrigger`` shapes deterministic micro-batches in tests; in
+    production it is the ingest back-pressure knob.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed count+sum per (window, event_type) with late-data bound.
+
+    ``slide`` turns the tumbling window into a sliding one.  The output is
+    schema-compatible with the batch twin (V15) so streaming results can be
+    asserted against a plain batch aggregation of the same files.
+    """
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity.  State per key is one open session — the canonical
+    ``F.session_window`` operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming dedup: drops rows whose keys were already seen
+    within the watermark horizon (state is GC'd past it — bounded memory,
+    unlike a naive distinct)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def foreach_batch_sink(
+    stream: DataFrame,
+    write: Callable[[DataFrame, int], None],
+    post_batch_hook: Callable[[int], None] | None = None,
+    checkpoint: str | None = None,
+    output_mode: str = "update",
+):
+    """``foreachBatch`` sink with an optional post-load orchestration hook.
+
+    The hook is the streaming home of the reference's dataset-refresh
+    trigger (pbi.py:163-214): after each micro-batch lands, notify the
+    downstream consumer (REST call, cache bust, BI refresh).  Hook failures
+    are isolated — a refresh error must not poison the stream.
+    """
+    from flowbyte_spark import log
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        write(batch_df, batch_id)
+        if post_batch_hook is not None:
+            try:
+                post_batch_hook(batch_id)
+            except Exception as exc:  # orchestration is best-effort
+                log.warning(f"post-batch hook failed for batch {batch_id}: {exc}")
+
+    writer = stream.writeStream.foreachBatch(process).outputMode(output_mode)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def run_available_now(writer) -> None:
+    """Drain everything currently available, then stop — the deterministic
+    trigger used by tests and backfills."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
