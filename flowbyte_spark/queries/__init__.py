@@ -35,19 +35,13 @@ def register(name: str, oracle: str | None = None):
 
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
-    from flowbyte_spark.queries import relational  # noqa: F401
-    try:
-        from flowbyte_spark.queries import tier_a  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from flowbyte_spark.queries import llm  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from flowbyte_spark.queries import streaming_q  # noqa: F401
-    except ImportError:
-        pass
+    from flowbyte_spark.queries import (  # noqa: F401
+        extended,
+        llm,
+        relational,
+        streaming_q,
+        tier_a,
+    )
 
 
 _load_all()

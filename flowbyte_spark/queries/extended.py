@@ -1,0 +1,182 @@
+"""Extended relational queries V33-V37: as-of join, range join, pivot,
+grouping sets (through the SQL facade), approx distinct.
+
+V33/V34 verify the custom join rewrites (operators/asof.py) against
+DuckDB's native ASOF JOIN / interval join — the strongest evidence the
+rewrites are semantically exact.  V37 has no oracle by design
+(approx_count_distinct is non-deterministic across engines); the driver
+records the weaker rows-only check and the pytest suite asserts tolerance
+against the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table, register_tables
+from flowbyte_spark.operators.asof import asof_join, range_join
+from flowbyte_spark.queries import register
+
+RANGE_SECONDS = 600  # 10 minutes
+
+
+# ---------------------------------------------------------------------------
+# V33 — as-of join (backward): each click picks up the user's latest
+# at-or-before purchase
+# ---------------------------------------------------------------------------
+@register(
+    "v33_asof_join",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           p.event_id AS purchase_event_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def v33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["p_event_id", "p_value"],
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("p_event_id_matched").alias("purchase_event_id"),
+        F.round(F.col("p_value_matched"), 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# V34 — range join: same-user event pairs within 10 minutes
+# ---------------------------------------------------------------------------
+@register(
+    "v34_range_join",
+    oracle=f"""
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cnt
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id <> b.event_id
+     AND b.ts >= a.ts
+     AND epoch(b.ts) - epoch(a.ts) <= {RANGE_SECONDS}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def v34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    pairs = range_join(
+        events,
+        events,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        lower_seconds=0,
+        upper_seconds=RANGE_SECONDS,
+        extra_cond=F.col("event_id") != F.col("event_id_r"),
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("type_a"),
+            F.col("event_type_r").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V35 — pivot: order counts per market segment × order status
+# ---------------------------------------------------------------------------
+@register(
+    "v35_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def v35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    pivoted = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])  # explicit values: no
+        # distinct-scan pre-pass, stable column order
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0).cast("long")).alias(s) for s in ("F", "O", "P")],
+    ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# V36 — GROUPING SETS through the SQL facade (spark.sql pass-through path)
+# ---------------------------------------------------------------------------
+_V36_SQL_SPARK = """
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+
+@register(
+    "v36_grouping_sets",
+    oracle=_V36_SQL_SPARK + " ORDER BY g_seg, g_prio, c_mktsegment, o_orderpriority",
+)
+def v36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the reference's pass-through pattern end to end: tables
+    registered in the session catalog, raw SQL through the facade
+    (sql.py:88-171 -> SparkSQLSource.get_data), Catalyst as the attached
+    engine."""
+    from flowbyte_spark.sources.sql_source import SparkSQLSource
+
+    register_tables(spark, sf_dir)
+    src = SparkSQLSource(spark).connect()
+    df = src.get_data(_V36_SQL_SPARK)
+    return df.orderBy("g_seg", "g_prio", "c_mktsegment", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V37 — approx_count_distinct (no oracle: estimator is engine-specific;
+# rows-only driver check + tolerance assertion in pytest)
+# ---------------------------------------------------------------------------
+@register("v37_approx_distinct")
+def v37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,84 @@
+"""Oracle tests for V33-V36 + tolerance check for V37 + plan-shape tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark import plans
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.queries import QUERIES
+from tests.oracle_util import assert_query_matches
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["v33_asof_join", "v34_range_join", "v35_pivot", "v36_grouping_sets"],
+)
+def test_extended_query_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)
+
+
+def test_v37_approx_distinct_within_tolerance(spark, sf_dir):
+    rows = QUERIES["v37_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err <= 0.10, (
+            f"{r.event_type}: approx {r.approx_users} vs exact "
+            f"{r.exact_users} (err {rel_err:.2%})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape assertions: the physical plan is part of the contract
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    from flowbyte_spark.operators.asof import range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = range_join(events, events, "user_id", "ts", "ts")
+    assert not plans.uses_nested_loop_join(joined), (
+        "bucketed range join must compile to hash joins:\n"
+        + plans.physical_plan(joined)
+    )
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = QUERIES["v04_join_agg"](spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    df = QUERIES["v02_project_filter"](spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate"), plans.pushed_filters(df)
+    read_cols = plans.read_schema_columns(df)
+    # 11-column table, 4 needed: pruning must hold
+    assert set(read_cols) <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, read_cols
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from flowbyte_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("p_value")
+    )
+    joined = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["p_value"]
+    )
+    # union-sort rewrite: no join node at all, exactly one hash exchange
+    plan = plans.physical_plan(joined)
+    assert "Join" not in plan, plan
+    assert plans.shuffle_exchanges(joined) <= 1, plan
