@@ -12,11 +12,29 @@ produce a different hash than the single-threaded duckdb oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 DEC = DecimalType(38, 6)
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores.
+
+    Expression-heavy operators (minhash, simhash, per-pair cosine) are
+    CPU-bound per row; a small single-file parquet input otherwise pins the
+    whole computation to one task.  The shuffle moves only the raw input
+    rows — always cheaper than serializing the hash work.  On real
+    multi-file/100 TB inputs partitioning already exceeds cores and this is
+    a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def dec_sum(expr: Column | str, alias: str, scale: int = 2) -> Column:

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flowbyte_spark.functions import ensure_parallelism
 from flowbyte_spark.functions.hashing import (
     hamming_distance,
     lsh_band_hashes,
@@ -80,10 +81,17 @@ def ngram_jaccard_pairs(
     set sizes.  Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard
     rounded to 4 d.p. for canonical comparison.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, n).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        # persist: shingling runs once, not once per self-join side (and
+        # keeps InferFiltersFromGenerate from inlining it into the scan)
+        .persist()
+    )
     exploded = sh.where(F.col("n_sh") > 0).select(
         "id", "n_sh", F.explode("sh").alias("g")
     )
@@ -131,10 +139,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     base = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
         .where(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
         .withColumn("bands", lsh_band_hashes(F.col("sig"), bands, rows_per_band))
+        # persist = plan barrier + reuse: without it Catalyst's
+        # InferFiltersFromGenerate synthesizes size(bands)>0 from the
+        # posexplode below, pushes it to the parquet scan, and inlines the
+        # whole minhash expression into a pre-repartition (serial!) filter —
+        # then recomputes it per join side.  The cached signature table is
+        # tiny relative to the corpus and feeds all three downstream
+        # branches exactly once.
+        .persist()
     )
     buckets = base.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -186,7 +203,8 @@ def simhash_pairs(
 
     slice_len = SIMHASH_BITS // bands
     base = (
-        df.select(F.col(id_col).alias("id"), words(text_col).alias("w"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), words(text_col).alias("w"))
         .where(F.size("w") > 0)
         .withColumn("bits", simhash_bits(F.col("w")))
         .withColumn(
@@ -198,6 +216,10 @@ def simhash_pairs(
                 ),
             ),
         )
+        .drop("w")
+        # persist: same InferFiltersFromGenerate trap as minhash_lsh_pairs —
+        # cache the 60-aggregate signatures once for all downstream branches
+        .persist()
     )
     buckets = base.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
     a, b = buckets.alias("a"), buckets.alias("b")

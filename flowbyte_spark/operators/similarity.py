@@ -26,7 +26,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import cosine_similarity, q4
+from flowbyte_spark.functions import cosine_similarity, ensure_parallelism, q4
 
 
 def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
@@ -72,12 +72,26 @@ def embedding_neardup_pairs(
     nature — correct at verification scale; swap in minhash/LSH bucketing
     (see dedup.py) or ivf blocking before the join at production scale.
     """
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from flowbyte_spark.functions import dot, l2_norm
+
+    # Precompute norms per row (O(n) work) so the O(n²) pair stage only
+    # evaluates the dot product; values are bit-identical to computing the
+    # full cosine per pair (same sqrt, same product, same division).
+    left = ensure_parallelism(df).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         left.join(right, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "sim", q4(cosine_similarity(F.col("va"), F.col("vb")))
+            "sim",
+            q4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))),
         )
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import q4
+from flowbyte_spark.functions import ensure_parallelism, q4
 from flowbyte_spark.functions.hashing import char_shingles, words
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -122,4 +122,4 @@ def fingerprint(
     fp = F.when(F.size(grams) > 0, F.array_min(F.transform(grams, F.md5))).otherwise(
         F.md5(F.col(text_col))
     )
-    return df.withColumn(out_col, fp)
+    return ensure_parallelism(df).withColumn(out_col, fp)
