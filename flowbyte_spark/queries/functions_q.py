@@ -1,0 +1,129 @@
+"""V38-V40: remaining scalar-function surface (map/struct/json round-trip,
+math functions) and TF-IDF — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.operators.tfidf import tfidf
+from flowbyte_spark.queries import register
+
+TFIDF_DOC_LIMIT = 50  # keep the verified slice small; operator scales regardless
+
+
+# ---------------------------------------------------------------------------
+# V38 — TF-IDF (pure DataFrame algebra vs SQL replication)
+# ---------------------------------------------------------------------------
+@register(
+    "v38_tfidf",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id AS id, text FROM documents WHERE doc_id < {TFIDF_DOC_LIMIT}),
+    terms AS (
+        SELECT id, unnest(string_split(text, ' ')) AS term FROM docs),
+    tf AS (
+        SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY id, term),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY term)
+    SELECT id, term, tf.tf AS tf, dfreq.df AS df,
+           FLOOR((tf.tf * (ln(({TFIDF_DOC_LIMIT} + 1.0) / (dfreq.df + 1.0)) + 1.0))
+                 * 10000 + 0.5) / 10000 AS tfidf
+    FROM tf JOIN dfreq USING (term)
+    ORDER BY id, term
+    """,
+)
+def v38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < TFIDF_DOC_LIMIT
+    )
+    return tfidf(docs, "doc_id", "text").orderBy("id", "term")
+
+
+# ---------------------------------------------------------------------------
+# V39 — map/struct construction + JSON round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "v39_map_struct_json",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(json_extract_string(
+               to_json({ok: o_orderkey, status: o_orderstatus}), '$.status')
+               AS VARCHAR) AS status_rt,
+           CAST(json_extract_string(
+               to_json(MAP(['priority'], [o_orderpriority])), '$.priority')
+               AS VARCHAR) AS prio_rt,
+           struct_extract({k: o_orderkey, p: FLOOR(o_totalprice * 100 + 0.5) / 100}, 'p') AS price_from_struct
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 200
+    """,
+)
+def v39_map_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct/map construction, to_json, get_json_object round-trip —
+    the §2.8 map/struct/json function family in one verified pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.get_json_object(
+                F.to_json(
+                    F.struct(
+                        F.col("o_orderkey").alias("ok"),
+                        F.col("o_orderstatus").alias("status"),
+                    )
+                ),
+                "$.status",
+            ).alias("status_rt"),
+            F.get_json_object(
+                F.to_json(F.create_map(F.lit("priority"), F.col("o_orderpriority"))),
+                "$.priority",
+            ).alias("prio_rt"),
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("p"),
+            )["p"].alias("price_from_struct"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# V40 — math function battery
+# ---------------------------------------------------------------------------
+@register(
+    "v40_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_discount - 0.05), 4) AS abs_d,
+           ROUND(sqrt(l_quantity), 4) AS sqrt_q,
+           ROUND(pow(1.0 + l_tax, 2), 4) AS pow_t,
+           ROUND(exp(l_discount), 4) AS exp_d,
+           ROUND(ln(l_extendedprice), 4) AS ln_p,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS floor_q,
+           CAST(CEIL(l_quantity / 7) AS BIGINT) AS ceil_q,
+           CAST(l_orderkey % 97 AS BIGINT) AS pmod_k,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def v40_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_d"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_q"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 4).alias("pow_t"),
+        F.round(F.exp("l_discount"), 4).alias("exp_d"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_p"),
+        F.floor(F.col("l_quantity") / 7).alias("floor_q"),
+        F.ceil(F.col("l_quantity") / 7).alias("ceil_q"),
+        F.pmod(F.col("l_orderkey").cast("long"), F.lit(97)).cast("long").alias("pmod_k"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
+    ).orderBy("l_orderkey", "l_linenumber")

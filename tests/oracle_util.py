@@ -62,6 +62,14 @@ def assert_query_matches(spark, name: str, sf_dir: str) -> None:
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"oracle={sorted(oracle_pdf.columns)}"
     )
+    # dtype parity too: the driver's hash may not normalize 6 vs 6.0, so a
+    # DuckDB HUGEINT/TINYINT result must be cast in the oracle SQL
+    dtype_mism = [
+        (c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if str(spark_pdf[c].dtype) != str(oracle_pdf[c].dtype)
+    ]
+    assert not dtype_mism, f"{name}: dtype mismatch {dtype_mism}"
     s, o = canon(spark_pdf), canon(oracle_pdf)
     if s != o:
         diff_s = [r for r in s if r not in o][:5]

@@ -1,0 +1,110 @@
+"""Property-based spot checks (SURVEY.md §5.2): hypothesis-generated
+deltas/predicates over the merge and mutation operators.
+
+Example counts are small (Spark jobs cost ~100 ms each); the properties —
+idempotence, insert/delete round-trip, merge==SQL-update semantics — are
+the point, not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flowbyte_spark.operators.merge import update_by_keys
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+KEYS = list(range(1, 8))
+
+delta_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.sampled_from(KEYS + [99, 100]),  # some unmatched keys
+            "val": st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+            ),
+            "tag": st.sampled_from(["x", "y", "z"]),
+        }
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def base_df(spark):
+    return spark.createDataFrame(
+        [(k, float(k * 10), "base") for k in KEYS], "id LONG, val DOUBLE, tag STRING"
+    )
+
+
+def as_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(delta=delta_strategy)
+@SETTINGS
+def test_update_by_keys_idempotent(spark, delta):
+    target = base_df(spark)
+    once = update_by_keys(target, delta, ["id"])
+    twice = update_by_keys(once, delta, ["id"])
+    assert as_rows(once) == as_rows(twice)
+
+
+@given(delta=delta_strategy)
+@SETTINGS
+def test_update_by_keys_matches_sql_update_semantics(spark, delta):
+    """The distributed merge must equal the reference's sequential per-row
+    UPDATE loop (sql.py:233-245) applied in list order."""
+    target = base_df(spark)
+    merged = {r[0]: (r[1], r[2]) for r in update_by_keys(target, delta, ["id"]).collect()}
+
+    expected = {k: (float(k * 10), "base") for k in KEYS}
+    for rec in delta:  # sequential reference semantics
+        if rec["id"] in expected:
+            expected[rec["id"]] = (rec["val"], rec["tag"])
+
+    assert set(merged) == set(expected)
+    for k in expected:
+        assert merged[k][1] == expected[k][1]
+        assert merged[k][0] == pytest.approx(expected[k][0], rel=1e-6)
+
+
+@given(delta=delta_strategy)
+@SETTINGS
+def test_update_never_changes_cardinality(spark, delta):
+    target = base_df(spark)
+    assert update_by_keys(target, delta, ["id"]).count() == target.count()
+
+
+@given(
+    n_insert=st.integers(min_value=1, max_value=5),
+    drop_mod=st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_insert_then_delete_roundtrip(spark, tmp_path_factory, n_insert, drop_mod):
+    from flowbyte_spark.operators.mutate import ParquetTable
+
+    path = str(tmp_path_factory.mktemp("prop") / "t")
+    table = ParquetTable(spark, path)
+    table.overwrite(base_df(spark))
+    inserted = spark.createDataFrame(
+        [(1000 + i, float(i), "new") for i in range(n_insert)],
+        "id LONG, val DOUBLE, tag STRING",
+    )
+    table.append(inserted)
+    assert table.read().count() == len(KEYS) + n_insert
+    deleted = table.delete_where(f"id >= 1000 AND id % {drop_mod} = 0")
+    survivors = {r.id for r in table.read().collect()}
+    assert survivors == set(KEYS) | {
+        1000 + i for i in range(n_insert) if (1000 + i) % drop_mod != 0
+    }
+    assert deleted == len(KEYS) + n_insert - len(survivors)

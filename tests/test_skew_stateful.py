@@ -1,0 +1,131 @@
+"""Tests: salted join / two-phase agg equivalence, stateful streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.operators.skew import salted_join, two_phase_agg, with_salt
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = salted_join(
+        orders,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        buckets=4,
+    )
+    assert rows(plain) == rows(salted)
+
+
+def test_salted_join_left_outer(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    # dimension missing some keys -> unmatched rows must survive exactly once
+    dim = (
+        load_table(spark, SF, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    plain = orders.join(dim, "o_custkey", "left")
+    salted = salted_join(orders, dim, ["o_custkey"], buckets=4, how="left")
+    assert rows(plain) == rows(salted)
+
+
+def test_salt_is_deterministic(spark):
+    df = load_table(spark, SF, "orders")
+    a = with_salt(df, 8).select("o_orderkey", "__salt__")
+    b = with_salt(df, 8).select("o_orderkey", "__salt__")
+    assert rows(a) == rows(b)
+    salts = {r["__salt__"] for r in a.collect()}
+    assert salts <= set(range(8)) and len(salts) > 1
+
+
+def test_two_phase_agg_equals_plain_agg(spark):
+    li = load_table(spark, SF, "lineitem")
+    plain = rows(
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+    two = rows(
+        two_phase_agg(
+            li,
+            ["l_returnflag"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("pc"),
+                F.sum("l_quantity").alias("pq"),
+            ],
+            final_aggs=[
+                F.sum("pc").alias("cnt"),
+                F.round(F.sum("pq"), 2).alias("qty"),
+            ],
+        )
+    )
+    assert plain == two
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+
+def test_running_user_totals_accumulates_across_batches(spark, tmp_path):
+    import shutil
+
+    from flowbyte_spark.streaming import read_event_stream
+    from flowbyte_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "events")
+    load_table(spark, SF, "events").repartition(3).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out: dict[int, list] = {}
+
+    def write(batch_df, batch_id):
+        out[batch_id] = batch_df.collect()
+
+    q = (
+        running_user_totals(stream, watermark="365 days")
+        .writeStream.foreachBatch(write)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+
+    assert len(out) >= 2, "expected multiple micro-batches"
+    # final state per user == batch aggregation over all events
+    last_state: dict[int, tuple] = {}
+    for bid in sorted(out):
+        for r in out[bid]:
+            last_state[r.user_id] = (r.cnt, r.total)
+    expected = {
+        r.user_id: (r.cnt, r.total)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert set(last_state) == set(expected)
+    for uid in expected:
+        assert last_state[uid][0] == expected[uid][0], uid
+        # running float sum rounded per batch: allow cent-level drift
+        assert abs(last_state[uid][1] - expected[uid][1]) < 0.05, uid
