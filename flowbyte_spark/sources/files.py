@@ -51,6 +51,8 @@ def write_table(
 ) -> None:
     """Write a table; ``partition_by`` produces hive-style partition dirs so
     downstream reads get partition pruning for free."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -1,0 +1,51 @@
+"""File-format source/sink round-trips (sources/files.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.sources.files import read_table, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows(df, key):
+    return sorted(tuple(r) for r in df.select(*key).collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_preserves_rows(spark, tmp_path, fmt):
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    write_table(src, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt)
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    # csv/json re-infer types; compare canonical string forms
+    a = sorted(
+        tuple(str(v) for v in r) for r in src.select(cols).collect()
+    )
+    b = sorted(
+        tuple(str(v) for v in r) for r in back.select(cols).collect()
+    )
+    assert a == b
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    from flowbyte_spark import plans
+
+    src = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_part")
+    write_table(src, path, partition_by=["o_orderstatus"])
+    back = read_table(spark, path).where(F.col("o_orderstatus") == "F")
+    # partition pruning: only the o_orderstatus=F directory is scanned
+    plan = plans.physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    expected = src.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_unknown_format_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "/nonexistent", fmt="avro")
