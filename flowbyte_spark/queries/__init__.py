@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None):
 def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from flowbyte_spark.queries import (  # noqa: F401
+        batteries,
         extended,
         functions_q,
         session_q,

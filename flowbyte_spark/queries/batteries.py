@@ -1,0 +1,96 @@
+"""V43-V44: exact percentiles and the string-function battery — closing the
+last §2.4/§2.8 function families with oracle-verified queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# V43 — exact percentiles (linear interpolation: Spark percentile ==
+# DuckDB quantile_cont), plus min/max/stddev/variance/corr
+# ---------------------------------------------------------------------------
+@register(
+    "v43_percentiles_stats",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS p50,
+           FLOOR(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90,
+           FLOOR(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5) / 100 AS p99,
+           FLOOR(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS sd_qty,
+           FLOOR(var_samp(l_quantity) * 10000 + 0.5) / 10000 AS var_qty,
+           FLOOR(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS corr_qp,
+           ROUND(MIN(l_extendedprice), 2) AS min_p,
+           ROUND(MAX(l_extendedprice), 2) AS max_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import q4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            q4(F.percentile("l_extendedprice", 0.5), scale=2).alias("p50"),
+            q4(F.percentile("l_extendedprice", 0.9), scale=2).alias("p90"),
+            q4(F.percentile("l_extendedprice", 0.99), scale=2).alias("p99"),
+            q4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            q4(F.var_samp("l_quantity")).alias("var_qty"),
+            q4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_p"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_p"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V44 — string-function battery (§2.8 full list)
+# ---------------------------------------------------------------------------
+@register(
+    "v44_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           TRIM(p_name) AS trimmed,
+           LPAD(p_brand, 12, '*') AS lpadded,
+           RPAD(p_brand, 12, '#') AS rpadded,
+           REPLACE(p_type, ' ', '_') AS replaced,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS instr_a,
+           string_split(p_type, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '[0-9]+') AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+           REVERSE(p_brand) AS reversed,
+           CAST(p_name LIKE '%a%' AS BOOLEAN) AS has_a,
+           LEFT(p_name, 5) AS left5,
+           RIGHT(p_name, 5) AS right5,
+           repeat(p_brand, 2) AS doubled
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def v44_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.trim("p_name").alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("lpadded"),
+        F.rpad("p_brand", 12, "#").alias("rpadded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.instr("p_name", "a").cast("long").alias("instr_a"),
+        F.split("p_type", " ")[0].alias("first_word"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("devoweled"),
+        F.reverse("p_brand").alias("reversed"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.substring("p_name", 1, 5).alias("left5"),
+        F.substring(F.col("p_name"), -5, 5).alias("right5"),
+        F.repeat("p_brand", 2).alias("doubled"),
+    ).orderBy("p_partkey")

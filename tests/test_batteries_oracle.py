@@ -1,0 +1,12 @@
+"""Oracle tests for V43-V44 (percentiles/stats, string battery)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_util import assert_query_matches
+
+
+@pytest.mark.parametrize("name", ["v43_percentiles_stats", "v44_string_funcs"])
+def test_battery_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)
