@@ -36,17 +36,29 @@ def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flowbyte_spark.functions import q4
 
     li = load_table(spark, sf_dir, "lineitem")
+    # one percentile aggregate for all three quantiles (array form) —
+    # three separate aggs each maintain their own value buffer
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            q4(F.percentile("l_extendedprice", 0.5), scale=2).alias("p50"),
-            q4(F.percentile("l_extendedprice", 0.9), scale=2).alias("p90"),
-            q4(F.percentile("l_extendedprice", 0.99), scale=2).alias("p99"),
+            pct.alias("pcts"),
             q4(F.stddev_samp("l_quantity")).alias("sd_qty"),
             q4(F.var_samp("l_quantity")).alias("var_qty"),
             q4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
             F.round(F.min("l_extendedprice"), 2).alias("min_p"),
             F.round(F.max("l_extendedprice"), 2).alias("max_p"),
+        )
+        .select(
+            "l_returnflag",
+            q4(F.col("pcts")[0], scale=2).alias("p50"),
+            q4(F.col("pcts")[1], scale=2).alias("p90"),
+            q4(F.col("pcts")[2], scale=2).alias("p99"),
+            "sd_qty",
+            "var_qty",
+            "corr_qp",
+            "min_p",
+            "max_p",
         )
         .orderBy("l_returnflag")
     )
