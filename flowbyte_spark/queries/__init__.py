@@ -37,6 +37,7 @@ def _load_all() -> None:
     # Import for side effects: each module registers its queries.
     from flowbyte_spark.queries import (  # noqa: F401
         batteries,
+        batteries2,
         extended,
         functions_q,
         session_q,

@@ -10,3 +10,10 @@ from tests.oracle_util import assert_query_matches
 @pytest.mark.parametrize("name", ["v43_percentiles_stats", "v44_string_funcs"])
 def test_battery_matches_oracle(spark, sf_dir, name):
     assert_query_matches(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name", ["v45_date_funcs", "v46_array_funcs", "v47_null_conditional"]
+)
+def test_battery2_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)
