@@ -38,6 +38,7 @@ def _load_all() -> None:
     from flowbyte_spark.queries import (  # noqa: F401
         batteries,
         batteries2,
+        batteries3,
         extended,
         functions_q,
         session_q,

@@ -17,3 +17,17 @@ def test_battery_matches_oracle(spark, sf_dir, name):
 )
 def test_battery2_matches_oracle(spark, sf_dir, name):
     assert_query_matches(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+    ],
+)
+def test_battery3_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)
