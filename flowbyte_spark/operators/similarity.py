@@ -98,6 +98,61 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs cosine near-dup via a broadcast-matrix BLAS kernel.
+
+    Same (id_a, id_b, sim) output as :func:`embedding_neardup_pairs` —
+    sim quantized with the q4 convention — but each Arrow batch computes
+    one (batch × dim) @ (dim × n) GEMM against the broadcast corpus matrix
+    instead of n interpreted array folds per row, which removes the O(n²)
+    join entirely from the plan (the scan stays a single narrow pass).
+
+    Applicability mirrors a broadcast join: the corpus matrix (n × dim
+    float64) must fit in executor memory — 64-dim vectors up to ~10M rows
+    at 5 GB.  Past that, block with :func:`ivf_assign` buckets or MinHash
+    LSH (dedup.py) before pairing; this kernel then runs per block.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(id_col, vec_col).toPandas()
+    ids = base[id_col].to_numpy()
+    mat = np.stack(base[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def pairs(batches):
+        all_ids, all_mat, all_norms = b.value
+        for pdf in batches:
+            bm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bi = pdf[id_col].to_numpy()
+            bn = np.sqrt((bm * bm).sum(axis=1))
+            sims = (bm @ all_mat.T) / np.outer(bn, all_norms)
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            ai, aj = np.nonzero(
+                (sims >= threshold) & (bi[:, None] < all_ids[None, :])
+            )
+            if len(ai):
+                yield pd.DataFrame(
+                    {
+                        "id_a": bi[ai],
+                        "id_b": all_ids[aj],
+                        "sim": sims[ai, aj],
+                    }
+                )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        pairs, f"id_a {id_t}, id_b {id_t}, sim double"
+    )
+
+
 def cosine_topk_gemm(
     df: DataFrame,
     id_col: str,

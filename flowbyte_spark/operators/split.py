@@ -1,0 +1,73 @@
+"""Dataset splitting and sequence packing for training-data pipelines.
+
+Charter scope (the reference has no dataset-preparation surface).  Two
+operators every corpus pipeline needs before training:
+
+- :func:`hash_split` — deterministic train/val/test assignment from a
+  seeded md5 of the row key.  Stable under re-runs, insertions, and
+  repartitioning (membership depends only on (seed, key), never on row
+  order or partition layout), which is what makes it safe at 100 TB:
+  adding documents never reshuffles existing assignments the way
+  ``randomSplit`` or modulo-over-row-number would.
+- :func:`pack_by_budget` — assign rows to fixed-token-budget chunks by
+  cumulative token count within an ordered partition (the batch twin of
+  context-window packing).  Chunk id = floor((cumsum - 1) / budget): a
+  document whose tokens straddle a boundary belongs to the chunk its
+  cumulative end falls in.  One window shuffle per partition key.
+
+Both are pure Catalyst (md5 / window cumsum) — no UDFs — so they
+hash-verify against DuckDB oracles (V53/V54) and stay in whole-stage
+codegen at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Lexicographic md5-hex thresholds: a uniform hex string is < 'cc' with
+# probability 204/256 (~79.7%) and < 'e6' with 230/256 (~89.8%), giving a
+# ~80/10/10 split.  String comparison on fixed-width hex is identical in
+# every engine — no base-16 integer conversion needed.
+DEFAULT_BOUNDS = (("train", "cc"), ("val", "e6"))
+FALLBACK_SPLIT = "test"
+
+
+def split_hash(key: Column | str, seed: str = "split42") -> Column:
+    """md5(seed || '|' || key) — the assignment hash (hex string)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(seed), F.lit("|"), c.cast("string")))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    seed: str = "split42",
+    bounds=DEFAULT_BOUNDS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add ``out_col`` ∈ {train, val, test} from a seeded hash of ``key``."""
+    h = split_hash(key, seed)
+    expr = F.lit(FALLBACK_SPLIT)
+    for name, bound in reversed(bounds):
+        expr = F.when(h < bound, name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def pack_by_budget(
+    df: DataFrame,
+    order_col: str,
+    tokens: Column,
+    budget: int,
+    partition_cols: list[str] | None = None,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Assign each row a chunk id so consecutive rows (by ``order_col``
+    within ``partition_cols``) accumulate ≈``budget`` tokens per chunk."""
+    w = (
+        Window.partitionBy(*(partition_cols or []))
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens).over(w)
+    return df.withColumn(out_col, F.floor((cum - 1) / budget).cast("long"))

@@ -43,6 +43,7 @@ def _load_all() -> None:
         functions_q,
         session_q,
         llm,
+        pipeline_q,
         relational,
         streaming_q,
         tier_a,

@@ -1,0 +1,59 @@
+"""Oracle tests for V53-V54 (hash split, token-budget packing) plus
+operator-level invariants of operators/split.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.operators.split import hash_split, pack_by_budget
+from tests.oracle_util import assert_query_matches
+
+
+@pytest.mark.parametrize("name", ["v53_hash_split", "v54_pack_by_budget"])
+def test_pipeline_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)
+
+
+def test_hash_split_stable_under_append_and_repartition(spark, sf_dir):
+    """Membership depends only on (seed, key): a subset of the corpus and
+    a differently-partitioned corpus assign identical splits."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = dict(
+        hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    )
+    subset = dict(
+        hash_split(docs.where(F.col("doc_id") % 3 == 0), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert all(full[k] == v for k, v in subset.items())
+    repart = dict(
+        hash_split(docs.repartition(7), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert repart == full
+
+
+def test_pack_by_budget_chunks_respect_budget(spark, sf_dir):
+    """Every chunk except the last per partition accumulates ≥ budget
+    tokens by its final row, and chunk ids are contiguous from 0."""
+    budget = 500
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    packed = pack_by_budget(
+        docs, "doc_id", F.col("n_tok"), budget, partition_cols=["lang"]
+    )
+    rows = packed.select("lang", "doc_id", "n_tok", "chunk").collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            cum += r.n_tok
+            assert r.chunk == (cum - 1) // budget, (lang, r.doc_id)

@@ -5,7 +5,12 @@ from __future__ import annotations
 import pytest
 
 from flowbyte_spark.catalog import load_table
-from flowbyte_spark.operators.similarity import cosine_topk, cosine_topk_gemm
+from flowbyte_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_gemm,
+    embedding_neardup_gemm,
+    embedding_neardup_pairs,
+)
 from tests.oracle_util import assert_query_matches
 
 
@@ -21,6 +26,25 @@ def test_gemm_topk_matches_catalyst_topk(spark):
     assert [r.id for r in exact] == [r.id for r in fast]
     for a, b in zip(exact, fast):
         assert abs(a.sim - b.sim) <= 1e-4  # ulp-level associativity drift max
+
+
+def test_gemm_neardup_matches_catalyst_pairs(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_neardup_gemm(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert abs(exact[k] - fast[k]) <= 1e-4
 
 
 def test_gemm_topk_unknown_query_raises(spark):
