@@ -54,6 +54,57 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def rate_to_hex_bound(rate: float, digits: int = 4) -> str:
+    """Hex-prefix threshold with P(md5 < bound) ≈ rate (exact to 16^-digits).
+
+    A uniform hex string is lexicographically below a ``digits``-long
+    bound b with probability int(b, 16) / 16**digits.  rate=1.0 returns
+    'g' (sorts after every hex char), since no fixed-width hex bound can
+    include the whole space."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    scaled = int(rate * (16**digits))
+    if scaled >= 16**digits:
+        return "g"
+    return format(scaled, f"0{digits}x")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    seed: str = "sample42",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(seed|key) < hex_bound(rates[stratum]).
+
+    Unlike ``df.sampleBy`` (seeded RNG over partition iteration order),
+    membership is a pure function of (seed, key, stratum rate): re-runs,
+    repartitioning, and appends never change which existing rows are
+    sampled — the same property as :func:`hash_split`, which makes
+    sampled corpora reproducible across pipeline versions."""
+    h = split_hash(key, seed)
+    bound = F.lit(rate_to_hex_bound(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        bound = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_to_hex_bound(rate))
+        ).otherwise(bound)
+    return df.where(h < bound)
+
+
+def interleave_key(key: Column | str, seed: str = "shuffle42") -> Column:
+    """Deterministic shuffle order: sort by md5(seed|key).
+
+    The hash is uniform, so ordering by it interleaves strata/sources
+    uniformly (the batch analog of dataset shuffling before training),
+    and it is reproducible — same seed, same order, on any cluster
+    layout.  Use as ``df.orderBy(interleave_key("doc_id"))`` or as a
+    range-partitioning key for shuffled shard writes."""
+    return split_hash(key, seed)
+
+
 def pack_by_budget(
     df: DataFrame,
     order_col: str,

@@ -2,8 +2,10 @@
 whose final state must equal the batch twin (and therefore the same DuckDB
 oracle as the batch time-bucket query V15).
 
-The events fixture is re-materialized into scratch as 4 files → 4
-deterministic micro-batches; the tumbling-window aggregation runs with
+The events fixture is re-materialized into scratch as 2 files → 2
+deterministic micro-batches (the first proves incremental state, the
+second the final answer; deeper 4-batch/late-data scenarios live in
+tests/test_streaming.py); the tumbling-window aggregation runs with
 ``availableNow`` and complete output mode; the final batch is the answer.
 """
 
@@ -40,7 +42,7 @@ def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("v32_ckpt")
     # Re-materialize with microsecond timestamps (the raw fixture is
     # nanos-typed parquet, which the file-stream source cannot consume).
-    load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, "1 hour", watermark="3650 days")

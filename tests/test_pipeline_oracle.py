@@ -11,9 +11,51 @@ from flowbyte_spark.operators.split import hash_split, pack_by_budget
 from tests.oracle_util import assert_query_matches
 
 
-@pytest.mark.parametrize("name", ["v53_hash_split", "v54_pack_by_budget"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "v53_hash_split",
+        "v54_pack_by_budget",
+        "v55_stratified_sample",
+        "v56_interleave",
+        "v57_corpus_prep",
+    ],
+)
 def test_pipeline_matches_oracle(spark, sf_dir, name):
     assert_query_matches(spark, name, sf_dir)
+
+
+def test_stratified_sample_append_stable(spark, sf_dir):
+    """Sampling a subset yields exactly the sampled rows of the full
+    corpus that fall in the subset — appends never flip membership."""
+    from flowbyte_spark.operators.split import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {"en": 0.5, "de": 0.25}
+    full = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            docs, "doc_id", "lang", rates, default_rate=0.1
+        ).collect()
+    }
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sub = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            half, "doc_id", "lang", rates, default_rate=0.1
+        ).collect()
+    }
+    assert sub == {d for d in full if d % 2 == 0}
+
+
+def test_rate_to_hex_bound_limits():
+    from flowbyte_spark.operators.split import rate_to_hex_bound
+
+    assert rate_to_hex_bound(0.0) == "0000"
+    assert rate_to_hex_bound(1.0) == "g"  # sorts after every hex string
+    assert rate_to_hex_bound(0.5) == "8000"
+    with pytest.raises(ValueError):
+        rate_to_hex_bound(1.5)
 
 
 def test_hash_split_stable_under_append_and_repartition(spark, sf_dir):
