@@ -79,11 +79,22 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 
 def shuffle_exchanges(df: DataFrame) -> int:
-    """Count of shuffle Exchange nodes (each is a full network pass)."""
-    plan = physical_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "hashpartitioning" in line.lower()
-        or ("Exchange" in line and "rangepartitioning" in line.lower())
-    )
+    """Count of shuffle Exchange nodes (each is a full network pass).
+
+    Formatted explain puts the node header ``(n) Exchange`` and its
+    ``Arguments: hashpartitioning(...)`` detail on separate lines, so the
+    two are matched up here; SinglePartition exchanges (driver-side
+    collect of tiny results) are not counted."""
+    import re
+
+    lines = physical_plan(df).splitlines()
+    count = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange", line.strip()):
+            for j in range(i + 1, min(i + 8, len(lines))):
+                arg = lines[j].strip()
+                if arg.startswith("Arguments:"):
+                    if "hashpartitioning" in arg or "rangepartitioning" in arg:
+                        count += 1
+                    break
+    return count
