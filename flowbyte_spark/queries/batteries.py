@@ -33,9 +33,11 @@ from flowbyte_spark.queries import register
     """,
 )
 def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flowbyte_spark.functions import q4
+    from flowbyte_spark.functions import ensure_parallelism, q4
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # Fan the 3-split fixture scan out before the percentile partial
+    # buffers build (no-op when the scan already has parallelism).
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     # one percentile aggregate for all three quantiles (array form) —
     # three separate aggs each maintain their own value buffer
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))

@@ -93,7 +93,12 @@ def v02_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v03_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from flowbyte_spark.functions import ensure_parallelism
+
+    # The fixture is a single parquet file (3 scan splits): fan out before
+    # the 7-decimal-sum partial agg so it uses every core.  At production
+    # scale the scan has natural parallelism and this is a no-op.
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
