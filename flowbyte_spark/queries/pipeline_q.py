@@ -1,6 +1,8 @@
-"""V53-V54: training-data pipeline operators — deterministic dataset
-splitting and token-budget sequence packing (operators/split.py),
-oracle-verified on the documents table.
+"""V53-V57: training-data pipeline operators — deterministic dataset
+splitting, stratified sampling, reproducible interleave, token-budget
+sequence packing, and the composed corpus-prep chain
+(operators/split.py + operators/text.py), oracle-verified on the
+documents table.
 """
 
 from __future__ import annotations
