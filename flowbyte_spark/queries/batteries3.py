@@ -197,6 +197,36 @@ def v51_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V58 — explicit cross join (SURVEY §2.3 'cross' row)
+# ---------------------------------------------------------------------------
+@register(
+    "v58_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(r.r_regionkey = n.n_regionkey AS BOOLEAN) AS is_home
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def v58_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product via ``crossJoin`` — Catalyst plans a broadcast
+    nested-loop, the right physical choice when one side is a small dim;
+    a fact×fact cross is still expressible but should be bucketed/blocked
+    at scale (see range join, which is exactly a blocked cross)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
 # V52 — ordered string aggregation (STRING_AGG / LISTAGG)
 # ---------------------------------------------------------------------------
 @register(

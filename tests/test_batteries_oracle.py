@@ -27,6 +27,7 @@ def test_battery2_matches_oracle(spark, sf_dir, name):
         "v50_window_battery",
         "v51_unpivot",
         "v52_string_agg",
+        "v58_cross_join",
     ],
 )
 def test_battery3_matches_oracle(spark, sf_dir, name):
