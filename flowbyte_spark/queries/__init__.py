@@ -51,3 +51,33 @@ def _load_all() -> None:
 
 
 _load_all()
+
+
+def _reorder() -> None:
+    """Deterministic driver-facing ordering.
+
+    The round-1 driver truncated the correctness sweep after 50 entries in
+    dict-iteration order, leaving the dict tail (v12-v18, v32) unverified.
+    Put those first so a truncated sweep still covers them, then everything
+    else in ascending vNN order (cheap relational queries surface early,
+    heavy LSH/streaming shapes later).
+    """
+    first = [
+        "v12_set_ops",
+        "v13_scalar_funcs",
+        "v14_json_extract",
+        "v15_time_bucket",
+        "v16_count_distinct",
+        "v17_update_by_keys",
+        "v18_insert_delete",
+        "v32_streaming_window",
+    ]
+    rest = sorted(k for k in QUERIES if k not in first)
+    order = [k for k in first if k in QUERIES] + rest
+    for mapping in (QUERIES, ORACLE):
+        snapshot = {k: mapping[k] for k in order if k in mapping}
+        mapping.clear()
+        mapping.update(snapshot)
+
+
+_reorder()
