@@ -136,11 +136,13 @@ def v03_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v04_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    # customer is a dimension (~1.5k rows at sf0.1): broadcast it so the fact
-    # table never shuffles for this join.
+    # No broadcast hint: customer grows with scale factor.  Parquet scans
+    # carry size stats, so the planner (and AQE at runtime) broadcasts while
+    # the dim fits autoBroadcastJoinThreshold and degrades to shuffle join
+    # beyond it instead of OOMing on a forced multi-GB build side.
     return (
         orders.join(
-            F.broadcast(customer),
+            customer,
             orders.o_custkey == customer.c_custkey,
             "inner",
         )
@@ -190,7 +192,10 @@ def v05_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+            # Size-based planning decides broadcast vs shuffle for both the
+            # dim-dim join and the fact join; filtered sides that stay small
+            # get broadcast by AQE without risking a forced huge build.
+            ords.join(cust, ords.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -280,7 +285,7 @@ def v08_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Equi-key carries the join (hash join); the inequality is a residual
     # post-join filter — no nested-loop blowup at scale.
     return li.join(
-        F.broadcast(part),
+        part,
         (li.l_partkey == part.p_partkey) & (li.l_quantity < part.p_size),
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -305,7 +310,7 @@ def v09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .rollup("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -441,7 +446,7 @@ def v13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey",
             F.upper(F.substring("c_name", 1, 8)).alias("cust_prefix"),

@@ -53,6 +53,34 @@ def test_dim_join_broadcasts(spark, sf_dir):
     assert plans.uses_broadcast_join(df)
 
 
+@pytest.mark.parametrize(
+    "name", ["v04_join_agg", "v05_q3_top10", "v08_theta_join", "v09_rollup"]
+)
+def test_large_build_side_degrades_to_smj(spark, sf_dir, name):
+    """No hard-coded broadcast hints on scale-growing tables.
+
+    A ``F.broadcast`` hint bypasses the planner's size check, so at 100x
+    scale a hinted dim becomes a multi-GB forced build side and OOMs.  With
+    size-based planning the same query degrades to a shuffled join when the
+    build side exceeds the threshold.  Simulate "too big to broadcast" by
+    disabling the threshold: a surviving hint would still produce
+    BroadcastHashJoin; the hint-free plan must not.
+    """
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES[name](spark, sf_dir)
+        plan = plans.physical_plan(df)
+        assert "BroadcastHashJoin" not in plan, (
+            f"{name} still forces broadcast with threshold disabled:\n{plan}"
+        )
+        assert (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        ), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
     df = QUERIES["v02_project_filter"](spark, sf_dir)
     assert plans.has_pushed_filter(df, "l_shipdate"), plans.pushed_filters(df)
