@@ -6,9 +6,11 @@ Capability parity with the reference's update path
 - the reference executes one UPDATE statement *per record* with a commit per
   row (sql.py:233-245) — O(n) driver round-trips;
 - here both operators compile to ONE distributed plan: broadcast (or
-  shuffle) the delta, left-join the target on the merge keys, and
-  ``coalesce(new, old)`` each updatable column.  Net state is identical;
-  cost is a single pass over the target.
+  shuffle) the delta, left-join the target on the merge keys, and select
+  ``when(present, new).otherwise(old)`` per updatable column.  Net state is
+  identical — including explicit-NULL writes, which SQL SET performs and a
+  naive ``coalesce(new, old)`` would silently drop.  Cost is a single pass
+  over the target.
 
 At 100 TB the delta is almost always small relative to the target, so the
 join side is broadcast and the target never shuffles.  For giant deltas,
@@ -25,18 +27,66 @@ from pyspark.sql import functions as F
 from flowbyte_spark import log
 
 
+def _has(col: str) -> str:
+    return f"__has_{col}__"
+
+
 def _updates_to_df(
     spark: SparkSession,
     update_records: DataFrame | Sequence[Mapping],
-) -> DataFrame:
+    tgt_types: Mapping | None = None,
+) -> tuple[DataFrame, bool]:
+    """Normalize updates to (DataFrame, tracks_presence).
+
+    For record lists, a column ABSENT from a dict and a column explicitly
+    set to None are different operations in the reference (sql.py:233-245
+    issues ``UPDATE … SET`` only for keys the record contains, and SQL SET
+    happily writes NULL).  ``createDataFrame`` folds both to NULL, so each
+    record is augmented with a boolean presence marker per column.  For
+    DataFrame inputs every column is present in every row (SQL UPDATE…FROM
+    semantics) and no markers are needed.
+
+    Records are built with an explicit schema from ``tgt_types`` — schema
+    inference would reject a column that is None in every record, which is
+    precisely the "SET col = NULL everywhere" case.
+    """
     if isinstance(update_records, DataFrame):
-        return update_records
+        return update_records, False
     if not isinstance(update_records, (list, tuple)) or not all(
         isinstance(r, Mapping) for r in update_records
     ):
         # same contract as the reference's validation (sql.py:218-219)
         raise TypeError("update_records must be a DataFrame or a list of dicts")
-    return spark.createDataFrame(list(update_records))
+    records = [dict(r) for r in update_records]
+    cols: list[str] = []
+    for r in records:
+        for c in r:
+            if c not in cols:
+                cols.append(c)
+
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+    tgt_types = tgt_types or {}
+
+    def _col_type(c: str):
+        vals = [r[c] for r in records if r.get(c) is not None]
+        if vals:  # infer across values (merges int/float etc.); no job runs
+            return spark.createDataFrame(
+                [(v,) for v in vals], ["x"]
+            ).schema[0].dataType
+        if c in tgt_types:  # all-None: any type holds NULL — use the target's
+            return tgt_types[c]
+        return StringType()  # all-None column not in target: dropped later
+
+    schema = StructType(
+        [StructField(c, _col_type(c), True) for c in cols]
+        + [StructField(_has(c), BooleanType(), False) for c in cols]
+    )
+    rows = [
+        tuple(r.get(c) for c in cols) + tuple(c in r for c in cols)
+        for r in records
+    ]
+    return spark.createDataFrame(rows, schema), True
 
 
 def update_by_keys(
@@ -57,10 +107,12 @@ def update_by_keys(
     inserts) — use :meth:`ParquetTable.append` for inserts.
     """
     spark = target.sparkSession
-    updates = _updates_to_df(spark, update_records)
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    updates, tracks_presence = _updates_to_df(spark, update_records, tgt_types)
+    data_cols = [c for c in updates.columns if not c.startswith("__has_")]
 
     keys = [k for k in key_columns]
-    missing = [k for k in keys if k not in updates.columns]
+    missing = [k for k in keys if k not in data_cols]
     if missing:
         log.warning(
             f"key column(s) {missing} missing from update records — "
@@ -70,24 +122,39 @@ def update_by_keys(
     if not keys:
         raise ValueError("no usable key columns for update_by_keys")
 
-    set_cols = [c for c in updates.columns if c not in keys and c in target.columns]
-    unknown = [c for c in updates.columns if c not in target.columns]
+    set_cols = [c for c in data_cols if c not in keys and c in target.columns]
+    unknown = [c for c in data_cols if c not in target.columns]
     if unknown:
         log.warning(f"update columns {unknown} not present in target — ignored")
+    if not set_cols:  # keys-only records: an UPDATE that sets nothing
+        return target
 
     # Align update-side types with the target before the join so the merge
     # never widens the table schema (int delta vs long target etc.).
-    tgt_types = {f.name: f.dataType for f in target.schema.fields}
     updates = updates.select(
-        *[F.col(c).cast(tgt_types[c]).alias(c) for c in keys + set_cols]
+        *[F.col(c).cast(tgt_types[c]).alias(c) for c in keys + set_cols],
+        *[
+            (F.col(_has(c)) if tracks_presence else F.lit(True)).alias(_has(c))
+            for c in set_cols
+        ],
     )
-    # One delta row per key, deterministically — the reference applies
-    # records in list order, so the LAST record for a key wins (each row's
-    # UPDATE overwrites the previous one, sql.py:233-245).
+    # One delta row per key, per COLUMN — the reference applies records in
+    # list order, each row's UPDATE setting only the columns that record
+    # contains (sql.py:233-245).  So a column's final value comes from the
+    # LAST record that carries it (explicit NULLs included); records that
+    # omit it don't disturb an earlier record's write.  max_by ignores rows
+    # whose ordering key is NULL, so gating __seq__ on presence selects
+    # exactly that record.
     updates = (
         updates.withColumn("__seq__", F.monotonically_increasing_id())
         .groupBy(*keys)
-        .agg(*[F.max_by(c, "__seq__").alias(c) for c in set_cols])
+        .agg(
+            *[
+                F.max_by(c, F.when(F.col(_has(c)), F.col("__seq__"))).alias(c)
+                for c in set_cols
+            ],
+            *[F.max(_has(c)).alias(_has(c)) for c in set_cols],
+        )
     )
 
     u = F.broadcast(updates.alias("u"))
@@ -97,10 +164,16 @@ def update_by_keys(
         term = F.col(f"t.{k}") == F.col(f"u.{k}")
         cond = term if cond is None else (cond & term)
 
+    # when(present, update) — NOT coalesce: an explicit NULL in a record
+    # must overwrite the target value, exactly as SQL SET col = NULL does.
+    # Unmatched target rows have a NULL presence flag → otherwise branch.
     merged = t.join(u, cond, "left").select(
         *[
             (
-                F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}"))
+                F.when(
+                    F.col(f"u.{_has(c)}").eqNullSafe(F.lit(True)),
+                    F.col(f"u.{c}"),
+                ).otherwise(F.col(f"t.{c}"))
                 if c in set_cols
                 else F.col(f"t.{c}")
             ).alias(c)

@@ -85,6 +85,70 @@ def test_update_never_changes_cardinality(spark, delta):
     assert update_by_keys(target, delta, ["id"]).count() == target.count()
 
 
+# Records may OMIT a column (leave target value) or carry an explicit None
+# (overwrite with NULL) — distinct operations in the reference's per-row
+# UPDATE loop, and the distributed merge must preserve the distinction.
+sparse_delta_strategy = st.lists(
+    st.builds(
+        lambda id_, val, tag, has_val, has_tag: {
+            "id": id_,
+            **({"val": val} if has_val else {}),
+            **({"tag": tag} if has_tag else {}),
+        },
+        st.sampled_from(KEYS + [99]),
+        st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False, width=32)),
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(delta=sparse_delta_strategy)
+@SETTINGS
+def test_sparse_records_match_sequential_update_loop(spark, delta):
+    """Per-column presence: absent column → target value survives; explicit
+    None → NULL overwrites (sql.py:233-245 applies SET only for keys each
+    record contains)."""
+    target = base_df(spark)
+    merged = {
+        r[0]: (r[1], r[2]) for r in update_by_keys(target, delta, ["id"]).collect()
+    }
+
+    expected = {k: [float(k * 10), "base"] for k in KEYS}
+    for rec in delta:
+        if rec["id"] in expected:
+            if "val" in rec:
+                expected[rec["id"]][0] = rec["val"]
+            if "tag" in rec:
+                expected[rec["id"]][1] = rec["tag"]
+
+    assert set(merged) == set(expected)
+    for k, (ev, et) in expected.items():
+        assert merged[k][1] == et
+        if ev is None:
+            assert merged[k][0] is None
+        else:
+            assert merged[k][0] == pytest.approx(ev, rel=1e-6)
+
+
+def test_all_none_column_overwrites_with_null(spark):
+    """A column that is None in every record (schema inference's worst case)
+    still compiles and writes NULLs."""
+    target = base_df(spark)
+    out = {
+        r.id: (r.val, r.tag)
+        for r in update_by_keys(
+            target, [{"id": 1, "val": None}, {"id": 2, "val": None}], ["id"]
+        ).collect()
+    }
+    assert out[1] == (None, "base")
+    assert out[2] == (None, "base")
+    assert out[3] == (30.0, "base")
+
+
 @given(
     n_insert=st.integers(min_value=1, max_value=5),
     drop_mod=st.integers(min_value=2, max_value=4),
