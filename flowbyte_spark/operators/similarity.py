@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flowbyte_spark.functions import cosine_similarity, ensure_parallelism, q4
@@ -153,6 +153,91 @@ def embedding_neardup_gemm(
     )
 
 
+def embedding_neardup_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup, distributed block-matrix GEMM.
+
+    Same output (and same float64 arithmetic, so the same q4-rounded sims)
+    as :func:`embedding_neardup_gemm`, but nothing is collected to the
+    driver: rows hash into ``num_blocks`` blocks, every unordered block
+    pair (i ≤ j) becomes one task, and each task runs the
+    (block × dim) @ (dim × block) kernel over exactly two blocks of
+    vectors.  Each unordered row pair lives in exactly one block pair, so
+    the result is exact — unlike IVF/LSH blocking, which drops
+    cross-bucket pairs.
+
+    Scale accounting: shuffle volume is n×(num_blocks+1) rows and peak
+    task memory two blocks (2·(n/B)·dim·8 B); at a given cluster pick
+    num_blocks ≈ n·dim·8 / (mem_per_task/2).  Total compare work stays
+    O(n²) — that is what "exact all-pairs" means; cut the candidate set
+    with MinHash LSH or IVF (dedup.py, :func:`ivf_assign`) when
+    approximate recall is acceptable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    pairs = (
+        spark.range(num_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .crossJoin(
+            spark.range(num_blocks).select(F.col("id").cast("int").alias("bj"))
+        )
+        .where(F.col("bi") <= F.col("bj"))
+    )
+    # Tag each row once per block pair it participates in: as the "left"
+    # side of pairs (blk, j≥blk) and the "right" side of (i≤blk, blk).
+    left = base.join(F.broadcast(pairs), base.blk == pairs.bi).select(
+        "bi", "bj", F.lit(0).alias("side"), "id", "vec"
+    )
+    right = base.join(F.broadcast(pairs), base.blk == pairs.bj).select(
+        "bi", "bj", F.lit(1).alias("side"), "id", "vec"
+    )
+
+    def gemm_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        lp = pdf[pdf["side"] == 0]
+        rp = pdf[pdf["side"] == 1]
+        if lp.empty or rp.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        if same_block:  # both sides are the same block: use one copy
+            rp = lp
+        lm = np.stack(lp["vec"].to_numpy()).astype(np.float64)
+        rm = np.stack(rp["vec"].to_numpy()).astype(np.float64)
+        li = lp["id"].to_numpy()
+        ri = rp["id"].to_numpy()
+        ln = np.sqrt((lm * lm).sum(axis=1))
+        rn = np.sqrt((rm * rm).sum(axis=1))
+        sims = (lm @ rm.T) / np.outer(ln, rn)
+        sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+        ai, aj = np.nonzero(sims >= threshold)
+        ida, idb = li[ai], ri[aj]
+        if same_block:
+            mask = ida < idb  # upper triangle: each pair once
+        else:
+            mask = ida != idb  # blocks are disjoint; reorder to (min, max)
+        lo = np.minimum(ida[mask], idb[mask])
+        hi = np.maximum(ida[mask], idb[mask])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ai, aj][mask]})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(gemm_pair, f"id_a {id_t}, id_b {id_t}, sim double")
+    )
+
+
 def cosine_topk_gemm(
     df: DataFrame,
     id_col: str,
@@ -226,16 +311,24 @@ def ivf_assign(
     scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
         F.broadcast(centroids)
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("csim").desc(), F.col("cid")
-    )
+    # argmax via min_by over (-csim, cid): highest similarity, lowest cid on
+    # ties — same winner as a row_number window, but the aggregate combines
+    # map-side, so the n×centroids amplified table collapses back to n rows
+    # BEFORE the exchange instead of shuffling all n×centroids of them.
     assignments = (
         scored.withColumn(
             "csim", q4(cosine_similarity(F.col("vec"), F.col("cvec")))
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "cid", "vec")
+        .groupBy("id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid"), F.col("vec")),
+                F.struct(
+                    (-F.col("csim")).alias("neg_sim"), F.col("cid").alias("cid")
+                ),
+            ).alias("best")
+        )
+        .select("id", F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
     )
     return centroids, assignments
 

@@ -291,11 +291,12 @@ def v20_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Served by the GEMM kernel (broadcast corpus matrix, one narrow
-    pass); embedding_neardup_pairs is the pure-Catalyst reference
+    """Served by the distributed block-pair GEMM (nothing collected to the
+    driver; exact — every unordered row pair lives in exactly one block
+    pair).  embedding_neardup_pairs is the pure-Catalyst reference
     implementation and stays equivalence-tested against this."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_gemm(
+    return S.embedding_neardup_blocked(
         emb, "vec_id", "embedding", threshold=NEARDUP_COS_THRESHOLD
     ).orderBy("id_a", "id_b")
 
