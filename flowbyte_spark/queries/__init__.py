@@ -71,6 +71,10 @@ def _reorder() -> None:
         "v17_update_by_keys",
         "v18_insert_delete",
         "v32_streaming_window",
+        # round-2 additions: not yet driver-verified, so they also go first
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v61_approx_percentiles",
     ]
     rest = sorted(k for k in QUERIES if k not in first)
     order = [k for k in first if k in QUERIES] + rest

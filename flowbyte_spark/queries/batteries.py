@@ -108,3 +108,33 @@ def v44_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("p_name"), -5, 5).alias("right5"),
         F.repeat("p_brand", 2).alias("doubled"),
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# V61 — approx percentiles: the 100 TB twin of V43.  Exact F.percentile
+# buffers every group value in the aggregation buffer (per-group memory
+# grows with data); approx_percentile keeps a bounded KLL-style sketch per
+# group, so partial-aggregate state is O(accuracy), not O(rows).  Rows-only
+# driver check (DuckDB's approx algorithm differs); accuracy is pinned to
+# the exact V43 result by a tolerance test (test_batteries_oracle).
+# ---------------------------------------------------------------------------
+@register("v61_approx_percentiles")
+def v61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.approx_percentile(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(10000),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("pcts"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "cnt",
+        )
+        .orderBy("l_returnflag")
+    )

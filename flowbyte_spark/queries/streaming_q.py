@@ -63,3 +63,137 @@ def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result.orderBy("hour_ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# V59 — sliding-window streaming aggregation (2 h window / 1 h slide).
+# Every event lands in exactly two overlapping windows, so the oracle is a
+# union-all of the hour-truncated and hour-shifted copies of the table.
+# ---------------------------------------------------------------------------
+_V59_ORACLE = """
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_value
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@register("v59_sliding_window", oracle=_V59_ORACLE)
+def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _scratch_dir("v59_events")
+    ckpt = _scratch_dir("v59_ckpt")
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = tumbling_window_agg(
+        stream, "2 hours", watermark="3650 days", slide="1 hour"
+    )
+
+    final: list = []
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        final.clear()
+        final.extend(batch_df.collect())
+
+    writer = foreach_batch_sink(
+        agg, write, checkpoint=ckpt, output_mode="complete"
+    )
+    run_available_now(writer)
+
+    schema = "hour_ts STRING, event_type STRING, cnt BIGINT, sum_value DOUBLE"
+    result = spark.createDataFrame(final, schema)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result.orderBy("hour_ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# V60 — watermark late-data drop, proven end-to-end in append mode.
+#
+# Three deterministic micro-batches (file mtimes force the order):
+#   1. the full events table — the watermark computed from it (max(ts)−1 h)
+#      takes effect next batch
+#   2. one sentinel event at max(ts) + 3 h — its batch runs with the
+#      batch-1 watermark, finalizing + EVICTING every window ending before
+#      max(ts) − 1 h (the bulk), and its own timestamp advances the
+#      watermark past the end of every real window
+#   3. replays of stale rows (ts < max(ts) − 3 h) — their windows were all
+#      evicted in batch 2, so the aggregation MUST drop every one; if it
+#      didn't, their windows would re-emit and the hash would mismatch.
+#      This batch's eviction pass (sentinel-advanced watermark) also
+#      finalizes the last real windows; the sentinel's own window is never
+#      finalized and never emitted.
+#
+# Micro-batch eviction semantics this leans on (verified empirically):
+# a late row merges into still-live state even when older than the
+# watermark — rows are only dropped once their window's state was evicted
+# in an EARLIER batch.  Hence the sentinel goes BEFORE the replays.
+# Final appended output = plain batch aggregation of the events table (the
+# same oracle as V15/V32), which is exactly the late-data-drop contract.
+# ---------------------------------------------------------------------------
+@register("v60_late_data_drop", oracle=_V15_ORACLE)
+def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = _scratch_dir("v60_events")
+    ckpt = _scratch_dir("v60_ckpt")
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    stale = events.where(
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    ).limit(2000)
+    sentinel = spark.createDataFrame(
+        [(int(-1), max_ts, int(-1), "__sentinel__", 0.0, "{}")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    # FileStreamSource orders files by modification time: pin strictly
+    # increasing mtimes per batch so the batch order is deterministic,
+    # not filesystem-timing luck.
+    pinned: set[str] = set()
+    for i, batch in enumerate([events, sentinel, stale]):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in pinned:
+                os.utime(f, (1700000000.0 + 100 * i,) * 2)
+                pinned.add(f)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = tumbling_window_agg(stream, "1 hour", watermark="1 hour")
+
+    final: list = []
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        final.extend(batch_df.collect())  # append mode: accumulate
+
+    writer = foreach_batch_sink(
+        agg, write, checkpoint=ckpt, output_mode="append"
+    )
+    run_available_now(writer)
+
+    schema = "hour_ts STRING, event_type STRING, cnt BIGINT, sum_value DOUBLE"
+    result = spark.createDataFrame(final, schema)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result.orderBy("hour_ts", "event_type")

@@ -19,6 +19,25 @@ def test_battery2_matches_oracle(spark, sf_dir, name):
     assert_query_matches(spark, name, sf_dir)
 
 
+def test_v61_approx_percentiles_within_tolerance(spark, sf_dir):
+    """The sketch-based scale twin must land within 2% of V43's exact
+    percentiles (same tolerance pattern as V37 vs exact count-distinct)."""
+    from flowbyte_spark.queries import QUERIES
+
+    exact = {
+        r.l_returnflag: (float(r.p50), float(r.p90), float(r.p99))
+        for r in QUERIES["v43_percentiles_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (float(r.p50), float(r.p90), float(r.p99))
+        for r in QUERIES["v61_approx_percentiles"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag in exact:
+        for e, a in zip(exact[flag], approx[flag]):
+            assert abs(a - e) / max(abs(e), 1.0) <= 0.02, (flag, e, a)
+
+
 @pytest.mark.parametrize(
     "name",
     [

@@ -123,10 +123,14 @@ def test_dedup_within_watermark_drops_replays(spark, event_files, tmp_path):
     assert set(seen) == {r.event_id for r in df.collect()}
 
 
-def test_v32_streaming_window_matches_oracle(spark, sf_dir):
+@pytest.mark.parametrize(
+    "name",
+    ["v32_streaming_window", "v59_sliding_window", "v60_late_data_drop"],
+)
+def test_streaming_query_matches_oracle(spark, sf_dir, name):
     from tests.oracle_util import assert_query_matches
 
-    assert_query_matches(spark, "v32_streaming_window", sf_dir)
+    assert_query_matches(spark, name, sf_dir)
 
 
 def test_post_batch_hook_failure_does_not_kill_stream(spark, event_files, tmp_path):
