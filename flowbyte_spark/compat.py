@@ -164,17 +164,32 @@ class MSSQL(SQL):
         ``category_columns`` become pandas categoricals, decimals are
         normalized to (38, 20), errors log-and-return-None
         (sql.py:166-171).  Inside, Spark replaces the chunked ODBC loop —
-        ``chunksize`` is accepted and ignored (partitioning supersedes it).
+        in ``spark`` mode ``chunksize`` is superseded by partitioning; in
+        JDBC mode it becomes ``fetchsize`` (the cursor batch, same role as
+        the reference's chunked fetch).
         """
         try:
-            df = self.spark.sql(query)
-            df = apply_casts(
-                df,
-                bool_columns=bool_columns,
-                float_columns=float_columns,
-                round_columns=round_columns,
-            )
-            df = normalize_decimals(df)
+            if self.connection_type == "spark":
+                df = self.spark.sql(query)
+                df = apply_casts(
+                    df,
+                    bool_columns=bool_columns,
+                    float_columns=float_columns,
+                    round_columns=round_columns,
+                )
+                df = normalize_decimals(df)
+            else:
+                # pyodbc/sqlalchemy connection strings route through JDBC:
+                # the remote server runs the query (casts + decimal policy
+                # applied by JDBCSource.get_data), never the local catalog.
+                df = self.connection.get_data(
+                    self.spark,
+                    query=query,
+                    bool_columns=bool_columns,
+                    float_columns=float_columns,
+                    round_columns=round_columns,
+                    fetchsize=chunksize,
+                )
             pdf = df.toPandas()
             for c in category_columns or []:
                 pdf[c] = pdf[c].astype("category")
@@ -188,6 +203,17 @@ class MSSQL(SQL):
 
     # -- write paths (sql.py:174-332) ------------------------------------------
 
+    def _require_spark_mode(self, op: str) -> None:
+        """Fail loud instead of silently treating a remote host as a local
+        parquet directory: set-based DML against a JDBC server needs
+        server-side MERGE/DELETE, which the JDBC DataFrame sink cannot
+        express."""
+        if self.connection_type != "spark":
+            raise NotImplementedError(
+                f"{op} is only supported with connection_type='spark' "
+                "(JDBC mode supports get_data/insert_data)"
+            )
+
     def insert_data(
         self,
         schema: str,
@@ -196,6 +222,9 @@ class MSSQL(SQL):
         chunksize: int = 10000,
     ) -> None:
         df = self.spark.createDataFrame(insert_records)
+        if self.connection_type != "spark":
+            self.connection.insert_data(df, schema, table_name, chunksize=chunksize)
+            return
         table = self._table(schema, table_name)
         if table.exists():
             target_schema = table.read().schema
@@ -216,6 +245,7 @@ class MSSQL(SQL):
     ) -> None:
         """Keyed point updates (sql.py:191-249): list-of-dicts in, set-based
         merge inside (same net state as the reference's per-row loop)."""
+        self._require_spark_mode("update_data")
         if not isinstance(update_records, (list, tuple)) or not all(
             isinstance(r, Mapping) for r in update_records
         ):
@@ -233,6 +263,7 @@ class MSSQL(SQL):
         DataFrame's columns minus the first (sql.py:271).  Table names
         accept ``schema.table`` or bare (dbo assumed).
         """
+        self._require_spark_mode("update_from_table")
 
         def resolve(name: str) -> ParquetTable:
             schema, _, tbl = name.rpartition(".")
@@ -251,6 +282,7 @@ class MSSQL(SQL):
         self._register_warehouse()
 
     def truncate_table(self, schema_name: str, table_name: str) -> None:
+        self._require_spark_mode("truncate_table")
         try:
             self._table(schema_name, table_name).truncate()
             self._register_warehouse()
@@ -260,6 +292,7 @@ class MSSQL(SQL):
             _log.error(str(e))
 
     def delete_data(self, schema_name: str, table_name: str) -> None:
+        self._require_spark_mode("delete_data")
         try:
             self._table(schema_name, table_name).delete()
             self._register_warehouse()
@@ -274,6 +307,7 @@ class MSSQL(SQL):
         """Predicated delete (sql.py:321-332).  The reference interpolates
         ``conditions`` into raw SQL; here it must parse as a Catalyst
         boolean expression — injection fails closed instead of executing."""
+        self._require_spark_mode("delete_data_with_conditions")
         try:
             self._table(schema_name, table_name).delete_where(conditions)
             self._register_warehouse()
@@ -307,7 +341,9 @@ class PowerBI:
         status, payload = self.transport(
             "POST",
             f"{self.get_authority()}/oauth2/v2.0/token",
-            {"Content-Type": "application/json"},
+            # AAD token endpoint requires form encoding (msal does the
+            # same under the reference); urllib_transport honors this.
+            {"Content-Type": "application/x-www-form-urlencoded"},
             {
                 "client_id": self.client_id,
                 "client_secret": self.client_secret,

@@ -16,6 +16,7 @@ transport via ``urllib`` is provided (no extra deps).
 from __future__ import annotations
 
 import json
+import urllib.parse
 import urllib.request
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -27,7 +28,15 @@ Transport = Callable[[str, str, dict, dict | None], tuple[int, dict]]
 
 
 def urllib_transport(method: str, url: str, headers: dict, body: dict | None):
-    data = json.dumps(body).encode() if body is not None else None
+    """Encode ``body`` per the Content-Type header: AAD's token endpoint
+    only accepts ``application/x-www-form-urlencoded`` (the reference gets
+    this via msal, which form-encodes); the Power BI API itself is JSON."""
+    if body is None:
+        data = None
+    elif "x-www-form-urlencoded" in headers.get("Content-Type", ""):
+        data = urllib.parse.urlencode(body).encode()
+    else:
+        data = json.dumps(body).encode()
     req = urllib.request.Request(url, data=data, headers=headers, method=method)
     with urllib.request.urlopen(req) as resp:  # pragma: no cover (network)
         payload = resp.read()
@@ -54,7 +63,7 @@ class TokenAuth:
             status, payload = self.transport(
                 "POST",
                 self.token_url,
-                {"Content-Type": "application/json"},
+                {"Content-Type": "application/x-www-form-urlencoded"},
                 {
                     "client_id": self.client_id,
                     "client_secret": self.client_secret,

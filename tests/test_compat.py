@@ -147,3 +147,52 @@ def test_pbi_surface_with_fake_transport():
     ds.refresh()
     assert ds.get_last_refresh_status() == "Unknown"  # in flight
     assert svc.posts == 1
+
+def test_jdbc_mode_routes_reads_and_guards_dml(spark):
+    """pyodbc/sqlalchemy connection types must hit the remote server, not
+    the local catalog: get_data/insert_data delegate to the JDBC source
+    (chunksize -> fetchsize/batchsize), set-based DML fails loud instead
+    of silently treating the remote host as a parquet directory."""
+
+    class StubJDBC:
+        def __init__(self):
+            self.calls = []
+
+        def get_data(self, spark, query=None, **kw):
+            self.calls.append(("get_data", query, kw))
+            return spark.range(3).toDF("remote_id")
+
+        def insert_data(self, df, schema, table_name, chunksize=10000, mode="append"):
+            self.calls.append(("insert_data", schema, table_name, chunksize))
+
+    c = MSSQL(
+        connection_type="pyodbc",
+        host="remote-host",
+        database="db",
+        username="u",
+        password="p",
+        driver="ODBC Driver 18 for SQL Server",
+    )
+    c.connect()
+    stub = StubJDBC()
+    c.connection = stub
+
+    pdf = c.get_data("SELECT * FROM remote_table", chunksize=500)
+    assert list(pdf.columns) == ["remote_id"] and len(pdf) == 3
+    assert stub.calls[0][0] == "get_data"
+    assert stub.calls[0][1] == "SELECT * FROM remote_table"
+    assert stub.calls[0][2]["fetchsize"] == 500
+
+    c.insert_data("dbo", "t", pd.DataFrame({"a": [1, 2]}), chunksize=100)
+    assert stub.calls[-1] == ("insert_data", "dbo", "t", 100)
+
+    dml_calls = [
+        lambda: c.update_data("dbo", "t", [{"a": 1}], ["a"]),
+        lambda: c.update_from_table(pd.DataFrame({"a": [1]}), "t", "s", ["a"]),
+        lambda: c.truncate_table("dbo", "t"),
+        lambda: c.delete_data("dbo", "t"),
+        lambda: c.delete_data_with_conditions("dbo", "t", "a = 1"),
+    ]
+    for call in dml_calls:
+        with pytest.raises(NotImplementedError):
+            call()

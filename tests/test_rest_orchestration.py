@@ -90,3 +90,48 @@ def test_post_batch_hook_adapter():
     assert svc.posts == 1
     hook(1)  # now in flight -> skipped, no second POST
     assert svc.posts == 1
+
+
+def test_token_request_is_form_encoded(monkeypatch):
+    """AAD's /oauth2/v2.0/token only accepts x-www-form-urlencoded; the
+    token flow must declare it and urllib_transport must honor it."""
+    import io
+    import urllib.request
+
+    from flowbyte_spark.sources import rest
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req):
+        seen["content_type"] = req.headers.get("Content-type")
+        seen["data"] = req.data
+        return FakeResp(b'{"access_token": "tok"}')
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    auth = rest.TokenAuth(
+        token_url="https://login.example/oauth2/v2.0/token",
+        client_id="cid",
+        client_secret="s&cret",
+        scope="https://scope/.default",
+    )
+    assert auth.token() == "tok"
+    assert seen["content_type"] == "application/x-www-form-urlencoded"
+    body = seen["data"].decode()
+    assert "client_secret=s%26cret" in body and "grant_type=client_credentials" in body
+    assert not body.startswith("{")  # not JSON
+
+    # JSON bodies still JSON-encode (the Power BI API side)
+    rest.urllib_transport(
+        "POST", "https://api.example/refreshes",
+        {"Content-Type": "application/json"}, {"notifyOption": "NoNotification"},
+    )
+    assert seen["data"] == b'{"notifyOption": "NoNotification"}'
