@@ -21,7 +21,9 @@ each table a parquet dir/file named ``{schema}.{table}`` (dbo default).
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 from collections.abc import Callable, Mapping, Sequence
 
 import pandas as pd
@@ -146,6 +148,49 @@ class MSSQL(SQL):
 
     # -- read path (sql.py:88-171) --------------------------------------------
 
+    _fetch_seq = itertools.count()
+
+    def _fetch_with_progress(self, df, emit: Callable[[str], None]) -> pd.DataFrame:
+        """Collect ``df`` while reporting live progress, mirroring the
+        reference's per-chunk repaint during the fetch loop (sql.py:146-156).
+
+        The ODBC chunk loop has no Spark equivalent — the job runs on
+        executors — so progress comes from the status tracker instead: the
+        fetch runs in its own job group, and a poller thread emits a
+        message each time the group's completed-task count changes.
+        ``emit`` is invoked from that thread; keep callbacks re-entrant.
+        """
+        sc = self.spark.sparkContext
+        group = f"flowbyte-get-data-{next(self._fetch_seq)}"
+        stop = threading.Event()
+
+        def poll() -> None:
+            tracker = sc.statusTracker()
+            last: tuple[int, int] | None = None
+            while not stop.is_set():
+                done = total = 0
+                for jid in tracker.getJobIdsForGroup(group):
+                    info = tracker.getJobInfo(jid)
+                    for sid in info.stageIds if info else ():
+                        stage = tracker.getStageInfo(sid)
+                        if stage is not None:
+                            done += stage.numCompletedTasks
+                            total += stage.numTasks
+                if total and (done, total) != last:
+                    last = (done, total)
+                    emit(f"Tasks {done}/{total}")
+                stop.wait(0.05)
+
+        sc.setJobGroup(group, "flowbyte compat.get_data fetch")
+        poller = threading.Thread(target=poll, daemon=True)
+        poller.start()
+        try:
+            return df.toPandas()
+        finally:
+            stop.set()
+            poller.join(timeout=1.0)
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
     def get_data(
         self,
         query: str,
@@ -190,11 +235,25 @@ class MSSQL(SQL):
                     round_columns=round_columns,
                     fetchsize=chunksize,
                 )
-            pdf = df.toPandas()
+            if progress_callback is not None:
+                # reference signature (sql.py:156): callback(message,
+                # *args, **kwargs).  Incremental messages report task
+                # progress while the job runs; the final message is the
+                # reference's records/memory shape.
+                pdf = self._fetch_with_progress(
+                    df, lambda msg: progress_callback(msg, *args, **kwargs)
+                )
+            else:
+                pdf = df.toPandas()
             for c in category_columns or []:
                 pdf[c] = pdf[c].astype("category")
             if progress_callback is not None:
-                progress_callback(len(pdf), len(pdf))
+                memory_used = pdf.memory_usage(deep=True).sum() / 1024**2
+                progress_callback(
+                    f"Records {len(pdf)}  | Memory Used: {memory_used} MB",
+                    *args,
+                    **kwargs,
+                )
             return pdf
         except Exception as e:  # parity: sql.py:166-171
             _log.error("Error getting data")

@@ -55,11 +55,44 @@ def test_get_data_error_returns_none(conn):
 
 
 def test_get_data_progress_callback(conn):
+    """Reference signature (sql.py:156): callback(message, *args, **kwargs);
+    the final message carries the records/memory summary."""
     calls = []
     conn.get_data(
-        "SELECT * FROM nation", progress_callback=lambda done, total: calls.append((done, total))
+        "SELECT * FROM nation",
+        progress_callback=lambda msg, *a, **kw: calls.append((msg, a, kw)),
     )
-    assert calls == [(25, 25)]
+    assert calls, "callback never invoked"
+    msg, args, kwargs = calls[-1]
+    assert msg.startswith("Records 25") and "Memory Used:" in msg
+
+
+def test_get_data_progress_callback_is_incremental(conn, spark):
+    """Long multi-task reads must repaint progress while the job runs
+    (reference repaints per fetched chunk, sql.py:146-156)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(LongType())
+    def slow_ident(v):
+        time.sleep(0.2 * (1 + v % 4))
+        return v
+
+    spark.range(8).repartition(8).select(
+        slow_ident("id").alias("id")
+    ).createOrReplaceTempView("slow_rows")
+
+    calls = []
+    pdf = conn.get_data(
+        "SELECT * FROM slow_rows",
+        progress_callback=lambda msg, *a, **kw: calls.append(msg),
+    )
+    assert len(pdf) == 8
+    assert len(calls) >= 2, calls
+    assert any(m.startswith("Tasks ") for m in calls), calls
+    assert calls[-1].startswith("Records 8")
 
 
 def test_insert_update_delete_lifecycle(conn):
