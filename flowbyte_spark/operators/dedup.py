@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flowbyte_spark.functions import ensure_parallelism
+from flowbyte_spark.operators.cache import persist_tracked
 from flowbyte_spark.functions.hashing import (
     hamming_distance,
     lsh_band_hashes,
@@ -89,9 +90,10 @@ def ngram_jaccard_pairs(
         )
         .withColumn("n_sh", F.size("sh"))
         # persist: shingling runs once, not once per self-join side (and
-        # keeps InferFiltersFromGenerate from inlining it into the scan)
-        .persist()
+        # keeps InferFiltersFromGenerate from inlining it into the scan);
+        # tracked so cache.release_persisted() can reclaim storage memory
     )
+    sh = persist_tracked(sh)
     exploded = sh.where(F.col("n_sh") > 0).select(
         "id", "n_sh", F.explode("sh").alias("g")
     )
@@ -150,9 +152,9 @@ def minhash_lsh_pairs(
         # whole minhash expression into a pre-repartition (serial!) filter —
         # then recomputes it per join side.  The cached signature table is
         # tiny relative to the corpus and feeds all three downstream
-        # branches exactly once.
-        .persist()
+        # branches exactly once.  Tracked for cache.release_persisted().
     )
+    base = persist_tracked(base)
     buckets = base.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
@@ -218,9 +220,10 @@ def simhash_pairs(
         )
         .drop("w")
         # persist: same InferFiltersFromGenerate trap as minhash_lsh_pairs —
-        # cache the 60-aggregate signatures once for all downstream branches
-        .persist()
+        # cache the 60-aggregate signatures once for all downstream
+        # branches; tracked for cache.release_persisted()
     )
+    base = persist_tracked(base)
     buckets = base.select("id", F.posexplode("bands").alias("band_idx", "band_val"))
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (

@@ -49,7 +49,21 @@ def salted_join(
     big gets a per-row salt; small is replicated ``buckets`` times; the
     join key becomes (keys…, salt).  Output equals the plain join (salt
     columns dropped).  Choose buckets ≈ hottest-key-rows / target-task-rows.
+
+    Only join types where the replicated side cannot leak duplicates are
+    accepted: inner and left keep each big row's single salt; left_semi /
+    left_anti reduce to a key-existence test because every salt value
+    exists on the replicated side.  right/full would emit each unmatched
+    small-side row ``buckets`` times — rejected rather than silently wrong
+    (salt the other side, or dedupe downstream, for those shapes).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of the "
+            "replicated small side would appear once per salt bucket"
+        )
     b = with_salt(big, buckets)
     s = replicate(small, buckets)
     joined = b.join(s, [*on, "__salt__"], how)

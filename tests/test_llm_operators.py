@@ -92,3 +92,20 @@ def test_fingerprint_blocks_exact_duplicates(spark):
     # the blocking property), so the number of blocks can be < 20
     assert sum(counts) == 40
     assert all(c >= 2 and c % 2 == 0 for c in counts)
+
+
+def test_dedup_caches_are_tracked_and_releasable(spark):
+    """Operator-internal persists must be reclaimable: repeated LSH calls
+    in a long-lived session would otherwise accumulate storage blocks."""
+    from flowbyte_spark.operators import cache
+    from flowbyte_spark.operators.dedup import minhash_lsh_pairs
+
+    cache.release_persisted()  # start clean
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", text_col="text")
+    pairs.count()  # materialize (callers must act before releasing)
+    released = cache.release_persisted()
+    assert released >= 1
+    # releasing is idempotent and leaves the plan recomputable
+    assert cache.release_persisted() == 0
+    assert pairs.count() >= 0

@@ -43,6 +43,23 @@ def test_salted_join_left_outer(spark):
     assert rows(plain) == rows(salted)
 
 
+def test_salted_join_semi_anti_and_rejected_modes(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        load_table(spark, SF, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    for how in ("left_semi", "left_anti"):
+        plain = orders.join(dim, "o_custkey", how)
+        salted = salted_join(orders, dim, ["o_custkey"], buckets=4, how=how)
+        assert rows(plain) == rows(salted), how
+    # right/full would emit each unmatched replicated row `buckets` times
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(orders, dim, ["o_custkey"], buckets=4, how=how)
+
+
 def test_salt_is_deterministic(spark):
     df = load_table(spark, SF, "orders")
     a = with_salt(df, 8).select("o_orderkey", "__salt__")
