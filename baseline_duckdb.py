@@ -23,17 +23,22 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
+        path = table_path(sf_dir, t)
+        if os.path.isdir(path):  # Spark writes a directory of part files
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     timings: dict[str, float] = {}
     for name, sql in sorted(ORACLE.items()):
+        if only and name not in only:
+            continue
         try:
             con.execute(sql).fetchall()  # warm-up
             samples = []

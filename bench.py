@@ -24,6 +24,7 @@ if _REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 
     from flowbyte_spark.queries import QUERIES
     from flowbyte_spark.session import get_spark
@@ -38,6 +39,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
         try:
             execute(fn(spark, sf_dir))  # warm-up: plan + codegen + IO cache
             samples = []

@@ -75,6 +75,8 @@ def _reorder() -> None:
         "v59_sliding_window",
         "v60_late_data_drop",
         "v61_approx_percentiles",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
     ]
     rest = sorted(k for k in QUERIES if k not in first)
     order = [k for k in first if k in QUERIES] + rest

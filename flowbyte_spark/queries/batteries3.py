@@ -259,3 +259,82 @@ def v52_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# V62 — full outer join (SURVEY §2.3 'full' row gets its own oracle query)
+# ---------------------------------------------------------------------------
+@register(
+    "v62_full_outer_join",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name AS c_name,
+           o.order_cnt AS order_cnt
+    FROM (SELECT c_custkey, c_name FROM customer
+          WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_cnt
+                     FROM orders
+                     WHERE o_orderstatus = 'F'
+                     GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY custkey
+    """,
+)
+def v62_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``how='full'`` with null-bearing rows on BOTH sides: BUILDING
+    customers without finished orders and finished-order customers outside
+    BUILDING both survive.  Both inputs shrink before the join (filter and
+    partial agg push below it), and the join key is unique on each side, so
+    the full outer is a plain shuffle hash/merge join — no row explosion to
+    worry about at scale.  Reference runs this as pass-through T-SQL
+    (sql.py:109)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, how="full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            "order_cnt",
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V63 — right outer join (SURVEY §2.3 'right' row gets its own oracle query)
+# ---------------------------------------------------------------------------
+@register(
+    "v63_right_outer_join",
+    oracle="""
+    SELECT n.n_name,
+           s.s_name,
+           s.s_acctbal AS s_acctbal
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 5000.0) s
+    RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n.n_name, s.s_name
+    """,
+)
+def v63_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``how='right'`` preserving every nation, including those whose
+    suppliers are all filtered out (null supplier columns).  The preserved
+    side is the small dim; Spark plans a broadcast of whichever side fits
+    (outer side cannot be the build side for its own preserved rows, AQE
+    picks the legal strategy).  Reference: pass-through T-SQL
+    (sql.py:109)."""
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000.0)
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey, how="right")
+        .select("n_name", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_name")
+    )

@@ -82,14 +82,32 @@ def v41_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v42_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE via cascade aggregation (operators/cube_agg.py): one
+    data-scale pass at the finest grain, coarser sets re-aggregated from
+    the tiny intermediate — instead of built-in ``.cube()``'s Expand,
+    which replicates every input row 2^n times before its shuffle.
+    Decimal partial sums re-sum exactly, so the hash matches the expanded
+    plan."""
+    from flowbyte_spark.functions import DEC
+    from flowbyte_spark.operators.cube_agg import cube_cascade
+
     li = load_table(spark, sf_dir, "lineitem")
+    cc = cube_cascade(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "cnt": (F.lit(1), "count"),
+            "sum_qty": (F.col("l_quantity").cast(DEC), "sum"),
+        },
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            dec_sum("l_quantity", "sum_qty"),
-            F.grouping("l_returnflag").cast("long").alias("g_rf"),
-            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        cc.select(
+            "l_returnflag",
+            "l_linestatus",
+            "cnt",
+            F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+            F.col("g_l_returnflag").alias("g_rf"),
+            F.col("g_l_linestatus").alias("g_ls"),
         )
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
     )

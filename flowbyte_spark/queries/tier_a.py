@@ -105,7 +105,10 @@ def v18_insert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.append(new_rows)
     table.delete_where("n_regionkey = 4")
-    # Materialize before returning: the scratch dir is disposable and the
-    # caller may collect after it is swept.
-    result = table.read().orderBy("n_nationkey")
-    return spark.createDataFrame(result.collect(), result.schema)
+    # Materialize to a stable scratch parquet and hand back a lazy read:
+    # the mutation dir above is churned by the swap protocol, but this
+    # snapshot sits untouched until the hourly sweep, so the caller can
+    # collect whenever it likes without a driver-side collect here.
+    out = _scratch_dir("v18_result")
+    table.read().write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).orderBy("n_nationkey")

@@ -37,6 +37,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # local-test-appropriate shuffle width; cluster deployments override
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # JVM sizing: in local mode the driver IS the executor, so the 1 GiB
+    # JVM default starves 32 task threads (broadcast builds OOM first at
+    # 10x bench scale).  Static conf — only takes effect when this factory
+    # creates the JVM; a cluster submit sizes driver/executors itself.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # ANSI off: the reference's pass-through surface is permissive T-SQL
     "spark.sql.ansi.enabled": "false",
     # fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark has no

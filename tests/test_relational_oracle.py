@@ -28,6 +28,8 @@ RELATIONAL = [
     "v14_json_extract",
     "v15_time_bucket",
     "v16_count_distinct",
+    "v62_full_outer_join",
+    "v63_right_outer_join",
 ]
 
 
