@@ -30,6 +30,14 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame for later release (for
+    operators that manage persist timing themselves, e.g. iterative
+    loops that persist per round)."""
+    _TRACKED.append(df)
+    return df
+
+
 def release_persisted(blocking: bool = False) -> int:
     """Unpersist every tracked DataFrame; returns how many were released.
 

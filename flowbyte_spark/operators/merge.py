@@ -207,3 +207,79 @@ def update_from_table(
     set_cols = [c for c in set_candidates if c not in key_columns]
     updates = source.select(*key_columns, *set_cols)
     return update_by_keys(target, updates, key_columns)
+
+
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective_date: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: version history, not
+    overwrite.
+
+    ``target`` carries ``keys + tracked + (from_col, to_col, current_col)``;
+    ``updates`` carries ``keys + tracked`` (at most one record per key) and
+    takes effect at ``effective_date`` (a literal, e.g. '2024-06-01').
+    Where a current target row differs from its update on any tracked
+    column (null-safe comparison), the old version is CLOSED
+    (``to_col = effective_date``, current = false) and a NEW version row is
+    appended; identical updates are no-ops; keys absent from the target are
+    inserted as first versions.  Closed history rows pass through
+    untouched.
+
+    One pass over the target: changed-key detection joins current rows to
+    the (small) update set — broadcast by AQE when it fits — then the
+    history table is rebuilt as ``history ∪ kept-current ∪ closed ∪ new
+    versions``, a union of narrow projections over the SAME scan (Spark
+    reuses the exchange).  Contrast with the reference's per-row
+    UPDATE-with-commit loop (/root/reference/src/flowbyte/sql.py:233-245):
+    same net state at 1 row, set-based at 100 TB.
+
+    Dates travel as strings so results hash identically across engines
+    (see SURVEY.md §2.11 determinism convention).
+    """
+    keys = list(keys)
+    tracked = list(tracked)
+    cur = target.where(F.col(current_col))
+    hist = target.where(~F.col(current_col))
+
+    u = updates.select(*keys, *tracked)
+    differs = None
+    for c in tracked:
+        term = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
+        differs = term if differs is None else (differs | term)
+    changed_keys = (
+        cur.alias("t")
+        .join(u.alias("u"), keys)
+        .where(differs)
+        .select(*[F.col(f"t.{k}").alias(k) for k in keys])
+    )
+
+    closed = (
+        cur.join(changed_keys, keys, "left_semi")
+        .withColumn(to_col, F.lit(effective_date))
+        .withColumn(current_col, F.lit(False))
+    )
+    kept = cur.join(changed_keys, keys, "left_anti")
+    new_versions = (
+        u.join(changed_keys, keys, "left_semi")
+        .withColumn(from_col, F.lit(effective_date))
+        .withColumn(to_col, F.lit(None).cast("string"))
+        .withColumn(current_col, F.lit(True))
+    )
+    inserts = (
+        u.join(cur.select(*keys), keys, "left_anti")
+        .withColumn(from_col, F.lit(effective_date))
+        .withColumn(to_col, F.lit(None).cast("string"))
+        .withColumn(current_col, F.lit(True))
+    )
+    out_cols = target.columns
+    result = hist.select(*out_cols)
+    for piece in (kept, closed, new_versions, inserts):
+        result = result.unionByName(piece.select(*out_cols))
+    return result

@@ -123,3 +123,57 @@ def fingerprint(
         F.md5(F.col(text_col))
     )
     return ensure_parallelism(df).withColumn(out_col, fp)
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns ``(id, n_words, dup_word_frac, top_bigram_frac)``:
+
+    - ``dup_word_frac`` — fraction of word occurrences that repeat an
+      earlier word (``1 - distinct/total``); computed with pure array
+      built-ins, no shuffle;
+    - ``top_bigram_frac`` — fraction of all word-bigram occurrences taken
+      by the single most frequent bigram (the strongest boilerplate /
+      looping-text indicator in the Gopher quality rules: Rae et al. 2021,
+      arXiv:2112.11446 §A1.1).
+
+    The bigram count needs a per-(doc, gram) aggregate: explode → two-level
+    hash agg, both with map-side partial combine, shuffle keyed on
+    (id, gram) then id — the same near-linear shape as token counting.
+    Docs with fewer than 2 words carry no bigram and are excluded.
+
+    Fractions are q4-quantized so downstream comparisons are
+    engine-deterministic.  Reference parity: quality filtering is
+    delegated to pass-through SQL (/root/reference/src/flowbyte/sql.py:109);
+    this is the Spark-native scale path.
+    """
+    w = words(F.col(text_col))
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), w.alias("w"))
+        .where(F.size("w") >= 2)
+        .withColumn(
+            "bg",
+            F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"),
+        )
+    )
+    word_stats = base.select(
+        "id",
+        F.size("w").cast("long").alias("n_words"),
+        q4((F.size("w") - F.size(F.array_distinct("w"))) / F.size("w")).alias(
+            "dup_word_frac"
+        ),
+    )
+    bigram_stats = (
+        base.select("id", F.explode("bg").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(q4(F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return word_stats.join(bigram_stats, "id")

@@ -44,6 +44,7 @@ def _load_all() -> None:
         session_q,
         llm,
         pipeline_q,
+        pipeline2,
         relational,
         streaming_q,
         tier_a,
