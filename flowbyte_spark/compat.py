@@ -181,6 +181,17 @@ class MSSQL(SQL):
                     emit(f"Tasks {done}/{total}")
                 stop.wait(0.05)
 
+        # setJobGroup sets three thread-local properties; save them all so
+        # later jobs on this driver thread don't inherit the fetch's group,
+        # description, or interrupt flag.
+        saved = {
+            k: sc.getLocalProperty(k)
+            for k in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            )
+        }
         sc.setJobGroup(group, "flowbyte compat.get_data fetch")
         poller = threading.Thread(target=poll, daemon=True)
         poller.start()
@@ -189,7 +200,8 @@ class MSSQL(SQL):
         finally:
             stop.set()
             poller.join(timeout=1.0)
-            sc.setLocalProperty("spark.jobGroup.id", None)
+            for k, v in saved.items():
+                sc.setLocalProperty(k, v)
 
     def get_data(
         self,

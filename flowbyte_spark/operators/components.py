@@ -5,27 +5,33 @@ dedup pipeline needs CLUSTERS: if A~B and B~C, all three are one group and
 exactly one survivor should be kept.  That is connected components on the
 pair graph, which the reference delegates wholesale to its attached engine
 (pass-through SQL, /root/reference/src/flowbyte/sql.py:109); Spark has no
-built-in either, so this implements distributed min-label propagation:
+built-in either, so this implements two distributed algorithms:
+
+``algorithm="label"`` — min-label propagation:
 
 1. symmetrize the edge list (one shuffle, done once);
 2. every node starts labeled with its own id;
 3. iterate: each node takes ``min(own label, min over neighbors'
    labels)`` — a join + partial-aggregating ``groupBy(dst).min`` per
    round, each O(|E|) with map-side combine;
-4. stop when a round changes no label.
+4. stop when a round changes no label (an exact changed-row count,
+   valid for any id type — string ids included).
 
 Rounds needed = graph diameter.  Near-dup clusters are dense and tiny
 (a duplicate "family" collapses in 2-3 hops), so the loop converges in a
-handful of rounds even at 100 TB; the per-round cost is bounded by the
-pair list, which LSH banding already keeps near-linear.  For adversarial
-long-chain graphs the large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) halves diameter
-per round — the iteration harness here is the place to drop it in if a
-workload ever produces path-shaped duplicate graphs.
+handful of rounds even at 100 TB.
 
-Each round persists the new label table and unpersists the previous one,
-so lineage stays one round deep (no exponential plan growth) and executor
-storage holds exactly one O(|V|) table.
+``algorithm="two-phase"`` — alternating large-star/small-star (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14).  Each
+round rewires every edge toward its neighborhood minimum, which
+contracts path-shaped graphs in O(log d) rounds instead of O(d): the
+fallback for adversarial long-chain duplicate graphs.  Both steps are
+a groupBy-min plus a join — no per-node neighbor lists are ever
+collected, so high-degree nodes cost a shuffle, not executor memory.
+
+Each round persists the new table and unpersists the previous one, so
+lineage stays one round deep (no exponential plan growth) and executor
+storage holds exactly one O(|V|) (or O(|E|)) table.
 """
 
 from __future__ import annotations
@@ -33,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flowbyte_spark import log
 from flowbyte_spark.operators.cache import persist_tracked, track
 
 
@@ -41,6 +48,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Assign every node in ``pairs`` its component id (= min node id in
     the component).
@@ -49,9 +57,20 @@ def connected_components(
     pair.  Isolated nodes (no pairs) are the caller's concern — they are
     their own component by definition and need no shuffle to label.
 
+    ``algorithm`` selects min-label propagation (``"label"``, rounds =
+    graph diameter, cheapest per round) or alternating star contraction
+    (``"two-phase"``, O(log diameter) rounds for chain-shaped graphs).
+
     The returned DataFrame is persisted and registered with
     ``cache.release_persisted()``; materialize it before releasing.
     """
+    if algorithm == "two-phase":
+        return _two_phase_components(pairs, src, dst, max_iterations)
+    if algorithm != "label":
+        raise ValueError(
+            f"unknown components algorithm {algorithm!r}; "
+            "expected 'label' or 'two-phase'"
+        )
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # symmetrize WITHOUT distinct: the pair list already has id_a < id_b
     # unique, and duplicate edges would only add rows to a min-aggregate —
@@ -68,34 +87,152 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .persist()
     )
-    # Labels only ever DECREASE (min of self and neighbors), so
-    # sum(comp) is strictly monotone until the fixpoint: one cheap
-    # aggregate per round doubles as the convergence test — no
-    # old-vs-new join, half the jobs per round.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # Convergence = a round changed zero labels.  The changed flag is
+    # computed inline and summed in the same job that materializes the
+    # round's persist — one action per round, and exact for every id
+    # type (a sum over the labels themselves would be NULL for string
+    # ids and can alias under overflow for long ones).
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_min"))
         )
+        new_comp = F.least(
+            F.col("comp_old"), F.coalesce(F.col("nbr_min"), F.col("comp_old"))
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            labels.withColumnRenamed("comp", "comp_old")
+            .join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp != F.col("comp_old")).cast("long").alias("changed"),
             )
             .persist()
         )
-        cur_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if cur_sum == prev_sum:
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        log.warning(
+            f"connected_components: max_iterations={max_iterations} "
+            "exhausted before convergence; labels may span unmerged "
+            "components (use algorithm='two-phase' for long-chain graphs)"
+        )
 
+    return track(labels.select("id", "comp"))
+
+
+def _star_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical directed edge list for star contraction: (u, v), u > v."""
+    return (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """(row count, xxhash64 sum) fingerprint of an edge set.
+
+    An unchanged edge set always produces an equal signature (no false
+    continue); a false stop needs a sum-of-xxhash64 collision between
+    two DIFFERENT edge sets produced in consecutive rounds — negligible,
+    and far cheaper than a set-difference join per round.
+    """
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _two_phase_components(
+    pairs: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.).
+
+    large-star: every node connects its strictly-larger neighbors to the
+    minimum of its closed neighborhood.  small-star: every node connects
+    itself and its smaller neighbors to its minimum smaller neighbor.
+    Alternating the two halves the effective diameter per round, so a
+    path graph of length d converges in O(log d) rounds.  Both steps are
+    expressed as groupBy-min + join over the edge list — never a
+    collected neighbor list — so degree skew costs shuffle volume only.
+    """
+    edges = _star_edges(pairs, src, dst)
+    nodes = persist_tracked(
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    edges = edges.persist()
+    sig = _edge_signature(edges)
+
+    converged = False
+    for _ in range(max_iterations):
+        # large-star over the symmetrized neighborhood
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over edges pointing large -> small
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smins, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", "m").withColumnRenamed("m", "v"))
+            .distinct()
+            .persist()
+        )
+        new_sig = _edge_signature(small)
+        edges.unpersist()
+        edges = small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        log.warning(
+            f"connected_components(two-phase): max_iterations="
+            f"{max_iterations} exhausted before the edge set stabilized"
+        )
+
+    # Converged edge set is a union of stars: (member, root).  groupBy
+    # min instead of a bare projection so a maxiter-truncated run still
+    # yields one label per node.
+    direct = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("direct_comp")
+    )
+    labels = (
+        nodes.join(direct, "id", "left")
+        .select(
+            "id", F.coalesce("direct_comp", F.col("id")).alias("comp")
+        )
+        .persist()
+    )
+    labels.count()  # materialize before the star edge cache is released
+    edges.unpersist()
     return track(labels)
 
 
@@ -103,6 +240,7 @@ def neardup_clusters(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster near-dup pairs and mark the survivor of each cluster.
 
@@ -112,7 +250,7 @@ def neardup_clusters(
     broadcasts when components are few; AQE decides (no hint — component
     count grows with data).
     """
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, algorithm=algorithm)
     sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "comp").select(
         "id",

@@ -70,7 +70,21 @@ def _updates_to_df(
 
     def _col_type(c: str):
         vals = [r[c] for r in records if r.get(c) is not None]
-        if vals:  # infer across values (merges int/float etc.); no job runs
+        if vals:
+            # Mixed int/float in one column would make Spark's schema merge
+            # raise (LongType vs DoubleType) — a case the reference's
+            # per-row UPDATE loop accepts.  Pre-coerce ints to float; the
+            # later cast to the target type restores exact semantics.
+            if any(
+                isinstance(v, float) for v in vals
+            ) and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                for r in records:
+                    if r.get(c) is not None:
+                        r[c] = float(r[c])
+                vals = [float(v) for v in vals]
             return spark.createDataFrame(
                 [(v,) for v in vals], ["x"]
             ).schema[0].dataType
@@ -218,12 +232,14 @@ def scd2_apply(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
     current_col: str = "is_current",
+    validate_keys: bool = True,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension merge: version history, not
     overwrite.
 
     ``target`` carries ``keys + tracked + (from_col, to_col, current_col)``;
-    ``updates`` carries ``keys + tracked`` (at most one record per key) and
+    ``updates`` carries ``keys + tracked`` (one record per key — duplicate
+    keys in a batch raise unless ``validate_keys=False``) and
     takes effect at ``effective_date`` (a literal, e.g. '2024-06-01').
     Where a current target row differs from its update on any tracked
     column (null-safe comparison), the old version is CLOSED
@@ -249,6 +265,27 @@ def scd2_apply(
     hist = target.where(~F.col(current_col))
 
     u = updates.select(*keys, *tracked)
+    if validate_keys:
+        # A batch shares one effective_date, so two versions of the same
+        # key in it would produce colliding (valid_from, valid_to) rows
+        # and an ambiguous is_current — fail loudly instead of silently
+        # writing both.  One aggregate job over the (small) update side;
+        # pass validate_keys=False when the caller guarantees uniqueness.
+        dup = (
+            u.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            dup_key = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"scd2_apply: update batch carries {dup[0]['__n']} records "
+                f"for key {dup_key}; one batch = one version per key "
+                "(split into per-date batches, or pre-collapse with "
+                "update_by_keys last-record-wins semantics)"
+            )
     differs = None
     for c in tracked:
         term = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))

@@ -312,26 +312,34 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = df.count()
+    # Narrow count: only the id column reaches the scan, so parquet serves
+    # it from footer metadata when the input is an unfiltered table.
+    n = df.select(id_col).count()
     frac_num = min(sample_rows, n)
     sample = df.where(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(max(n // max(frac_num, 1), 1)))
         == 0
     )
-    unit = sample.select(
-        array_to_vector(
-            F.transform(
-                F.col(vec_col),
-                lambda x: x.cast("double")
-                / F.sqrt(
-                    F.aggregate(
-                        F.col(vec_col),
-                        F.lit(0.0),
-                        lambda acc, y: acc + y.cast("double") * y.cast("double"),
-                    )
-                ),
-            )
-        ).alias("features")
+    # Hoist the norm out of the per-element lambda (one aggregate per row,
+    # not per element) and drop zero-norm vectors — they would normalize
+    # to NaN features and poison KMeans.fit.
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, y: acc + y.cast("double") * y.cast("double"),
+        )
+    )
+    unit = (
+        sample.withColumn("__norm", norm)
+        .where(F.col("__norm") > 0)
+        .select(
+            array_to_vector(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+                )
+            ).alias("features")
+        )
     )
     model = KMeans(
         k=num_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
@@ -388,8 +396,13 @@ def ivf_assign(
         .agg(
             F.min_by(
                 F.struct(F.col("cid"), F.col("vec")),
+                # NULL csim (e.g. zero-norm centroid) must rank LAST: struct
+                # comparison sorts NULL first, so coalesce to +inf instead.
                 F.struct(
-                    (-F.col("csim")).alias("neg_sim"), F.col("cid").alias("cid")
+                    F.coalesce(-F.col("csim"), F.lit(float("inf"))).alias(
+                        "neg_sim"
+                    ),
+                    F.col("cid").alias("cid"),
                 ),
             ).alias("best")
         )

@@ -1,0 +1,220 @@
+"""Unit tests for the round-2 pipeline operators: connected components
+(both algorithms), SCD2 history merge, repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flowbyte_spark.operators import cache
+from flowbyte_spark.operators.components import (
+    connected_components,
+    neardup_clusters,
+)
+from flowbyte_spark.operators.merge import scd2_apply
+from flowbyte_spark.operators.text import repetition_signals
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def _labels(df):
+    return {r["id"]: r["comp"] for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("algorithm", ["label", "two-phase"])
+def test_chain_collapses_to_one_component(spark, algorithm):
+    got = _labels(
+        connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4)]), algorithm=algorithm
+        )
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    cache.release_persisted()
+
+
+@pytest.mark.parametrize("algorithm", ["label", "two-phase"])
+def test_disjoint_components_stay_apart(spark, algorithm):
+    got = _labels(
+        connected_components(
+            _pairs(spark, [(1, 2), (10, 11), (11, 12)]), algorithm=algorithm
+        )
+    )
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+    cache.release_persisted()
+
+
+@pytest.mark.parametrize("algorithm", ["label", "two-phase"])
+def test_string_ids_converge(spark, algorithm):
+    # ADVICE round 2: the old sum('comp') convergence test was NULL for
+    # string ids and exited after one round with wrong labels.
+    got = _labels(
+        connected_components(
+            _pairs(spark, [("b", "c"), ("a", "b"), ("x", "y")]),
+            algorithm=algorithm,
+        )
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    cache.release_persisted()
+
+
+def test_two_phase_path_graph_converges_in_log_rounds(spark):
+    # 200-node path: diameter 199, so label propagation would need ~200
+    # rounds.  Star contraction halves the diameter per round; 10 rounds
+    # is enough iff the O(log d) behavior holds — correct labels under
+    # max_iterations=10 ARE the convergence-speed assertion.
+    n = 200
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)]).repartition(8)
+    got = _labels(
+        connected_components(pairs, max_iterations=10, algorithm="two-phase")
+    )
+    assert got == {i: 0 for i in range(n)}
+    cache.release_persisted()
+
+
+def test_max_iterations_cutoff_returns_labels(spark):
+    # One round cannot collapse a 6-chain; the cutoff must still return a
+    # complete (possibly unconverged) labeling, one label per node.
+    pairs = _pairs(spark, [(i, i + 1) for i in range(5)])
+    got = _labels(connected_components(pairs, max_iterations=1))
+    assert set(got) == set(range(6))
+    cache.release_persisted()
+
+
+def test_release_persisted_frees_round_caches(spark):
+    df = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+    df.count()  # materialize before release
+    assert cache.release_persisted() >= 2  # edges + final labels
+
+
+def test_unknown_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="two-phase"):
+        connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
+
+
+def test_neardup_clusters_survivor_flags(spark):
+    rows = {
+        r["id"]: r
+        for r in neardup_clusters(_pairs(spark, [(1, 2), (2, 3), (7, 8)]))
+        .collect()
+    }
+    assert rows[1]["is_canonical"] == 1 and rows[1]["cluster_size"] == 3
+    assert rows[2]["is_canonical"] == 0 and rows[2]["comp"] == 1
+    assert rows[7]["is_canonical"] == 1 and rows[7]["cluster_size"] == 2
+    cache.release_persisted()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge
+# ---------------------------------------------------------------------------
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k INT, seg STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN"
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "k INT, seg STRING")
+
+
+def _hist(df):
+    return sorted(
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_noop_update_leaves_history_untouched(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
+    out = scd2_apply(t, _upd(spark, [(1, "A")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(out) == [(1, "A", "2020-01-01", None, True)]
+
+
+def test_scd2_change_closes_and_versions(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
+    out = scd2_apply(t, _upd(spark, [(1, "B")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(out) == [
+        (1, "A", "2020-01-01", "2024-01-01", False),
+        (1, "B", "2024-01-01", None, True),
+    ]
+
+
+def test_scd2_explicit_null_is_a_change(spark):
+    # null-safe detector: A -> NULL must version, NULL -> NULL must not
+    t = _dim(
+        spark,
+        [(1, "A", "2020-01-01", None, True), (2, None, "2020-01-01", None, True)],
+    )
+    out = scd2_apply(
+        t, _upd(spark, [(1, None), (2, None)]), ["k"], ["seg"], "2024-01-01"
+    )
+    assert _hist(out) == [
+        (1, "A", "2020-01-01", "2024-01-01", False),
+        (1, None, "2024-01-01", None, True),
+        (2, None, "2020-01-01", None, True),
+    ]
+
+
+def test_scd2_new_key_inserted_as_first_version(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
+    out = scd2_apply(t, _upd(spark, [(9, "Z")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(out) == [
+        (1, "A", "2020-01-01", None, True),
+        (9, "Z", "2024-01-01", None, True),
+    ]
+
+
+def test_scd2_two_batches_then_idempotent(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
+    t1 = scd2_apply(t, _upd(spark, [(1, "B")]), ["k"], ["seg"], "2023-01-01")
+    t2 = scd2_apply(t1, _upd(spark, [(1, "C")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(t2) == [
+        (1, "A", "2020-01-01", "2023-01-01", False),
+        (1, "B", "2023-01-01", "2024-01-01", False),
+        (1, "C", "2024-01-01", None, True),
+    ]
+    # re-applying the last batch is a no-op (change detector sees equal)
+    t3 = scd2_apply(t2, _upd(spark, [(1, "C")]), ["k"], ["seg"], "2025-01-01")
+    assert _hist(t3) == _hist(t2)
+
+
+def test_scd2_duplicate_keys_in_batch_raise(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
+    dup = _upd(spark, [(1, "B"), (1, "C")])
+    with pytest.raises(ValueError, match="one batch = one version"):
+        scd2_apply(t, dup, ["k"], ["seg"], "2024-01-01")
+    # opt-out path still works for callers that pre-collapse
+    out = scd2_apply(
+        t, _upd(spark, [(1, "B")]), ["k"], ["seg"], "2024-01-01",
+        validate_keys=False,
+    )
+    assert len(_hist(out)) == 2
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_shapes(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # all same word
+            (2, "one"),                   # <2 words: excluded
+            (3, "all words fully unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 3}  # doc 2 dropped
+    # doc 1: 4 words, 1 distinct -> dup 3/4; all 3 bigrams identical -> 1.0
+    assert rows[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert rows[1]["top_bigram_frac"] == pytest.approx(1.0)
+    # doc 3: no repeats, 3 distinct bigrams of 3 -> 1/3 (q4-quantized)
+    assert rows[3]["dup_word_frac"] == pytest.approx(0.0)
+    assert rows[3]["top_bigram_frac"] == pytest.approx(0.3333)
