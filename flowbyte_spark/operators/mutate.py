@@ -79,9 +79,13 @@ class ParquetTable:
         already bounded per-partition, so ``batchsize`` only controls an
         optional repartition (useful to cap output file count).
         """
+        writer = df.write.mode("append")
         if batchsize:
-            df = df.repartition(max(1, df.count() // batchsize + 1))
-        df.write.mode("append").parquet(self.path)
+            # Cap rows-per-file at the writer, not via repartition: the
+            # latter needs a df.count() job (an extra full pass) just to
+            # size the partition count.
+            writer = writer.option("maxRecordsPerFile", int(batchsize))
+        writer.parquet(self.path)
         log.success(f"appended into {self.path}")
 
     def truncate(self) -> None:
@@ -103,10 +107,19 @@ class ParquetTable:
         prone); here the string must parse as a Catalyst boolean expression
         (``F.expr``) — fails closed on anything else.  Returns rows deleted.
         """
+        from pyspark.sql import Observation
+
         current = self.read()
         pred = F.expr(condition)
-        deleted = current.where(pred).count()
-        self._swap_in(current.where(~pred | pred.isNull()))
+        # Count the deleted rows ON the survivor-write pass (observe node
+        # upstream of the filter) instead of a separate .count() — one scan
+        # total, not two.
+        obs = Observation(f"delete_where_{uuid.uuid4().hex[:8]}")
+        observed = current.observe(
+            obs, F.sum(F.when(pred, 1).otherwise(0)).alias("deleted")
+        )
+        self._swap_in(observed.where(~pred | pred.isNull()))
+        deleted = int(obs.get["deleted"] or 0)
         log.success(f"deleted {deleted} rows from {self.path} where {condition}")
         return deleted
 

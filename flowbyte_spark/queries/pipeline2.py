@@ -17,6 +17,7 @@ from flowbyte_spark.functions import DEC
 from flowbyte_spark.operators import components as C
 from flowbyte_spark.operators import dedup as D
 from flowbyte_spark.operators import merge as M
+from flowbyte_spark.operators import split as SP
 from flowbyte_spark.operators import text as T
 from flowbyte_spark.queries import register
 from flowbyte_spark.queries.llm import (
@@ -27,6 +28,7 @@ from flowbyte_spark.queries.llm import (
     MINHASH_ROWS,
     MINHASH_THRESHOLD,
 )
+from flowbyte_spark.queries.pipeline_q import QUALITY_MIN, _qs_sql
 
 # ---------------------------------------------------------------------------
 # V64 — near-dup cluster resolution: MinHash pairs → connected components
@@ -105,6 +107,82 @@ def v64_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), "comp", "is_canonical", "cluster_size"
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V67 — cluster-aware corpus prep: near-dup CLUSTER survivors (not just
+# pair-wise dedup) feed the quality filter → split → token rollup chain.
+# V57 stops at exact-content dedup; this composes the V64 clustering tier
+# into the same prep pipeline, so transitive near-dups (A~B, B~C) keep
+# exactly one representative.
+# ---------------------------------------------------------------------------
+@register(
+    "v67_cluster_corpus_prep",
+    oracle=f"""
+    WITH RECURSIVE {_SH_DOCS},
+    {_V64_PAIRS},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, re.r FROM reach re JOIN edges e ON e.src = re.id),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> comp),
+    q AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok, {{qs}} AS qs
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents
+              WHERE doc_id NOT IN (SELECT id FROM losers)) t),
+    kept AS (SELECT doc_id, n_tok FROM q WHERE qs >= {QUALITY_MIN})
+    SELECT CASE WHEN md5('split42|' || CAST(doc_id AS VARCHAR)) < 'cc'
+                THEN 'train'
+                WHEN md5('split42|' || CAST(doc_id AS VARCHAR)) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM kept
+    GROUP BY split
+    ORDER BY split
+    """.replace("{qs}", _qs_sql()),
+)
+def v67_cluster_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → connected components → drop non-canonical cluster
+    members (anti-join, survivor = min doc_id per component) → quality
+    filter (narrow) → deterministic hash split (narrow) → token rollup
+    (one small shuffle).  Docs in no pair are their own canonical member
+    and pass through untouched — the anti-join never sees them."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=JACCARD_N,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+    losers = (
+        C.neardup_clusters(pairs)
+        .where(F.col("is_canonical") == 0)
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    kept = T.quality_features(survivors).where(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    return (
+        SP.hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("tokens"),
+        )
+        .orderBy("split")
     )
 
 

@@ -47,22 +47,23 @@ def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, "1 hour", watermark="3650 days")
 
-    final: list = []
+    # Complete mode: every micro-batch overwrites the scratch sink, so the
+    # sink holds exactly the final state when the stream drains.  Nothing
+    # is collected on the driver — the result stays a lazy parquet read at
+    # any output cardinality.
+    out = _scratch_dir("v32_result")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        final.clear()
-        final.extend(batch_df.collect())
+        batch_df.write.mode("overwrite").parquet(out)
 
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="complete"
     )
     run_available_now(writer)
 
-    schema = "hour_ts STRING, event_type STRING, cnt BIGINT, sum_value DOUBLE"
-    result = spark.createDataFrame(final, schema)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return result.orderBy("hour_ts", "event_type")
+    return spark.read.parquet(out).orderBy("hour_ts", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -98,22 +99,19 @@ def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "2 hours", watermark="3650 days", slide="1 hour"
     )
 
-    final: list = []
+    out = _scratch_dir("v59_result")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        final.clear()
-        final.extend(batch_df.collect())
+        batch_df.write.mode("overwrite").parquet(out)
 
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="complete"
     )
     run_available_now(writer)
 
-    schema = "hour_ts STRING, event_type STRING, cnt BIGINT, sum_value DOUBLE"
-    result = spark.createDataFrame(final, schema)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return result.orderBy("hour_ts", "event_type")
+    return spark.read.parquet(out).orderBy("hour_ts", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -182,18 +180,19 @@ def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, "1 hour", watermark="1 hour")
 
-    final: list = []
+    # Append mode: accumulate finalized windows in the scratch sink (one
+    # parquet append per micro-batch) — no driver-side row accumulation,
+    # so the pattern survives a 100x hour-grid blow-up.
+    out = _scratch_dir("v60_result")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        final.extend(batch_df.collect())  # append mode: accumulate
+        batch_df.write.mode("append").parquet(out)
 
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="append"
     )
     run_available_now(writer)
 
-    schema = "hour_ts STRING, event_type STRING, cnt BIGINT, sum_value DOUBLE"
-    result = spark.createDataFrame(final, schema)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    return result.orderBy("hour_ts", "event_type")
+    return spark.read.parquet(out).orderBy("hour_ts", "event_type")

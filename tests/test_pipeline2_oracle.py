@@ -10,6 +10,7 @@ PIPELINE2 = [
     "v64_neardup_clusters",
     "v65_repetition_signals",
     "v66_scd2_merge",
+    "v67_cluster_corpus_prep",
 ]
 
 
