@@ -69,6 +69,13 @@ def main() -> None:
             }
         )
     )
+    # Tripwire (VERDICT r3 #4): round 3 shipped v34 as -1.0 and nothing
+    # flagged it.  The JSON line above is already printed (the driver keeps
+    # its record either way); a broken query now ALSO fails the run loudly.
+    broken = sorted(k for k, v in timings.items() if v < 0)
+    if broken:
+        print(f"bench: FAILED queries (timing -1.0): {broken}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -66,14 +66,30 @@ def _nano_timestamp_cols(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table; nanosecond timestamps come back as proper
-    TimestampType (truncated to micros, matching what DuckDB does when it
-    reads the same files)."""
+    """Read a fixture table under one timestamp convention: every temporal
+    column comes back as TimestampType (LTZ, session TZ pinned UTC).
+
+    Two drift sources are normalized at this single choke point so a
+    fixture regen cannot break registered queries (round 3's v34 broke
+    exactly this way — `ts` flipped from tz-aware to naive micros, Spark 4
+    read TIMESTAMP_NTZ, and a downstream cast became illegal):
+
+    - parquet timestamp[ns] (Spark has no nanos type): read as long,
+      truncate to micros — matching DuckDB over the same files;
+    - parquet naive timestamps (Spark 4 reads TIMESTAMP_NTZ): cast to
+      LTZ, value-preserving under the UTC session.
+    """
     path = table_path(sf_dir, name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    ntz = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -125,14 +125,18 @@ def range_join(
     r = right.select(*[F.col(c).alias(a) for c, a in rename.items()])
     r_on, r_time = rename[on], rename[right_time]
 
-    lb = F.floor(F.unix_timestamp(F.col(left_time)) / width)
-    rb = F.floor(F.unix_timestamp(F.col(r_time)) / width)
-    l = left.withColumn("__lb__", lb.cast("long"))
-    r = r.withColumn("__rb__", rb.cast("long"))
+    # NTZ-safe epoch micros: Spark 4 rejects TIMESTAMP_NTZ → double casts,
+    # and unix_timestamp truncates micros (fine for bucket keys, wrong for
+    # the range predicate).  The session TZ is pinned UTC (session.py), so
+    # NTZ→LTZ is value-preserving and unix_micros gives one exact integer
+    # timeline for both the bucket keys and the exact filter.
+    l_us = F.unix_micros(F.col(left_time).cast("timestamp_ltz"))
+    r_us = F.unix_micros(F.col(r_time).cast("timestamp_ltz"))
+    width_us = width * 1_000_000
+    l = left.withColumn("__lb__", F.floor(l_us / width_us).cast("long"))
+    r = r.withColumn("__rb__", F.floor(r_us / width_us).cast("long"))
 
-    # exact filter in fractional seconds (unix_timestamp truncates micros —
-    # fine for the bucket keys, wrong for the range predicate)
-    delta = F.col(r_time).cast("double") - F.col(left_time).cast("double")
+    delta = (r_us - l_us) / F.lit(1_000_000.0)
     cond = (delta >= lower_seconds) & (delta <= upper_seconds)
     if extra_cond is not None:
         cond = cond & extra_cond

@@ -29,9 +29,13 @@ fallback for adversarial long-chain duplicate graphs.  Both steps are
 a groupBy-min plus a join — no per-node neighbor lists are ever
 collected, so high-degree nodes cost a shuffle, not executor memory.
 
-Each round persists the new table and unpersists the previous one, so
-lineage stays one round deep (no exponential plan growth) and executor
-storage holds exactly one O(|V|) (or O(|E|)) table.
+Each round ``localCheckpoint(eager=True)``-s the new table: unlike
+``persist`` (which caches data but keeps the full logical plan, so the
+plan DOUBLES per round and kills the driver rendering it by ~round 10),
+a local checkpoint truncates lineage to the materialized RDD — the plan
+stays one round deep no matter how many rounds run.  The previous
+round's checkpoint is released by Spark's ContextCleaner once its driver
+reference is dropped, so executor storage holds O(1) round tables.
 """
 
 from __future__ import annotations
@@ -85,13 +89,16 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Convergence = a round changed zero labels.  The changed flag is
-    # computed inline and summed in the same job that materializes the
-    # round's persist — one action per round, and exact for every id
-    # type (a sum over the labels themselves would be NULL for string
-    # ids and can alias under overflow for long ones).
+    # exact for every id type (a sum over the labels themselves would be
+    # NULL for string ids and can alias under overflow for long ones).
+    # Each round eagerly local-checkpoints: the convergence read then
+    # scans the checkpointed blocks, and — critically — the next round's
+    # plan starts from a LogicalRDD, not from max_iterations stacked
+    # join-aggregates (persist would cache data but let the plan double
+    # per round: driver OOM rendering it long before 500 rounds).
     converged = False
     for _ in range(max_iterations):
         nbr_min = (
@@ -110,11 +117,10 @@ def connected_components(
                 new_comp.alias("comp"),
                 (new_comp != F.col("comp_old")).cast("long").alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # old round's checkpoint freed by ContextCleaner
         if changed == 0:
             converged = True
             break
@@ -174,7 +180,7 @@ def _two_phase_components(
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
     )
-    edges = edges.persist()
+    edges = edges.localCheckpoint(eager=True)
     sig = _edge_signature(edges)
 
     converged = False
@@ -198,15 +204,20 @@ def _two_phase_components(
         # small-star over edges pointing large -> small
         smins = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smins, "u")
+        # localCheckpoint, NOT persist: persist caches data but keeps the
+        # whole logical plan, which doubles per round (each round's `small`
+        # builds on the previous round's plan) — the driver dies rendering
+        # the AQE plan string by ~round 10.  The checkpoint truncates
+        # lineage to the materialized RDD; the previous round's blocks are
+        # freed by the ContextCleaner when `edges` rebinds.
         small = (
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", "m").withColumnRenamed("m", "v"))
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sig = _edge_signature(small)
-        edges.unpersist()
         edges = small
         if new_sig == sig:
             converged = True
@@ -231,8 +242,7 @@ def _two_phase_components(
         )
         .persist()
     )
-    labels.count()  # materialize before the star edge cache is released
-    edges.unpersist()
+    labels.count()  # materialize while the final star edges are resident
     return track(labels)
 
 

@@ -58,33 +58,34 @@ def _reorder() -> None:
     """Deterministic driver-facing ordering.
 
     The driver's correctness sweep caps at 50 queries per round in
-    dict-iteration order, so with 66+ registered queries we rotate which
-    ones lead.  Round 2's file covered v01-v45 + v59-v63; the 16 it missed
-    (v46-v58, v64-v66) plus any brand-new queries go first this round so
-    the union of rounds leaves nothing without a driver-green row.
+    dict-iteration order, so with 68+ registered queries we rotate which
+    ones lead.  Round 3's file covered v01-v33 + v46-v58 + v64-v67; the 17
+    it missed (v34-v45, v59-v63) go first this round — one of them (v34)
+    silently broke under r3's fixture regen and the rotation gap is exactly
+    how it shipped unchecked, so the no-r3-row set leads r4.
     """
     first = [
-        # never driver-verified (registered in round 2's final commit)
-        "v64_neardup_clusters",
-        "v65_repetition_signals",
-        "v66_scd2_merge",
-        # new this round
-        "v67_cluster_corpus_prep",
-        # green in round 1 but rotated out of round 2's 50-row file
-        "v46_array_funcs",
-        "v47_null_conditional",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v50_window_battery",
-        "v51_unpivot",
-        "v52_string_agg",
-        "v53_hash_split",
-        "v54_pack_by_budget",
-        "v55_stratified_sample",
-        "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
+        # no round-3 driver row (rotated out of the 50-query window);
+        # v34 is the round-3 regression the gap hid — it leads.
+        "v34_range_join",
+        "v35_pivot",
+        "v36_grouping_sets",
+        "v37_approx_distinct",
+        "v38_tfidf",
+        "v39_map_struct_json",
+        "v40_math_funcs",
+        "v41_session_window",
+        "v42_cube",
+        "v43_percentiles_stats",
+        "v44_string_funcs",
+        "v45_date_funcs",
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v61_approx_percentiles",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
     ]
+    assert all(k in QUERIES for k in first), [k for k in first if k not in QUERIES]
     rest = sorted(k for k in QUERIES if k not in first)
     order = [k for k in first if k in QUERIES] + rest
     for mapping in (QUERIES, ORACLE):

@@ -77,6 +77,29 @@ def test_two_phase_path_graph_converges_in_log_rounds(spark):
     cache.release_persisted()
 
 
+def test_label_many_rounds_lineage_stays_flat(spark):
+    # VERDICT r3 #7: per-round persist let the logical plan stack one
+    # join-aggregate per round — fine for 3-round dup graphs, driver death
+    # for long chains.  A 30-node path needs ~30 label rounds under a
+    # 500-round budget; correct labels prove convergence, and the final
+    # plan must hang off a checkpointed LogicalRDD, not 30 stacked joins.
+    import contextlib
+    import io
+
+    n = 30
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    cc = connected_components(pairs, max_iterations=500)
+    assert _labels(cc) == {i: 0 for i in range(n)}
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cc.explain(extended=True)
+    plan = buf.getvalue()
+    assert "LogicalRDD" in plan  # lineage truncated at the checkpoint
+    assert len(plan) < 20_000  # not one subtree per round
+    cache.release_persisted()
+
+
 def test_max_iterations_cutoff_returns_labels(spark):
     # One round cannot collapse a 6-chain; the cutoff must still return a
     # complete (possibly unconverged) labeling, one label per node.
@@ -124,9 +147,14 @@ def _upd(spark, rows):
 
 
 def _hist(df):
+    # None-safe sort key: seg / valid_to can be NULL, and Python refuses
+    # None-vs-str comparisons — sort Nones last per position instead.
     return sorted(
-        (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
-        for r in df.collect()
+        (
+            (r["k"], r["seg"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in df.collect()
+        ),
+        key=lambda t: tuple((v is None, v if v is not None else "") for v in t),
     )
 
 
