@@ -231,8 +231,9 @@ def v65_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-bigram-share > 0.2 rule would drop.  Averages follow the decimal
     determinism convention (exact decimal sums, q4 final)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = T.repetition_signals(docs, "doc_id", "text")
-    labeled = sig.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    # lang rides through the map-only operator — no second corpus scan and
+    # no join back on id (which doubled this query's cost at bench scale).
+    labeled = T.repetition_signals(docs, "doc_id", "text", keep_cols=("lang",))
 
     def _q4(c):
         return F.floor(c * 10000 + F.lit(0.5)) / 10000
