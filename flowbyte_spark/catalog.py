@@ -79,11 +79,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - parquet naive timestamps (Spark 4 reads TIMESTAMP_NTZ): cast to
       LTZ, value-preserving under the UTC session.
     """
+    from pyspark.sql.types import LongType
+
     path = table_path(sf_dir, name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nano_timestamp_cols(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        # Gate on what Spark ACTUALLY read: true nanos columns surface as
+        # LONG under nanosAsLong and need the micros rewrite; INT96
+        # columns (Spark's legacy write default) also report ns in the
+        # pyarrow footer but Spark reads them as proper TIMESTAMP already —
+        # rewriting those is a type error, not a fix.
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     ntz = [
         f.name for f in df.schema.fields
         if f.dataType.typeName() == "timestamp_ntz"

@@ -47,6 +47,10 @@ ENGINE_CONF: dict[str, str] = {
     # fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark has no
     # native type for; read as long and convert in the catalog loader
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # write micros, not INT96: INT96 is deprecated, reads back as ns in
+    # Arrow/DuckDB footers, and round-trips through load_table only via
+    # the INT96 guard there — micros round-trip cleanly everywhere
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

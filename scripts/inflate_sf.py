@@ -1,6 +1,6 @@
 """Inflate a fixture scale factor for bench-only scale runs.
 
-Replicates the three volume-bearing tables (lineitem, documents,
+Replicates the volume-bearing tables (lineitem, orders, documents,
 embeddings) N times with shifted keys — and, for the content tables,
 deterministically perturbed content so near-dup/ANN workloads keep a
 realistic pair density instead of degenerating into N-way exact
@@ -66,6 +66,21 @@ def main() -> None:
         "lineitem",
     )
 
+    # orders inflates with shifted orderkeys but UNSHIFTED custkeys, so the
+    # orders⋈customer dim join keeps 100% match rate at every factor — the
+    # scan/join/sort shapes (V05, V13) scale with the fact side exactly as
+    # production data would.
+    orders = load_table(spark, src, "orders")
+    write(
+        replicas(
+            orders,
+            lambda df, i: df.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_SHIFT)
+            ),
+        ),
+        "orders",
+    )
+
     docs = load_table(spark, src, "documents")
     def mutate_doc(df, i):
         # prefix keeps replicas textually distinct: near-dup density stays
@@ -104,7 +119,7 @@ def main() -> None:
     write(replicas(emb, mutate_emb), "embeddings")
 
     for t in TABLES:
-        if t in ("lineitem", "documents", "embeddings"):
+        if t in ("lineitem", "orders", "documents", "embeddings"):
             continue
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.isdir(table_path(src, t)):

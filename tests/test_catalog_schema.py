@@ -50,6 +50,30 @@ def test_events_ts_is_ltz_timestamp(spark, sf_dir):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
 
 
+def test_int96_spark_written_table_roundtrips(spark, tmp_path):
+    # Spark's legacy INT96 timestamps report as timestamp[ns] in parquet
+    # footers, but Spark reads them as proper TIMESTAMP — load_table must
+    # NOT apply the nanos-as-long rewrite to them (found at 10x bench:
+    # inflated Spark-written tables hit a div-on-timestamp type error).
+    from datetime import datetime
+
+    sf_dir = str(tmp_path)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.createDataFrame(
+            [(1, datetime(2024, 1, 1, 12, 0, 0))], "id BIGINT, ts TIMESTAMP"
+        ).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    [row] = df.collect()
+    assert row["ts"].replace(tzinfo=None) == datetime(2024, 1, 1, 12, 0, 0)
+
+
 def test_ntz_fixture_roundtrip(spark, tmp_path):
     # Synthesize the exact drift that broke v34: a naive-micros parquet
     # file.  load_table must hand back LTZ with identical wall-clock values.
