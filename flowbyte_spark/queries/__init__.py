@@ -85,7 +85,8 @@ def _reorder() -> None:
         "v62_full_outer_join",
         "v63_right_outer_join",
     ]
-    assert all(k in QUERIES for k in first), [k for k in first if k not in QUERIES]
+    # Runtime stays lenient (an import-time crash here would zero a whole
+    # driver round); tests/test_registry.py asserts the list is exact.
     rest = sorted(k for k in QUERIES if k not in first)
     order = [k for k in first if k in QUERIES] + rest
     for mapping in (QUERIES, ORACLE):
