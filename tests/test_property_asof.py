@@ -1,0 +1,91 @@
+"""Property-based check: asof_join vs a brute-force per-row reference.
+
+The union-sort rewrite (operators/asof.py) earns its single shuffle with
+subtle mechanics — side tags ordering ties, last(ignorenulls) carrying —
+so hypothesis drives random key/timestamp collisions (tiny timestamp pool
+forces equal-instant ties) against the obvious O(n·m) definition:
+backward = latest right row at-or-before, forward = earliest at-or-after.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flowbyte_spark.operators.asof import asof_join
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+T0 = datetime(2024, 1, 1)
+
+# 2 keys x 6 instants: collisions on both are guaranteed at these sizes
+row = st.tuples(st.integers(0, 1), st.integers(0, 5))
+rows_strategy = st.lists(row, min_size=1, max_size=6)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows, value_base):
+    return spark.createDataFrame(
+        [
+            (k, T0 + timedelta(minutes=m), float(value_base + i))
+            for i, (k, m) in enumerate(rows)
+        ],
+        "k INT, ts TIMESTAMP, v DOUBLE",
+    )
+
+
+def _reference(left_rows, right_rows, direction):
+    out = {}
+    for i, (k, m) in enumerate(left_rows):
+        if direction == "backward":
+            cand = [
+                (rm, j) for j, (rk, rm) in enumerate(right_rows)
+                if rk == k and rm <= m
+            ]
+            pick = max(cand) if cand else None
+        else:
+            cand = [
+                (-rm, j) for j, (rk, rm) in enumerate(right_rows)
+                if rk == k and rm >= m
+            ]
+            pick = max(cand) if cand else None
+        out[float(i)] = None if pick is None else float(100 + pick[1])
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@given(left_rows=rows_strategy, right_rows=rows_strategy)
+@SETTINGS
+def test_asof_matches_bruteforce(spark, direction, left_rows, right_rows):
+    # Right-side values are unique row ids, so equal-timestamp ties on the
+    # RIGHT side may legitimately resolve to any tied row — compare the
+    # picked timestamp class instead when the reference has ties.
+    left = _df(spark, left_rows, 0)
+    right = _df(spark, right_rows, 100)
+    got = {
+        r["v"]: r["v_matched"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", right_values=["v"],
+            direction=direction,
+        ).collect()
+    }
+    ref = _reference(left_rows, right_rows, direction)
+    assert set(got) == set(ref)
+    for lv, rv in ref.items():
+        if rv is None:
+            assert got[lv] is None
+        else:
+            # the engine may pick any right row TIED at the reference's
+            # timestamp; assert timestamp equality, not row identity
+            j_ref = int(rv - 100)
+            j_got = int(got[lv] - 100)
+            assert right_rows[j_got][0] == right_rows[j_ref][0]  # same key
+            assert right_rows[j_got][1] == right_rows[j_ref][1]  # same instant
