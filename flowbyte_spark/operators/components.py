@@ -33,9 +33,10 @@ Each round ``localCheckpoint(eager=True)``-s the new table: unlike
 ``persist`` (which caches data but keeps the full logical plan, so the
 plan DOUBLES per round and kills the driver rendering it by ~round 10),
 a local checkpoint truncates lineage to the materialized RDD — the plan
-stays one round deep no matter how many rounds run.  The previous
-round's checkpoint is released by Spark's ContextCleaner once its driver
-reference is dropped, so executor storage holds O(1) round tables.
+stays one round deep no matter how many rounds run.  Superseded rounds
+are freed deterministically (``cache.local_checkpoint`` releases the
+previous handle once the new round materializes), so executor storage
+holds at most two round tables at any instant — never a GC-paced pile.
 """
 
 from __future__ import annotations
@@ -44,7 +45,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flowbyte_spark import log
-from flowbyte_spark.operators.cache import persist_tracked, track
+from flowbyte_spark.operators.cache import (
+    local_checkpoint,
+    persist_tracked,
+    track,
+    track_checkpoint,
+)
 
 
 def connected_components(
@@ -85,11 +91,10 @@ def connected_components(
     # reused every round: keep it resident instead of re-shuffling
     edges = persist_tracked(edges)
 
-    labels = (
+    labels, handle = local_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     # Convergence = a round changed zero labels.  The changed flag is
     # exact for every id type (a sum over the labels themselves would be
@@ -98,7 +103,9 @@ def connected_components(
     # scans the checkpointed blocks, and — critically — the next round's
     # plan starts from a LogicalRDD, not from max_iterations stacked
     # join-aggregates (persist would cache data but let the plan double
-    # per round: driver OOM rendering it long before 500 rounds).
+    # per round: driver OOM rendering it long before 500 rounds).  The
+    # superseded round's blocks are freed deterministically inside
+    # local_checkpoint — executor storage holds at most two round tables.
     converged = False
     for _ in range(max_iterations):
         nbr_min = (
@@ -109,18 +116,18 @@ def connected_components(
         new_comp = F.least(
             F.col("comp_old"), F.coalesce(F.col("nbr_min"), F.col("comp_old"))
         )
-        new_labels = (
+        new_labels, handle = local_checkpoint(
             labels.withColumnRenamed("comp", "comp_old")
             .join(nbr_min, "id", "left")
             .select(
                 "id",
                 new_comp.alias("comp"),
                 (new_comp != F.col("comp_old")).cast("long").alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            release=handle,
         )
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels  # old round's checkpoint freed by ContextCleaner
+        labels = new_labels
         if changed == 0:
             converged = True
             break
@@ -131,7 +138,11 @@ def connected_components(
             "components (use algorithm='two-phase' for long-chain graphs)"
         )
 
-    return track(labels.select("id", "comp"))
+    # Register the final checkpoint's HANDLE, not the DataFrame: the
+    # blocks live outside the CacheManager, so DataFrame.unpersist() could
+    # never free them (release_persisted would have been a silent no-op).
+    track_checkpoint(handle)
+    return labels.select("id", "comp")
 
 
 def _star_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
@@ -180,7 +191,7 @@ def _two_phase_components(
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges, handle = local_checkpoint(edges)
     sig = _edge_signature(edges)
 
     converged = False
@@ -208,14 +219,14 @@ def _two_phase_components(
         # whole logical plan, which doubles per round (each round's `small`
         # builds on the previous round's plan) — the driver dies rendering
         # the AQE plan string by ~round 10.  The checkpoint truncates
-        # lineage to the materialized RDD; the previous round's blocks are
-        # freed by the ContextCleaner when `edges` rebinds.
-        small = (
+        # lineage to the materialized RDD; the superseded round's blocks
+        # are freed deterministically inside local_checkpoint.
+        small, handle = local_checkpoint(
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", "m").withColumnRenamed("m", "v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            release=handle,
         )
         new_sig = _edge_signature(small)
         edges = small
@@ -242,7 +253,13 @@ def _two_phase_components(
         )
         .persist()
     )
-    labels.count()  # materialize while the final star edges are resident
+    labels.count()  # materialize BEFORE the star-edge blocks are freed
+    # labels' MEMORY_AND_DISK persist is now the source of truth; its
+    # lineage still names the freed checkpoint, so losing the persisted
+    # blocks means executor loss — at which point a localCheckpoint-based
+    # job is restarting anyway (docs/SCALE.md: use reliable checkpoint on
+    # a real cluster).
+    handle.unpersist()
     return track(labels)
 
 

@@ -162,6 +162,12 @@ def repetition_signals(
     delegated to pass-through SQL (/root/reference/src/flowbyte/sql.py:109);
     this is the Spark-native scale path.
     """
+    reserved = {"id", "w", "bg"}
+    if reserved & set(keep_cols):
+        raise ValueError(
+            f"keep_cols may not use the operator's internal names "
+            f"{sorted(reserved & set(keep_cols))}; rename them first"
+        )
     w = words(F.col(text_col))
     base = (
         ensure_parallelism(df)

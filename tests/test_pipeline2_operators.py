@@ -109,6 +109,27 @@ def test_max_iterations_cutoff_returns_labels(spark):
     cache.release_persisted()
 
 
+def test_checkpoint_blocks_freed_deterministically(spark):
+    # Superseded round checkpoints must be freed as the loop advances (not
+    # when GC eventually runs), and release_persisted must free the FINAL
+    # checkpoint too — its blocks live outside the CacheManager, where
+    # DataFrame.unpersist() can't reach them.
+    sc = spark.sparkContext
+
+    def ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = ids()
+    n = 12  # ~12 label rounds: every superseded round must be gone
+    pairs = _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    cc = connected_components(pairs, max_iterations=50)
+    assert _labels(cc) == {i: 0 for i in range(n)}
+    resident = ids() - before
+    assert len(resident) <= 3, f"round blocks piled up: {sorted(resident)}"
+    cache.release_persisted()
+    assert ids() <= before
+
+
 def test_release_persisted_frees_round_caches(spark):
     df = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
     df.count()  # materialize before release

@@ -30,8 +30,10 @@ def test_driver_window_plus_r3_file_covers_everything():
     # Union-coverage contract: the first 50 (this round's driver window)
     # plus round 3's recorded rows must leave no query unverified.
     import json
+    import os
 
-    r3 = set(json.load(open("/root/repo/CORRECTNESS_r03.json")))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r3 = set(json.load(open(os.path.join(repo, "CORRECTNESS_r03.json"))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - r3
     assert not uncovered, f"queries with no driver row in r3∪r4: {uncovered}"

@@ -29,7 +29,7 @@ def _trades(spark, ts_type):
             (1, datetime(2024, 1, 1, 10, 5, 30), 101.0),
             (2, datetime(2024, 1, 1, 10, 1, 0), 200.0),
         ],
-        f"k INT, {ts_type}, px DOUBLE".replace("ts ", "ts "),
+        f"k INT, {ts_type}, px DOUBLE",
     )
 
 
@@ -43,10 +43,6 @@ def _quotes(spark, ts_type):
         ],
         f"k INT, {ts_type}, bid DOUBLE",
     )
-
-
-def _schema(ts_type):
-    return ts_type  # readability helper
 
 
 @pytest.mark.parametrize("lt,rt", [(TS, TS), (NTZ, NTZ), (TS, NTZ), (NTZ, TS)])
@@ -66,7 +62,7 @@ def test_range_join_same_answer_for_all_timestamp_flavors(spark, lt, rt):
     assert got == [(1, 101.0, 100.5), (2, 200.0, 201.0)]
 
 
-@pytest.mark.parametrize("lt,rt", [(TS, TS), (NTZ, NTZ), (TS, NTZ)])
+@pytest.mark.parametrize("lt,rt", [(TS, TS), (NTZ, NTZ), (TS, NTZ), (NTZ, TS)])
 def test_asof_join_same_answer_for_all_timestamp_flavors(spark, lt, rt):
     left = _trades(spark, lt)
     right = _quotes(spark, rt)
