@@ -59,31 +59,35 @@ def _reorder() -> None:
 
     The driver's correctness sweep caps at 50 queries per round in
     dict-iteration order, so with 68+ registered queries we rotate which
-    ones lead.  Round 3's file covered v01-v33 + v46-v58 + v64-v67; the 17
-    it missed (v34-v45, v59-v63) go first this round — one of them (v34)
-    silently broke under r3's fixture regen and the rotation gap is exactly
-    how it shipped unchecked, so the no-r3-row set leads r4.
+    ones lead.  Round 4's file covered v01-v45 + v59-v63; the 17 it missed
+    (v46-v58, v64-v67) lead this round.  Policy (pinned by
+    tests/test_registry.py via queries/_coverage.py): any query whose code
+    changed in-round — at function granularity, transitively — must also
+    sit inside the 50-query window, so in-round rewrites always get an
+    in-round driver row (the gap that shipped v34 broken in r3 and left
+    v64/v65/v67 unverified in r4).
     """
     first = [
-        # no round-3 driver row (rotated out of the 50-query window);
-        # v34 is the round-3 regression the gap hid — it leads.
-        "v34_range_join",
-        "v35_pivot",
-        "v36_grouping_sets",
-        "v37_approx_distinct",
-        "v38_tfidf",
-        "v39_map_struct_json",
-        "v40_math_funcs",
-        "v41_session_window",
-        "v42_cube",
-        "v43_percentiles_stats",
-        "v44_string_funcs",
-        "v45_date_funcs",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        "v61_approx_percentiles",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
+        # no round-4 driver row (rotated out of the 50-query window).
+        "v46_array_funcs",
+        "v47_null_conditional",
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+        "v53_hash_split",
+        "v54_pack_by_budget",
+        "v55_stratified_sample",
+        "v56_interleave",
+        "v57_corpus_prep",
+        "v58_cross_join",
+        "v64_neardup_clusters",
+        "v65_repetition_signals",
+        "v66_scd2_merge",
+        "v67_cluster_corpus_prep",
+        # changed-in-round-5 queries that sorted order would leave outside
+        # the window (forced in by the _coverage policy test).
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

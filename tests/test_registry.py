@@ -26,14 +26,42 @@ def test_every_oracle_has_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def test_driver_window_plus_r3_file_covers_everything():
+def test_driver_window_plus_r4_file_covers_everything():
     # Union-coverage contract: the first 50 (this round's driver window)
-    # plus round 3's recorded rows must leave no query unverified.
+    # plus round 4's recorded rows must leave no query unverified.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r3 = set(json.load(open(os.path.join(repo, "CORRECTNESS_r03.json"))))
+    r4 = set(json.load(open(os.path.join(repo, "CORRECTNESS_r04.json"))))
     window = set(list(QUERIES)[:50])
-    uncovered = set(QUERIES) - window - r3
-    assert not uncovered, f"queries with no driver row in r3∪r4: {uncovered}"
+    uncovered = set(QUERIES) - window - r4
+    assert not uncovered, f"queries with no driver row in r4∪r5: {uncovered}"
+
+
+def test_in_round_changed_queries_sit_inside_driver_window():
+    # Policy (VERDICT r4 #1): any query whose code changed in-round —
+    # function-granular, transitive through flowbyte_spark imports — must
+    # be inside the 50-query window, so the driver re-verifies it this
+    # round.  Coverage-by-union across rounds is not regression detection:
+    # this is exactly how v34 shipped broken in r3 and how v64/v65/v67
+    # shipped rewritten-but-unverified in r4.
+    import os
+
+    import pytest
+
+    from flowbyte_spark.queries import _coverage
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(os.path.join(repo, ".git")):
+        pytest.skip("not a git checkout")
+    sha = _coverage.round_start_sha(repo)
+    if sha is None:
+        pytest.skip("no round-boundary commit in history")
+    affected = _coverage.affected_queries(repo, sha)
+    window = set(list(QUERIES)[:50])
+    outside = sorted(affected - window)
+    assert not outside, (
+        "queries changed this round but OUTSIDE the driver window "
+        f"(add them to the _reorder head list): {outside}"
+    )
