@@ -133,11 +133,25 @@ def range_join(
     l_us = F.unix_micros(F.col(left_time).cast("timestamp_ltz"))
     r_us = F.unix_micros(F.col(r_time).cast("timestamp_ltz"))
     width_us = width * 1_000_000
-    l = left.withColumn("__lb__", F.floor(l_us / width_us).cast("long"))
-    r = r.withColumn("__rb__", F.floor(r_us / width_us).cast("long"))
+    # Exact integer floor division for the bucket keys: the obvious
+    # F.floor(us / width) divides as DOUBLE, and once |epoch_µs| > 2^52
+    # (~before 1827 / after 2112) the quotient's ulp exceeds 1, so a row
+    # 1 µs under a bucket boundary can land in the wrong bucket and a true
+    # pair silently drops.  pmod is non-negative, so (us - pmod) is an
+    # exact multiple of the width and truncating `div` equals floor for
+    # either sign.
+    bucket = "( {us} - pmod({us}, {w}) ) div {w}".format
+    l = left.withColumn("__lus__", l_us).withColumn(
+        "__lb__", F.expr(bucket(us="__lus__", w=f"{width_us}L"))
+    )
+    r = r.withColumn("__rus__", r_us).withColumn(
+        "__rb__", F.expr(bucket(us="__rus__", w=f"{width_us}L"))
+    )
 
-    delta = (r_us - l_us) / F.lit(1_000_000.0)
-    cond = (delta >= lower_seconds) & (delta <= upper_seconds)
+    delta_us = F.col("__rus__") - F.col("__lus__")
+    cond = (delta_us >= lower_seconds * 1_000_000) & (
+        delta_us <= upper_seconds * 1_000_000
+    )
     if extra_cond is not None:
         cond = cond & extra_cond
 
@@ -149,4 +163,4 @@ def range_join(
             & ((F.col("__lb__") + offset) == F.col("__rb__")),
         )
         out = cand if out is None else out.unionByName(cand)
-    return out.where(cond).drop("__lb__", "__rb__")
+    return out.where(cond).drop("__lb__", "__rb__", "__lus__", "__rus__")

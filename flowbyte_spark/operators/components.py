@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from flowbyte_spark import log
 from flowbyte_spark.operators.cache import (
-    local_checkpoint,
+    make_checkpointer,
     persist_tracked,
     track,
     track_checkpoint,
@@ -59,6 +59,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every node in ``pairs`` its component id (= min node id in
     the component).
@@ -71,16 +72,24 @@ def connected_components(
     graph diameter, cheapest per round) or alternating star contraction
     (``"two-phase"``, O(log diameter) rounds for chain-shaped graphs).
 
+    ``checkpoint_dir`` switches the per-round lineage truncation from
+    ``localCheckpoint`` (blocks die with an executor) to reliable
+    checkpoints under that directory — point it at HDFS/object storage on
+    a real cluster so a 100 TB run survives executor loss.
+
     The returned DataFrame is persisted and registered with
     ``cache.release_persisted()``; materialize it before releasing.
     """
     if algorithm == "two-phase":
-        return _two_phase_components(pairs, src, dst, max_iterations)
+        return _two_phase_components(
+            pairs, src, dst, max_iterations, checkpoint_dir
+        )
     if algorithm != "label":
         raise ValueError(
             f"unknown components algorithm {algorithm!r}; "
             "expected 'label' or 'two-phase'"
         )
+    checkpoint = make_checkpointer(pairs.sparkSession, checkpoint_dir)
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # symmetrize WITHOUT distinct: the pair list already has id_a < id_b
     # unique, and duplicate edges would only add rows to a min-aggregate —
@@ -91,7 +100,7 @@ def connected_components(
     # reused every round: keep it resident instead of re-shuffling
     edges = persist_tracked(edges)
 
-    labels, handle = local_checkpoint(
+    labels, handle = checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
@@ -116,7 +125,7 @@ def connected_components(
         new_comp = F.least(
             F.col("comp_old"), F.coalesce(F.col("nbr_min"), F.col("comp_old"))
         )
-        new_labels, handle = local_checkpoint(
+        new_labels, handle = checkpoint(
             labels.withColumnRenamed("comp", "comp_old")
             .join(nbr_min, "id", "left")
             .select(
@@ -173,7 +182,11 @@ def _edge_signature(edges: DataFrame) -> tuple:
 
 
 def _two_phase_components(
-    pairs: DataFrame, src: str, dst: str, max_iterations: int
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et al.).
 
@@ -185,13 +198,14 @@ def _two_phase_components(
     expressed as groupBy-min + join over the edge list — never a
     collected neighbor list — so degree skew costs shuffle volume only.
     """
+    checkpoint = make_checkpointer(pairs.sparkSession, checkpoint_dir)
     edges = _star_edges(pairs, src, dst)
     nodes = persist_tracked(
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))
         .distinct()
     )
-    edges, handle = local_checkpoint(edges)
+    edges, handle = checkpoint(edges)
     sig = _edge_signature(edges)
 
     converged = False
@@ -221,7 +235,7 @@ def _two_phase_components(
         # the AQE plan string by ~round 10.  The checkpoint truncates
         # lineage to the materialized RDD; the superseded round's blocks
         # are freed deterministically inside local_checkpoint.
-        small, handle = local_checkpoint(
+        small, handle = checkpoint(
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", "m").withColumnRenamed("m", "v"))

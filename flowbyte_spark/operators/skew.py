@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,6 +68,153 @@ def salted_join(
     s = replicate(small, buckets)
     joined = b.join(s, [*on, "__salt__"], how)
     return joined.drop("__salt__")
+
+
+def _null_safe_add(w: Column, o: Column) -> Column:
+    # Running-sum null semantics: NULL only while EVERY value so far is
+    # NULL.  A plain `w + o` would null out whenever the current bucket
+    # (or the offset) is all-NULL.
+    return F.when(w.isNull() & o.isNull(), F.lit(None)).otherwise(
+        F.coalesce(w, F.lit(0)) + F.coalesce(o, F.lit(0))
+    )
+
+
+_RUNNING_FNS = {
+    # running fn -> (within-bucket agg, bucket-total agg, rollup of the
+    # totals across earlier buckets, merge of (within, rolled offset)).
+    # count's rollup is SUM — counting the totals would tally buckets.
+    "sum": (F.sum, F.sum, F.sum, _null_safe_add),
+    "count": (F.count, F.count, F.sum, _null_safe_add),
+    "min": (F.min, F.min, F.min, lambda w, o: F.least(w, o)),
+    "max": (F.max, F.max, F.max, lambda w, o: F.greatest(w, o)),
+}
+
+
+def _time_bucket(order_by: str, width_seconds: int) -> Column:
+    """Contiguous time bucket with exact integer floor-div (asof.py's
+    far-epoch-safe pattern)."""
+    w_us = width_seconds * 1_000_000
+    return F.expr(
+        f"( us - pmod(us, {w_us}L) ) div {w_us}L".replace(
+            "us", f"unix_micros(cast({order_by} as timestamp_ltz))"
+        )
+    )
+
+
+def salted_window_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    aggs: dict[str, tuple[str, str]],
+    bucket_width_seconds: int,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Running window aggregates that survive one hot key (VERDICT r4 #4).
+
+    ``Window.partitionBy(key).orderBy(t)`` puts a key's ENTIRE history in
+    one task — AQE cannot split windows, so at 100× one hot customer
+    stalls the stage.  This computes the same running aggregates in two
+    phases: rows window within (key, contiguous time bucket) — the hot
+    key spreads over its time range — then per-bucket totals (one row per
+    key × bucket, tiny) roll into cross-bucket offsets merged back in.
+    Exact for associative fns: ``aggs`` maps output name →
+    ``(fn, column)`` with fn ∈ {sum, count, min, max} over the frame
+    ``rowsBetween(unboundedPreceding, currentRow)``.
+
+    Rows tied on ``(order_by, *tiebreakers)`` within a bucket keep the
+    same any-order ambiguity the unsalted window has; ties never straddle
+    buckets (equal time ⇒ equal bucket).  Pick ``bucket_width_seconds``
+    so the hottest key's densest width fits a task (~10-100 M rows).
+    """
+    bad = [fn for fn, _ in aggs.values() if fn not in _RUNNING_FNS]
+    if bad:
+        raise ValueError(
+            f"unsupported running fns {sorted(set(bad))}; "
+            f"supported: {sorted(_RUNNING_FNS)} (associative merges only)"
+        )
+    if "__b__" in df.columns:
+        raise ValueError("column name __b__ is reserved by salted_window_agg")
+
+    b = df.withColumn("__b__", _time_bucket(order_by, bucket_width_seconds))
+    w_in = (
+        Window.partitionBy(*keys, "__b__")
+        .orderBy(order_by, *tiebreakers)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for out, (fn, col) in aggs.items():
+        b = b.withColumn(out, _RUNNING_FNS[fn][0](col).over(w_in))
+
+    totals = b.groupBy(*keys, "__b__").agg(
+        *[
+            _RUNNING_FNS[fn][1](col).alias(f"__t_{out}__")
+            for out, (fn, col) in aggs.items()
+        ]
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys,
+        "__b__",
+        *[
+            _RUNNING_FNS[fn][2](f"__t_{out}__").over(w_prev).alias(f"__o_{out}__")
+            for out, (fn, col) in aggs.items()
+        ],
+    )
+    merged = b.join(offsets, [*keys, "__b__"])
+    for out, (fn, _col) in aggs.items():
+        merged = merged.withColumn(
+            out, _RUNNING_FNS[fn][3](F.col(out), F.col(f"__o_{out}__"))
+        )
+    return merged.drop("__b__", *[f"__o_{out}__" for out in aggs])
+
+
+def salted_lag(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: str,
+    col: str,
+    out: str,
+    bucket_width_seconds: int,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """``F.lag(col)`` over a hot key, two-phase (VERDICT r4 #4).
+
+    Within (key, time bucket) a plain lag; each bucket's FIRST row takes
+    instead the LAST value of the key's previous non-empty bucket, carried
+    through a one-row-per-bucket boundary table.  Distinguishes "first in
+    bucket" from "previous value is genuinely NULL" by row position, not
+    coalesce.
+    """
+    if "__b__" in df.columns:
+        raise ValueError("column name __b__ is reserved by salted_lag")
+    b = df.withColumn("__b__", _time_bucket(order_by, bucket_width_seconds))
+    w_o = Window.partitionBy(*keys, "__b__").orderBy(order_by, *tiebreakers)
+
+    order_struct = F.struct(order_by, *tiebreakers)
+    bounds = b.groupBy(*keys, "__b__").agg(
+        F.max_by(col, order_struct).alias("__last_v__")
+    )
+    w_b = Window.partitionBy(*keys).orderBy("__b__")
+    prev = bounds.select(
+        *keys,
+        "__b__",
+        F.lag("__last_v__").over(w_b).alias("__prev_last__"),
+    )
+    return (
+        b.withColumn("__rn__", F.row_number().over(w_o))
+        .withColumn("__within__", F.lag(col).over(w_o))
+        .join(prev, [*keys, "__b__"])
+        .withColumn(
+            out,
+            F.when(F.col("__rn__") == 1, F.col("__prev_last__")).otherwise(
+                F.col("__within__")
+            ),
+        )
+        .drop("__b__", "__rn__", "__within__", "__prev_last__")
+    )
 
 
 def two_phase_agg(

@@ -162,10 +162,13 @@ def repetition_signals(
     delegated to pass-through SQL (/root/reference/src/flowbyte/sql.py:109);
     this is the Spark-native scale path.
     """
-    reserved = {"id", "w", "bg"}
+    # internal names AND the output signal columns: a keep_col named like
+    # either would produce duplicate column names that only blow up on
+    # downstream reference.
+    reserved = {"id", "w", "bg", "n_words", "dup_word_frac", "top_bigram_frac"}
     if reserved & set(keep_cols):
         raise ValueError(
-            f"keep_cols may not use the operator's internal names "
+            f"keep_cols may not use the operator's reserved names "
             f"{sorted(reserved & set(keep_cols))}; rename them first"
         )
     w = words(F.col(text_col))

@@ -88,6 +88,8 @@ def _reorder() -> None:
         "v67_cluster_corpus_prep",
         # changed-in-round-5 queries that sorted order would leave outside
         # the window (forced in by the _coverage policy test).
+        "v34_range_join",  # asof.py integer bucket math
+        "v42_cube",  # cube_agg imports operators.cache (exact-id accounting)
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -141,6 +141,75 @@ def test_unknown_algorithm_rejected(spark):
         connected_components(_pairs(spark, [(1, 2)]), algorithm="bogus")
 
 
+def test_repetition_signals_rejects_output_name_collision(spark):
+    # ADVICE r4: keep_cols colliding with the OUTPUT columns produced a
+    # duplicate-named DataFrame that failed only on downstream reference.
+    df = spark.createDataFrame(
+        [("a", "x y z", 1.0)], ["doc_id", "text", "dup_word_frac"]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        repetition_signals(df, keep_cols=("dup_word_frac",))
+
+
+def test_checkpoint_excludes_lazy_input_caches(spark):
+    # ADVICE r4 (medium): the old registry-DIFF accounting captured any
+    # lazy input cache that materialized inside the checkpoint call, so
+    # round 1's release freed the edge-list cache and every later round
+    # re-scanned and re-shuffled it.  Accounting is now exact (the
+    # LogicalRDD id) — a lazy cache materializing inside the call must
+    # NOT land in the handle, and releasing the handle must leave the
+    # cache resident.
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    inp = spark.range(1000).withColumn("x", F.col("id") % 7).persist()
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out, handle = cache.local_checkpoint(inp.groupBy("x").count())
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        assert len(handle.rdd_ids) == 1
+        # the input cache DID materialize inside the call...
+        assert len(after - before) == 2, "input cache not lazy? test is vacuous"
+        # ...but the handle owns only the checkpoint's RDD
+        cache_ids = (after - before) - set(handle.rdd_ids)
+        handle.unpersist()
+        assert handle.released
+        now = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        assert cache_ids <= now, "input cache was freed with the checkpoint"
+        assert not set(handle.rdd_ids)
+    finally:
+        inp.unpersist()
+
+
+@pytest.mark.parametrize("algorithm", ["label", "two-phase"])
+def test_reliable_checkpoint_dir_rounds(spark, tmp_path, algorithm):
+    # VERDICT r4 #3: with checkpoint_dir set, rounds go through reliable
+    # checkpoints (files that survive executor loss) with the same
+    # deterministic release accounting: superseded rounds are deleted as
+    # the loop advances and release_persisted removes the final one.
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    pairs = _pairs(spark, [(i, i + 1) for i in range(7)])
+    got = _labels(
+        connected_components(pairs, algorithm=algorithm, checkpoint_dir=ckdir)
+    )
+    assert got == {i: 0 for i in range(8)}
+
+    def rdd_dirs():
+        found = []
+        for root, dirs, _files in os.walk(ckdir):
+            found += [d for d in dirs if d.startswith("rdd-")]
+        return found
+
+    # at most the final round's files are resident mid-flight (label keeps
+    # exactly one, two-phase materializes labels off the final edge set
+    # and frees it already)
+    assert len(rdd_dirs()) <= 1, rdd_dirs()
+    cache.release_persisted()
+    assert rdd_dirs() == []
+
+
 def test_neardup_clusters_survivor_flags(spark):
     rows = {
         r["id"]: r
