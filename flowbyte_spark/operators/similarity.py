@@ -421,12 +421,17 @@ def ivf_topk(
     nprobe: int = 4,
     centroid_mode: str = "lowest_id",
     seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ANN top-k: probe the ``nprobe`` centroids nearest the query, rank
     only their inverted lists.  Returns (id, sim) like :func:`cosine_topk`
-    (approximate: recall < 1 when true neighbors live in unprobed lists).
+    (approximate: recall < 1 when true neighbors live in unprobed lists;
+    the measured recall gate lives in tests/test_ivf_recall.py and
+    docs/SCALE.md).  Pass ``index`` — a prebuilt :func:`ivf_assign`
+    result — to amortize quantizer training across queries (the
+    production pattern: build once, probe per query).
     """
-    centroids, assignments = ivf_assign(
+    centroids, assignments = index if index is not None else ivf_assign(
         df, id_col, vec_col, num_centroids, centroid_mode=centroid_mode, seed=seed
     )
     qv = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
