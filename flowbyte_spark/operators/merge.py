@@ -103,22 +103,20 @@ def _updates_to_df(
     return spark.createDataFrame(rows, schema), True
 
 
-def update_by_keys(
+def prepare_update_delta(
     target: DataFrame,
     update_records: DataFrame | Sequence[Mapping],
     key_columns: Sequence[str],
-) -> DataFrame:
-    """Apply keyed point-updates to ``target``; returns the merged DataFrame.
+) -> tuple[DataFrame | None, list[str], list[str]]:
+    """Normalize updates into a one-row-per-key merge delta.
 
-    Semantics of the reference's ``update_data`` (sql.py:191-249): every
-    non-key column present in the updates overwrites the matching target
-    row; unmatched target rows pass through unchanged.  A key column missing
-    from the updates is dropped from the join predicate with a warning,
-    mirroring sql.py:236-239 (where a record lacking a key loses that
-    predicate term).
-
-    Updates that match no target row are ignored (an SQL UPDATE never
-    inserts) — use :meth:`ParquetTable.append` for inserts.
+    Returns ``(delta, keys, set_cols)`` where ``delta`` carries
+    ``keys + set_cols`` plus a boolean ``__has_<c>__`` presence flag per set
+    column (last-record-wins per column, explicit NULLs preserved), or
+    ``(None, keys, [])`` when the updates set nothing.  Shared by the
+    join-based :func:`update_by_keys` and the transactional-catalog MERGE
+    compiler (operators/table.py) so both backends apply byte-identical
+    update semantics.
     """
     spark = target.sparkSession
     tgt_types = {f.name: f.dataType for f in target.schema.fields}
@@ -141,7 +139,7 @@ def update_by_keys(
     if unknown:
         log.warning(f"update columns {unknown} not present in target — ignored")
     if not set_cols:  # keys-only records: an UPDATE that sets nothing
-        return target
+        return None, keys, []
 
     # Align update-side types with the target before the join so the merge
     # never widens the table schema (int delta vs long target etc.).
@@ -170,6 +168,31 @@ def update_by_keys(
             *[F.max(_has(c)).alias(_has(c)) for c in set_cols],
         )
     )
+    return updates, keys, set_cols
+
+
+def update_by_keys(
+    target: DataFrame,
+    update_records: DataFrame | Sequence[Mapping],
+    key_columns: Sequence[str],
+) -> DataFrame:
+    """Apply keyed point-updates to ``target``; returns the merged DataFrame.
+
+    Semantics of the reference's ``update_data`` (sql.py:191-249): every
+    non-key column present in the updates overwrites the matching target
+    row; unmatched target rows pass through unchanged.  A key column missing
+    from the updates is dropped from the join predicate with a warning,
+    mirroring sql.py:236-239 (where a record lacking a key loses that
+    predicate term).
+
+    Updates that match no target row are ignored (an SQL UPDATE never
+    inserts) — use :meth:`ParquetTable.append` for inserts.
+    """
+    updates, keys, set_cols = prepare_update_delta(
+        target, update_records, key_columns
+    )
+    if updates is None:
+        return target
 
     u = F.broadcast(updates.alias("u"))
     t = target.alias("t")

@@ -27,9 +27,10 @@ from pyspark.sql import functions as F
 
 from flowbyte_spark import log
 from flowbyte_spark.operators.merge import update_by_keys, update_from_table
+from flowbyte_spark.operators.table import Table
 
 
-class ParquetTable:
+class ParquetTable(Table):
     """A directory-backed parquet table with SQL-ish mutation semantics."""
 
     def __init__(self, spark: SparkSession, path: str):

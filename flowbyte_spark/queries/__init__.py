@@ -89,6 +89,7 @@ def _reorder() -> None:
         # changed-in-round-5 queries that sorted order would leave outside
         # the window (forced in by the _coverage policy test).
         "v34_range_join",  # asof.py integer bucket math
+        "v36_grouping_sets",  # cube_agg → cache (r5 seam/accounting edits)
         "v42_cube",  # cube_agg imports operators.cache (exact-id accounting)
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole

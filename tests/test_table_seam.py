@@ -1,0 +1,135 @@
+"""Transactional-catalog seam (operators/table.py).
+
+No Delta/Iceberg jars ship in this sandbox, so coverage splits three ways:
+1. interface conformance — both backends implement the same Table ABC;
+2. SQL compilation — the MERGE/DELETE strings CatalogTable would execute
+   are asserted exactly (they are pure functions of the delta shape);
+3. end-to-end — a skip-marked integration test that runs wherever a v2
+   catalog is importable (``pytest -m ''`` on a Delta-enabled cluster).
+
+The parquet backend's behavior itself is pinned by the existing oracle
+tests (v17/v18) and tests/test_tier_a_operators.py — the seam must not
+change it, which test 1 plus those suites verifies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flowbyte_spark.operators import table as tbl
+from flowbyte_spark.operators.mutate import ParquetTable
+from flowbyte_spark.operators.table import (
+    CatalogTable,
+    Table,
+    compile_delete,
+    compile_merge_update,
+    quote_table,
+)
+
+
+def test_parquet_table_implements_seam():
+    assert issubclass(ParquetTable, Table)
+    assert issubclass(CatalogTable, Table)
+    # No abstract method left unimplemented — instantiation would raise.
+    assert not getattr(ParquetTable, "__abstractmethods__", None)
+    assert not getattr(CatalogTable, "__abstractmethods__", None)
+
+
+def test_quote_table_multipart():
+    assert quote_table("cat.db.t") == "`cat`.`db`.`t`"
+    assert quote_table("we`ird") == "`we``ird`"
+
+
+def test_compile_delete():
+    assert compile_delete("db.t", None) == "DELETE FROM `db`.`t`"
+    assert (
+        compile_delete("db.t", "x > 3 AND y IS NULL")
+        == "DELETE FROM `db`.`t` WHERE x > 3 AND y IS NULL"
+    )
+
+
+def test_compile_merge_with_presence_flags():
+    sql = compile_merge_update(
+        "db.t", "v", ["k1", "k2"], ["a", "b"], presence_flags=True
+    )
+    assert sql == (
+        "MERGE INTO `db`.`t` AS t USING `v` AS s "
+        "ON t.`k1` = s.`k1` AND t.`k2` = s.`k2` "
+        "WHEN MATCHED THEN UPDATE SET "
+        "t.`a` = CASE WHEN s.`__has_a__` THEN s.`a` ELSE t.`a` END, "
+        "t.`b` = CASE WHEN s.`__has_b__` THEN s.`b` ELSE t.`b` END"
+    )
+
+
+def test_compile_merge_plain():
+    sql = compile_merge_update("t", "v", ["k"], ["a"], presence_flags=False)
+    assert sql == (
+        "MERGE INTO `t` AS t USING `v` AS s ON t.`k` = s.`k` "
+        "WHEN MATCHED THEN UPDATE SET t.`a` = s.`a`"
+    )
+
+
+def test_validate_predicate_fails_closed(spark):
+    tbl.validate_predicate(spark, "o_totalprice > 100")
+    for bad in (
+        "1; DROP TABLE orders",
+        "x > 1) OR (1=1",
+        "DELETE FROM orders",
+    ):
+        with pytest.raises(Exception):
+            tbl.validate_predicate(spark, bad)
+
+
+def test_catalog_delete_where_rejects_before_any_sql(spark):
+    # The parse gate fires before the table is ever touched, so even a
+    # nonexistent identifier proves injection strings never reach SQL.
+    t = CatalogTable(spark, "nonexistent.table")
+    with pytest.raises(Exception):
+        t.delete_where("1; DROP TABLE x")
+
+
+def _has_delta() -> bool:
+    try:  # pragma: no cover - sandbox has no delta jars
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_delta(), reason="no Delta jars in sandbox")
+def test_catalog_table_end_to_end(tmp_path):  # pragma: no cover
+    """Full MERGE/DELETE cycle against a real Delta catalog.
+
+    Mirrors tests/test_tier_a_operators.py's ParquetTable scenario so the
+    two backends are checked for identical net state where both run.
+    """
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.sql.warehouse.dir", str(tmp_path))
+    )
+    spark = configure_spark_with_delta_pip(builder).getOrCreate()
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, v DOUBLE"
+    )
+    df.writeTo("seam_t").using("delta").create()
+    t = CatalogTable(spark, "seam_t")
+    t.update_by_keys([{"k": 1, "v": 99.0}, {"k": 2, "s": None}], ["k"])
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert rows[1]["v"] == 99.0 and rows[1]["s"] == "a"
+    assert rows[2]["s"] is None and rows[2]["v"] == 20.0
+    assert t.delete_where("k = 3") == 1
+    assert t.read().count() == 2
+    t.truncate()
+    assert t.read().count() == 0
