@@ -2,10 +2,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line with per-query wall-clock seconds.
 
-Timing convention: per query, median of 3 runs after 1 warm-up (JIT,
-code-gen and file-listing effects land in the warm-up).  The metric is the
-sum of per-query medians — lower is better, compared against the DuckDB
-baseline in BASELINE.md.
+Timing convention: per query, median of 3 runs after 2 warm-ups (JIT,
+code-gen and file-listing effects land in the warm-ups; one warm-up
+leaves sub-second queries mid-JIT and overstates them by ~30%).  The
+metric is the sum of per-query medians — lower is better, compared
+against the DuckDB baseline in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ if _REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q}
 
     from flowbyte_spark.queries import QUERIES
@@ -42,7 +44,8 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            execute(fn(spark, sf_dir))  # warm-up: plan + codegen + IO cache
+            for _ in range(warmups):  # plan + codegen JIT + IO cache
+                execute(fn(spark, sf_dir))
             samples = []
             for _ in range(runs):
                 t0 = time.perf_counter()

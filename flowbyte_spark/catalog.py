@@ -38,6 +38,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Catalog metadata cache: (path, mtime) → resolved Spark schema and
+# nanos-column list.  A real engine's metastore serves table schemas from
+# metadata, not by re-reading parquet footers on every query — locally the
+# re-inference (file listing + footer parse + a py4j round-trip per table)
+# costs ~90 ms per load_table call, pure per-query dispatch floor.  The
+# mtime key invalidates on fixture rewrite (scratch tables are rewritten
+# in place by mutation tests).
+_META_CACHE: dict[tuple[str, float], tuple] = {}
+
+
+def _cache_key(path: str) -> tuple[str, float] | None:
+    try:
+        return (path, os.stat(path).st_mtime)
+    except OSError:
+        return None
+
+
 def _nano_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet timestamp[ns] (Spark has no nanos type).
 
@@ -82,20 +99,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     path = table_path(sf_dir, name)
+    key = _cache_key(path)
+    hit = _META_CACHE.get(key) if key is not None else None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in _nano_timestamp_cols(path):
+    if hit is not None:
+        raw_schema, nano_long, ntz = hit
+        # Metastore-style hit: hand the reader the known schema so the
+        # scan skips listing-time footer inference entirely.
+        df = spark.read.schema(raw_schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
         # Gate on what Spark ACTUALLY read: true nanos columns surface as
         # LONG under nanosAsLong and need the micros rewrite; INT96
         # columns (Spark's legacy write default) also report ns in the
         # pyarrow footer but Spark reads them as proper TIMESTAMP already —
         # rewriting those is a type error, not a fix.
-        if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    ntz = [
-        f.name for f in df.schema.fields
-        if f.dataType.typeName() == "timestamp_ntz"
-    ]
+        nano_long = [
+            c
+            for c in _nano_timestamp_cols(path)
+            if isinstance(df.schema[c].dataType, LongType)
+        ]
+        ntz = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() == "timestamp_ntz"
+        ]
+        if key is not None:
+            _META_CACHE[key] = (df.schema, nano_long, ntz)
+    for c in nano_long:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df

@@ -448,32 +448,47 @@ def v13_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns and project the derived strings AFTER the sort — the range
     # exchange (and its sampling pass) then moves ~half the bytes, and the
     # projection is a narrow op that preserves the sorted order.  Join
-    # inputs are pruned explicitly; the join strategy stays AQE's call
-    # (broadcast at bench scale, shuffle join when customer outgrows it).
+    # inputs are pruned explicitly.
+    #
+    # The sort itself is size-adaptive (VERDICT r4 #2, the last of v13's
+    # dispatch floor): when BOTH scans are single-split (sf0.1: orders
+    # 2.6 MB) the broadcast-joined output is one partition and
+    # ``global_sort`` elides the range exchange — no sampling pass, no
+    # shuffle, no AQE stage barrier, and a partition-local sort is a
+    # total order.  Past one split the branch collapses to plain
+    # ``orderBy`` + AQE's join choice, the canonical 100 TB plan
+    # (BASELINE.md measures it at 0.41x DuckDB at 10x).
+    from flowbyte_spark.catalog import table_path
+    from flowbyte_spark.operators.ordering import (
+        fits_single_partition,
+        global_sort,
+    )
+
+    small = fits_single_partition(
+        spark, table_path(sf_dir, "orders"), table_path(sf_dir, "customer")
+    )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .orderBy("o_orderkey")
-        .select(
-            "o_orderkey",
-            F.upper(F.substring("c_name", 1, 8)).alias("cust_prefix"),
-            F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
-            F.length("c_name").cast("long").alias("name_len"),
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
-                "order_month"
-            ),
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
-            )
-            .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
-            .otherwise("low")
-            .alias("prio_bucket"),
-        )
+    if small:  # pin BHJ: the single-partition ordering claim needs it
+        customer = F.broadcast(customer)
+    joined = orders.join(customer, orders.o_custkey == F.col("c_custkey"))
+    # selectExpr: one py4j round-trip for the whole projection (the nested
+    # Column-builder form costs ~20 driver calls — measurable against a
+    # sub-second query, identical plan after parsing).
+    return global_sort(joined, "o_orderkey", single_partition=small).selectExpr(
+        "o_orderkey",
+        "upper(substring(c_name, 1, 8)) AS cust_prefix",
+        "concat_ws('|', c_mktsegment, c_name) AS tagged",
+        "CAST(length(c_name) AS BIGINT) AS name_len",
+        "date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd')"
+        " AS order_month",
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'"
+        " WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'"
+        " ELSE 'low' END AS prio_bucket",
     )
 
 
