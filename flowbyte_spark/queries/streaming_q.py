@@ -153,17 +153,20 @@ def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale = events.where(
         F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
     ).limit(2000)
-    sentinel = spark.createDataFrame(
-        [(int(-1), max_ts, int(-1), "__sentinel__", 0.0, "{}")],
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING",
-    ).select(
-        "event_id",
-        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+    # One JVM-side row (range + literals), NOT createDataFrame([...]):
+    # a list-backed local relation parallelizes into defaultParallelism
+    # Python slices, and the coalesce(1) below would compute all 32 of
+    # them SEQUENTIALLY in one task — one Python-worker round-trip each,
+    # ~4.5 s of pure overhead for a single sentinel row (measured).
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 3 HOURS")).alias(
+            "ts"
+        ),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
     )
 
     # FileStreamSource orders files by modification time: pin strictly
@@ -191,7 +194,14 @@ def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="append"
     )
-    run_available_now(writer)
+    # State width right-sized to the live window count (~25 hourly
+    # windows inside the 1 h watermark horizon) for the duration of the
+    # synchronous run — see scoped_sql_conf's docstring for the 100 TB
+    # framing.  The batch sort below runs at the restored engine width.
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
 
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)

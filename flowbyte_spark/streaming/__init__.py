@@ -154,3 +154,39 @@ def run_available_now(writer) -> None:
     trigger used by tests and backfills."""
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def scoped_sql_conf(spark: SparkSession, **confs: str):
+    """Set runtime SQL confs for the duration of a synchronous streaming
+    run, restoring the previous values after.
+
+    The canonical use is right-sizing stateful-shuffle width: a stream's
+    state-store partition count is fixed from ``spark.sql.shuffle.partitions``
+    when its (fresh) checkpoint is initialized, and a watermarked hourly
+    window grid holds only (horizon / slide) windows — 32 state partitions
+    for ~25 live windows is 32 store opens + commits + checkpoint files
+    per micro-batch of pure overhead.  On a real cluster the same knob is
+    sized to executor count before the stream starts; AQE cannot help,
+    because stateful exchanges are excluded from runtime coalescing
+    (state partitioning must stay stable across batches).
+    """
+    keys = {k.replace("__", ".") if "__" in k else k: v for k, v in confs.items()}
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
