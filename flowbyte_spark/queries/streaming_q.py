@@ -59,7 +59,10 @@ def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="complete"
     )
-    run_available_now(writer)
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
 
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -107,7 +110,10 @@ def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer = foreach_batch_sink(
         agg, write, checkpoint=ckpt, output_mode="complete"
     )
-    run_available_now(writer)
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
 
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
