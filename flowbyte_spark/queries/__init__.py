@@ -91,6 +91,11 @@ def _reorder() -> None:
         "v34_range_join",  # asof.py integer bucket math
         "v36_grouping_sets",  # cube_agg → cache (r5 seam/accounting edits)
         "v42_cube",  # cube_agg imports operators.cache (exact-id accounting)
+        # streaming_q rewrites this round (sentinel build, scoped state
+        # width) — narrow-affected, must re-verify in-window.
+        "v32_streaming_window",
+        "v59_sliding_window",
+        "v60_late_data_drop",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

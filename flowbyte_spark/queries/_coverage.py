@@ -305,14 +305,8 @@ def query_units(repo: str) -> dict[str, Unit]:
 # the answer
 
 
-def affected_queries(repo: str, sha: str) -> set[str]:
-    """Names of registered queries whose code changed since ``sha``,
-    directly or through anything they transitively reference."""
-    changed = changed_units(repo, sha)
-    if not changed:
-        return set()
-    edges = build_edges(repo)
-    affected = set(changed)
+def _reach(seed: set[Unit], edges: dict[Unit, set[Unit]]) -> set[Unit]:
+    affected = set(seed)
     moved = True
     while moved:
         moved = False
@@ -320,4 +314,47 @@ def affected_queries(repo: str, sha: str) -> set[str]:
             if unit not in affected and refs & affected:
                 affected.add(unit)
                 moved = True
+    return affected
+
+
+def affected_queries(repo: str, sha: str) -> set[str]:
+    """Names of registered queries whose code changed since ``sha``,
+    directly or through anything they transitively reference."""
+    changed = changed_units(repo, sha)
+    if not changed:
+        return set()
+    affected = _reach(changed, build_edges(repo))
     return {q for q, unit in query_units(repo).items() if unit in affected}
+
+
+def affected_queries_split(
+    repo: str, sha: str, universal_frac: float = 0.5
+) -> tuple[set[str], set[str]]:
+    """Split the affected set into ``(narrow, infra)``.
+
+    A changed unit is *universal infrastructure* when it alone reaches more
+    than ``universal_frac`` of the registry (e.g. ``catalog.load_table``,
+    the session factory): such a change affects more queries than the
+    50-slot driver window can hold, so window coverage is physically
+    impossible and the fallback gate is the in-suite oracle harness (every
+    registered oracle runs in the same pytest invocation).  ``narrow`` —
+    queries reached by at least one NON-universal changed unit (their own
+    module, a specific operator) — must still sit inside the window: that
+    is the v34/v64-class regression the policy exists for.  ``infra`` is
+    the remainder, affected only through universal units.
+    """
+    changed = changed_units(repo, sha)
+    if not changed:
+        return set(), set()
+    edges = build_edges(repo)
+    qunits = query_units(repo)
+    total = max(len(qunits), 1)
+    narrow: set[str] = set()
+    everything: set[str] = set()
+    for c in changed:
+        reached = _reach({c}, edges)
+        qs = {q for q, unit in qunits.items() if unit in reached}
+        everything |= qs
+        if len(qs) <= universal_frac * total:
+            narrow |= qs
+    return narrow, everything - narrow

@@ -58,10 +58,21 @@ def test_in_round_changed_queries_sit_inside_driver_window():
     sha = _coverage.round_start_sha(repo)
     if sha is None:
         pytest.skip("no round-boundary commit in history")
-    affected = _coverage.affected_queries(repo, sha)
+    narrow, infra = _coverage.affected_queries_split(repo, sha)
     window = set(list(QUERIES)[:50])
-    outside = sorted(affected - window)
+    outside = sorted(narrow - window)
     assert not outside, (
         "queries changed this round but OUTSIDE the driver window "
         f"(add them to the _reorder head list): {outside}"
+    )
+    # Universal-infrastructure changes (catalog/session-level) can reach
+    # more queries than the 50-slot window holds; the fallback gate is the
+    # in-suite oracle harness, so every overflow query must carry an
+    # oracle (or be a documented rows-only query) — those differentials
+    # run in this same pytest invocation.
+    rows_only_by_design = {"v37_approx_distinct", "v61_approx_percentiles"}
+    unguarded = sorted((infra - window) - set(ORACLE) - rows_only_by_design)
+    assert not unguarded, (
+        "infra-affected queries outside the window lack an oracle row "
+        f"in the suite: {unguarded}"
     )
