@@ -96,8 +96,15 @@ def v18_insert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir("v18_nation")
     table = ParquetTable(spark, path)
     table.overwrite(nation)
+    # pandas + Arrow: one partition for 10 rows.  A list-backed
+    # createDataFrame parallelizes into defaultParallelism Python-RDD
+    # slices — 32 Python-worker round-trips to append 10 rows.
+    import pandas as pd
+
     new_rows = spark.createDataFrame(
-        [{"n_nationkey": k, "n_name": n, "n_regionkey": r} for k, n, r in _V18_VALUES]
+        pd.DataFrame(
+            [{"n_nationkey": k, "n_name": n, "n_regionkey": r} for k, n, r in _V18_VALUES]
+        )
     )
     # align delta types with the table schema (int32 region keys etc.)
     new_rows = new_rows.select(

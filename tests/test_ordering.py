@@ -25,12 +25,29 @@ def test_single_partition_claim_matches_fixture(spark):
     # and a deliberately tiny threshold flips it (the 100 TB branch)
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
     try:
         assert not ordering.fits_single_partition(
             spark, table_path(SF, "orders")
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+
+
+def test_scan_partitions_matches_spark(spark, tmp_path):
+    """The simulation must agree with Spark's actual FilePartition packing
+    — single file, and the multi-small-file layout where a byte threshold
+    gets it wrong (ten 60 KB files pack by open cost, not by size)."""
+    for name in ("orders", "customer", "lineitem"):
+        path = table_path(SF, name)
+        actual = spark.read.parquet(path).rdd.getNumPartitions()
+        assert ordering.scan_partitions(spark, path) == actual, name
+    multi = str(tmp_path / "multi.parquet")
+    spark.range(100000).repartition(10).write.parquet(multi)
+    actual = spark.read.parquet(multi).rdd.getNumPartitions()
+    assert ordering.scan_partitions(spark, multi) == actual
+    assert not ordering.fits_single_partition(spark, multi)
 
 
 def test_small_path_elides_range_exchange_and_totally_orders(spark):
