@@ -244,3 +244,61 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Training documents sharing at least one word ``n``-gram with the
+    benchmark corpus, with the matched-gram count.
+
+    The eval-set leakage check every LLM data pipeline runs before
+    training: returns ``(id, n_matched)`` for contaminated docs — callers
+    drop them with an anti-join (see ``decontaminate``).
+
+    Plan: distinct benchmark grams (small side — benchmarks are thousands
+    of docs, so AQE broadcasts the deduped gram set) semi-joined against
+    the exploded train grams; one shuffle on the gram key at worst,
+    map-side broadcast probe at best.  Long n (default 8) keeps chance
+    collisions near zero so matches mean real overlap.
+    """
+    bench_grams = (
+        ensure_parallelism(bench)
+        .select(F.explode(word_shingles(text_col, n)).alias("g"))
+        .distinct()
+    )
+    train_grams = ensure_parallelism(train).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    )
+    return (
+        train_grams.join(bench_grams, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """``train`` minus every benchmark-contaminated document (left
+    anti-join on :func:`benchmark_contamination`)."""
+    hits = benchmark_contamination(train, bench, id_col, text_col, n)
+    return train.join(
+        hits.withColumnRenamed("id", id_col).select(id_col),
+        id_col,
+        "left_anti",
+    )

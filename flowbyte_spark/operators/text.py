@@ -206,3 +206,45 @@ def repetition_signals(
         ),
         q4(top_count / F.size("bg")).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no lookaround/backreferences):
+# the DuckDB oracle runs the SAME strings, so cross-engine equality is
+# part of the operator's test surface, and on the engine side they stay
+# inside codegen'd regexp_replace — no UDF, linear scan cost.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans and count them per category.
+
+    Adds one ``n_<category>`` LONG column per pattern (match count on the
+    RAW text) and ``out_col`` with every category redacted in declaration
+    order.  Map-only — no shuffle, no UDF; at 100 TB the cost is the scan
+    plus regex CPU, spread across executors.  Counting before redaction
+    keeps categories independent (an email inside an already-redacted
+    span would otherwise be order-sensitive).
+    """
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(p)).cast("long").alias(f"n_{name}")
+        for name, (p, _r) in pats.items()
+    ]
+    scrubbed = c
+    for _name, (p, r) in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, p, r)
+    return df.select("*", *counts, scrubbed.alias(out_col))

@@ -96,6 +96,30 @@ def _reorder() -> None:
         "v32_streaming_window",
         "v59_sliding_window",
         "v60_late_data_drop",
+        # new this round: no prior driver row exists at all.
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        # text.py/dedup.py/similarity.py gained or touched operators in-
+        # round (PII scrub, decontamination, IVF index reuse); the
+        # conservative module-level change tracking marks their sibling
+        # queries changed too — re-verify in-window.
+        "v19_dedup_exact",
+        "v20_cosine_topk",
+        "v21_dedup_content_hash",
+        "v22_minhash_lsh",
+        "v23_jaccard_pairs",
+        "v24_simhash",
+        "v25_ann_ivf",
+        "v26_embedding_neardup",
+        "v27_text_quality",
+        "v28_lang_id",
+        "v29_token_count",
+        "v30_fingerprint",
+        "v31_multimodal_features",
+        # merge/mutate/table seam + v13 sort/catalog work this round.
+        "v13_scalar_funcs",
+        "v17_update_by_keys",
+        "v18_insert_delete",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -517,3 +517,105 @@ def v31_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1).cast("double") * 255.0, 0)
         .cast("double").alias("f0_raw"),
     ).withColumn("f0", F.col("f0_raw") / 255.0).drop("f0_raw").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# V68 — PII scrubbing (regex redaction + per-category counts)
+# ---------------------------------------------------------------------------
+# The fixture text is synthetic and PII-free, so both sides inject the
+# SAME deterministic PII spans (email/phone/IP derived from doc_id) and
+# then scrub them — the oracle checks counts AND the redacted text, so a
+# pattern that over- or under-matches in either regex engine fails the
+# hash.  Patterns are shared RE2-compatible strings (operators/text.py
+# PII_PATTERNS).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+@register(
+    "v68_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               substr(text, 1, 40) || ' contact user' || doc_id ||
+               '@example.com call +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS scrubbed
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def v68_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("raw"),
+    )
+    return (
+        T.pii_scrub(aug, "raw")
+        .select("doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V69 — benchmark decontamination (eval-set leakage check)
+# ---------------------------------------------------------------------------
+_DECONTAM_N = 8
+
+
+@register(
+    "v69_decontaminate",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+{_DECONTAM_N - 1}], ' ')
+                              for i in range(1, len(w) - {_DECONTAM_N - 2})]) AS g
+        FROM d WHERE len(w) >= {_DECONTAM_N}),
+    bench AS (SELECT DISTINCT unnest(g) AS gg FROM sh WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_matched
+        FROM (SELECT doc_id, unnest(g) AS gg FROM sh WHERE doc_id % 50 <> 0) s
+        JOIN bench USING (gg)
+        GROUP BY s.doc_id)
+    SELECT doc_id, n_matched FROM hits ORDER BY doc_id
+    """,
+)
+def v69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic benchmark split (doc_id % 50 = 0 plays the eval set);
+    contaminated train docs are those sharing any 8-gram with it — at
+    fixture scale exactly the planted near-duplicates surface.  The
+    companion ``decontaminate`` anti-join is exercised in the operator
+    tests; the registered query returns the contamination report (stable,
+    small, hashable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return (
+        D.benchmark_contamination(
+            train, bench, "doc_id", "text", n=_DECONTAM_N
+        )
+        .select(F.col("id").alias("doc_id"), "n_matched")
+        .orderBy("doc_id")
+    )

@@ -20,6 +20,8 @@ LLM = [
     "v29_token_count",
     "v30_fingerprint",
     "v31_multimodal_features",
+    "v68_pii_scrub",
+    "v69_decontaminate",
 ]
 
 
