@@ -271,19 +271,48 @@ def benchmark_contamination(
     map-side broadcast probe at best.  Long n (default 8) keeps chance
     collisions near zero so matches mean real overlap.
     """
+    # No fan-out on the benchmark side: evals are small by definition, and
+    # an extra round-robin exchange + AQE stage costs more than exploding
+    # a few thousand docs on their natural partitioning.
     bench_grams = (
-        ensure_parallelism(bench)
-        .select(F.explode(word_shingles(text_col, n)).alias("g"))
-        .distinct()
+        _exploded_ngrams(bench, id_col, text_col, n).select("g").distinct()
     )
-    train_grams = ensure_parallelism(train).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    )
+    train_grams = _exploded_ngrams(ensure_parallelism(train), id_col, text_col, n)
+    # count DISTINCT matched grams: a doc repeating a gram matches it once
+    # (same semantics as word_shingles' per-doc array_distinct) — the
+    # distinct lives in the aggregate, not an extra pre-join shuffle.
     return (
         train_grams.join(bench_grams, "g")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .agg(F.countDistinct("g").alias("n_matched"))
+    )
+
+
+def _exploded_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram) rows via explode-the-offsets, NOT explode-the-array.
+
+    ``word_shingles`` builds the gram array with ``transform`` — a
+    higher-order function Catalyst evaluates INTERPRETED (no whole-stage
+    codegen), which at millions of grams turns into an allocation storm
+    with wildly variable wall times (measured 3-44 s run-to-run on the
+    same data).  Exploding the offset sequence and computing one gram per
+    row with plain ``slice``+``array_join`` keeps every expression inside
+    codegen; per-doc gram dedup moves to a (id, gram) shuffle, which is
+    the stable, linearly-scaling form.  Word-array semantics match
+    word_shingles exactly (same split, same n-window).
+    """
+    w = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("id"), w.alias("w"))
+        .where(F.size("w") >= n)
+        .select(
+            "id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
+        )
+        .select("id", F.array_join(F.slice("w", F.col("i"), n), " ").alias("g"))
     )
 
 

@@ -42,6 +42,12 @@ ENGINE_CONF: dict[str, str] = {
     # 10x bench scale).  Static conf — only takes effect when this factory
     # creates the JVM; a cluster submit sizes driver/executors itself.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # JIT code cache: the default 240 MB fills after ~60 codegen-heavy
+    # queries in one long-lived session; once full the JIT stops
+    # compiling and whole stages run interpreted (measured: a 3 s query
+    # degrading to 30-75 s late in the bench suite, CPU-bound, GC quiet).
+    # Same flag a production long-running Spark app server would set.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     # ANSI off: the reference's pass-through surface is permissive T-SQL
     "spark.sql.ansi.enabled": "false",
     # fixtures carry TIMESTAMP(NANOS) parquet columns, which Spark has no
