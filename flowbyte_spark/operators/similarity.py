@@ -289,6 +289,83 @@ def cosine_topk_gemm(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    centroid_mode: str = "lowest_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then prune within
+    cluster (Abbas et al. 2023, arXiv:2303.09540 — published method; no
+    counterpart in the reference, which has no vector capability).
+
+    Returns ``(id, cid, kept)``: every input row tagged with its cluster
+    and whether it survives.  A row is pruned (``kept=false``) when some
+    SAME-CLUSTER row with a LOWER id has cosine similarity ≥ ``threshold``
+    — the deterministic exemplar rule: the lowest id of every near-dup
+    neighborhood survives, and reruns/appends cannot flip survivors the
+    way a random-exemplar rule would.
+
+    Scale shape (the SemDeDup design point): the O(n²) all-pairs
+    comparison collapses to O(Σ|cluster|²) — n²/k for k balanced clusters
+    — and the pair stage is an equi-join on ``cid``, so each cluster's
+    comparisons co-locate on one executor.  At 100 TB pick
+    ``num_centroids`` so one cluster's vectors fit a task
+    (~ n·dim·8/k bytes) and use ``centroid_mode='kmeans'``
+    (:func:`kmeans_centroids`) for balanced lists; a residual hot cluster
+    can run the block-pair GEMM (:func:`embedding_neardup_blocked`)
+    within the cluster instead of the codegen pair join.
+
+    Cosine arithmetic: norms are hoisted per row (O(n)) so the O(n²/k)
+    pair stage evaluates only the dot product; the value is bit-identical
+    to computing the full cosine per pair (same sqrt, same product, same
+    division), keeping q4-rounded sims exactly equal to the cross-engine
+    oracle's.
+    """
+    from flowbyte_spark.functions import dot, l2_norm
+
+    _, assignments = ivf_assign(
+        df,
+        id_col,
+        vec_col,
+        num_centroids,
+        centroid_mode=centroid_mode,
+        seed=seed,
+    )
+    sides = assignments.select(
+        "id", "cid", "vec", l2_norm(F.col("vec")).alias("nrm")
+    )
+    left = sides.select(
+        "cid",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = sides.select(
+        "cid",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dups = (
+        left.join(right, "cid")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(
+            q4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            >= threshold
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assignments.join(dups, "id", "left").select(
+        "id", "cid", F.col("__dup").isNull().alias("kept")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     id_col: str,

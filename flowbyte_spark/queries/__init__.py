@@ -99,6 +99,7 @@ def _reorder() -> None:
         # new this round: no prior driver row exists at all.
         "v68_pii_scrub",
         "v69_decontaminate",
+        "v70_semantic_dedup",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

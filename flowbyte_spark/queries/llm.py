@@ -619,3 +619,61 @@ def v69_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "n_matched")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V70 — semantic dedup (SemDeDup: cluster + within-cluster cosine prune)
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.45  # cosine; matches NEARDUP_COS_THRESHOLD scale
+SEMDEDUP_DUP_OFFSET = 100_000  # inflated-copy id offset (keeps ids disjoint)
+
+
+@register(
+    "v70_semantic_dedup",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        UNION ALL
+        SELECT vec_id + {SEMDEDUP_DUP_OFFSET}, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id % 5 = 0),
+    c AS (SELECT vec_id AS cid, vec AS cvec FROM emb ORDER BY vec_id
+          LIMIT {IVF_CENTROIDS}),
+    scored AS (
+        SELECT emb.vec_id AS id, c.cid, emb.vec,
+               ROW_NUMBER() OVER (
+                   PARTITION BY emb.vec_id
+                   ORDER BY {_q4(_COS.format(a='emb.vec', b='c.cvec'))} DESC,
+                            c.cid
+               ) AS rn
+        FROM emb, c),
+    assign AS (SELECT id, cid, vec FROM scored WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT a.id
+        FROM assign a JOIN assign b USING (cid)
+        WHERE b.id < a.id
+          AND {_q4(_COS.format(a='a.vec', b='b.vec'))} >= {SEMDEDUP_THRESHOLD})
+    SELECT id, cid, id NOT IN (SELECT id FROM dropped) AS kept
+    FROM assign ORDER BY id
+    """,
+)
+def v70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a duplicate-inflated embedding corpus: every fifth
+    vector reappears under a high id, so the exact copies MUST land in
+    their original's cluster and prune (the lowest-id exemplar survives),
+    alongside whatever organic near-dups sit above the cosine threshold.
+    The full (id, cid, kept) assignment is hash-checked, so a wrong
+    cluster, a missed prune, or a flipped survivor all break the gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    inflated = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + SEMDEDUP_DUP_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return S.semantic_dedup(
+        inflated,
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        num_centroids=IVF_CENTROIDS,
+    ).orderBy("id")

@@ -22,6 +22,7 @@ LLM = [
     "v31_multimodal_features",
     "v68_pii_scrub",
     "v69_decontaminate",
+    "v70_semantic_dedup",
 ]
 
 
