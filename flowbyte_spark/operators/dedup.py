@@ -289,7 +289,11 @@ def benchmark_contamination(
 
 
 def _exploded_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, gram) rows via explode-the-offsets, NOT explode-the-array.
 
@@ -304,15 +308,21 @@ def _exploded_ngrams(
     word_shingles exactly (same split, same n-window).
     """
     w = F.split(F.col(text_col), " ")
+    extra = list(extra_cols)
     return (
-        df.select(F.col(id_col).alias("id"), w.alias("w"))
+        df.select(F.col(id_col).alias("id"), *extra, w.alias("w"))
         .where(F.size("w") >= n)
         .select(
             "id",
+            *extra,
             "w",
             F.explode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias("i"),
         )
-        .select("id", F.array_join(F.slice("w", F.col("i"), n), " ").alias("g"))
+        .select(
+            "id",
+            *extra,
+            F.array_join(F.slice("w", F.col("i"), n), " ").alias("g"),
+        )
     )
 
 

@@ -1,0 +1,103 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169 — published method; the reference has no data-selection
+capability): score every raw document by the log-likelihood ratio of its
+hashed n-gram bag under add-1-smoothed models of a TARGET corpus (the
+distribution you want more of) versus the RAW corpus.  High scores mean
+"looks like the target"; downstream pipelines resample or threshold on
+the score to tilt a 100 TB crawl toward a quality distribution without
+training a classifier.
+
+Scale shape — three bounded stages, nothing quadratic:
+
+1. gram explosion: one scan, codegen-only (explode-the-offsets form —
+   see ``dedup._exploded_ngrams`` for why ``transform`` lambdas are
+   banned from hot paths);
+2. bucket counts: groupBy over ``16^bucket_chars`` hashed buckets —
+   map-side partial agg collapses each partition to ≤B rows before the
+   exchange, so the shuffle is O(B × partitions) no matter the corpus;
+3. scoring: the weight table (≤B rows) broadcast-joins the gram stream
+   and a per-doc sum aggregates map-side — shuffle volume ~one row per
+   document.
+
+Cross-engine exactness: bucket ids are md5-hex prefixes (string-equal in
+every engine — no base-16 conversion), each bucket weight is quantized
+to integer 1e-4 units (``floor(w·10⁴+0.5)`` as BIGINT) and per-document
+scores are sums of those integers — exact, order-independent arithmetic,
+so the DuckDB oracle hash-matches despite floating-point ``ln``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flowbyte_spark.functions import ensure_parallelism
+from flowbyte_spark.operators.dedup import _exploded_ngrams
+
+WEIGHT_QUANTUM = 10_000  # bucket weights quantized to 1e-4
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n: int = 2,
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Score documents by hashed n-gram importance vs a target subset.
+
+    ``target`` is a boolean Column marking the rows whose distribution
+    the scores should favor (e.g. ``F.col("lang") == "en"`` or a quality
+    flag).  Returns ``(id, n_grams, score)`` for every document with at
+    least ``n`` words, where::
+
+        score  = Σ_grams w(bucket(gram))          (quantized to 1e-4)
+        w(b)   = ln((ct_b+1)/(T+B)) − ln((cr_b+1)/(R+B))
+
+    with ``ct/cr`` the bucket's gram-occurrence counts in the target
+    subset / whole corpus, ``T/R`` their totals and ``B`` the bucket
+    count — the add-1-smoothed bag-of-hashed-ngrams log-likelihood ratio
+    of the DSIR paper.  Buckets are md5-hex prefixes of the gram
+    (``16^bucket_chars`` of them), so the hashing is engine-portable.
+    """
+    num_buckets = 16**bucket_chars
+    tagged = ensure_parallelism(df).select(
+        F.col(id_col), F.col(text_col), target.alias("__t")
+    )
+    grams = _exploded_ngrams(
+        tagged, id_col, text_col, n, extra_cols=("__t",)
+    ).select(
+        "id",
+        "__t",
+        F.substring(F.md5("g"), 1, bucket_chars).alias("bkt"),
+    )
+    counts = grams.groupBy("bkt").agg(
+        F.sum(F.col("__t").cast("long")).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("t_total") + num_buckets))
+                - F.log((F.col("cr") + 1.0) / (F.col("r_total") + num_buckets))
+            )
+            * WEIGHT_QUANTUM
+            + F.lit(0.5)
+        ).alias("wq"),
+    )
+    return (
+        grams.join(F.broadcast(weights), "bkt")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (F.sum("wq") / float(WEIGHT_QUANTUM)).alias("score"),
+        )
+        .select("id", "n_grams", "score")
+    )

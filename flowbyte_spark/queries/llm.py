@@ -677,3 +677,69 @@ def v70_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMDEDUP_THRESHOLD,
         num_centroids=IVF_CENTROIDS,
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# V71 — DSIR importance weighting (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+_DSIR_N = 2
+_DSIR_BUCKET_CHARS = 3  # md5-hex prefix → 16^3 = 4096 hashed buckets
+_DSIR_B = 16**_DSIR_BUCKET_CHARS
+
+
+@register(
+    "v71_dsir_importance",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang = 'en' AS t, w
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents)
+        WHERE len(w) >= {_DSIR_N}),
+    g AS (
+        SELECT doc_id, t,
+               substr(md5(unnest([array_to_string(w[i:i+{_DSIR_N - 1}], ' ')
+                                  for i in range(1, len(w) - {_DSIR_N - 2})])),
+                      1, {_DSIR_BUCKET_CHARS}) AS bkt
+        FROM d),
+    cnt AS (
+        SELECT bkt,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+               COUNT(*) AS cr
+        FROM g GROUP BY bkt),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS rt FROM cnt),
+    wt AS (
+        SELECT bkt,
+               CAST(FLOOR((ln((ct + 1.0) / (tt + {_DSIR_B}))
+                           - ln((cr + 1.0) / (rt + {_DSIR_B}))) * 10000
+                          + 0.5) AS BIGINT) AS wq
+        FROM cnt, tot)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(wq) AS BIGINT) / 10000.0 AS score
+    FROM g JOIN wt USING (bkt)
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def v71_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores over the fixture corpus with English docs
+    as the target distribution: every document's hashed-bigram bag is
+    scored by the add-1-smoothed target-vs-raw log-likelihood ratio.
+    Weights are quantized to integer 1e-4 units before the per-doc sum,
+    so the score arithmetic is exact and order-independent — the full
+    (doc_id, n_grams, score) table hash-checks across engines."""
+    from flowbyte_spark.operators.importance import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_importance(
+            docs,
+            "doc_id",
+            "text",
+            target=F.col("lang") == "en",
+            n=_DSIR_N,
+            bucket_chars=_DSIR_BUCKET_CHARS,
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )

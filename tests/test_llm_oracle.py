@@ -23,6 +23,7 @@ LLM = [
     "v68_pii_scrub",
     "v69_decontaminate",
     "v70_semantic_dedup",
+    "v71_dsir_importance",
 ]
 
 
