@@ -33,6 +33,15 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
         # Align the driver-owned session with engine semantics (UTC
         # timestamps, Arrow, nanos-parquet handling) before planning.
         configure(spark)
+        # The driver sweeps 50 queries through ONE session, collecting
+        # each result before requesting the next — so the previous
+        # query's tracked caches (LSH signature tables, gram streams,
+        # CC round checkpoints) are already materialized and safe to
+        # free.  Without this, executor storage accumulates across the
+        # sweep and the heavy tail runs against a polluted heap.
+        from flowbyte_spark.operators import cache
+
+        cache.release_persisted()
         return fn(spark, sf_dir)
 
     return run

@@ -34,10 +34,19 @@ def main() -> None:
     spark = get_spark(app_name="flowbyte-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from flowbyte_spark.operators import cache
+
     def execute(df) -> None:
         # noop sink: full plan executes (every column materialized, nothing
         # collected) — .count() would let Catalyst prune the real work.
         df.write.format("noop").mode("overwrite").save()
+        # Tracked caches (LSH signatures, gram streams) follow the
+        # materialize-then-release contract; the noop write above IS the
+        # materialization.  Each bench iteration plans the query afresh —
+        # without the release, five iterations pile five copies of every
+        # operator-internal cache into executor storage and the timing
+        # measures memory pressure, not the query.
+        cache.release_persisted()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

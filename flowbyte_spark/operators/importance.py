@@ -63,6 +63,8 @@ def dsir_importance(
     of the DSIR paper.  Buckets are md5-hex prefixes of the gram
     (``16^bucket_chars`` of them), so the hashing is engine-portable.
     """
+    from flowbyte_spark.operators import cache
+
     num_buckets = 16**bucket_chars
     tagged = ensure_parallelism(df).select(
         F.col(id_col), F.col(text_col), target.alias("__t")
@@ -74,9 +76,21 @@ def dsir_importance(
         "__t",
         F.substring(F.md5("g"), 1, bucket_chars).alias("bkt"),
     )
-    counts = grams.groupBy("bkt").agg(
-        F.sum(F.col("__t").cast("long")).alias("ct"),
-        F.count("*").alias("cr"),
+    # Persist the BUCKET COUNTS (≤16^k rows — tiny), NOT the gram stream:
+    # counts feed both `totals` and `weights`, so an unpersisted counts
+    # subtree would re-run the whole gram explosion a third time, while
+    # caching the 10⁷-row gram stream itself costs a fresh columnar
+    # cache build + GC churn per run (measured: erratic 2-17 s at 10x).
+    # With only the count table cached, the gram scan runs exactly twice
+    # (count pass + scoring pass) — stable and purely scan-bound, the
+    # same shape DuckDB executes with its materialized CTE.  Tracked:
+    # released by the caller's cache.release_persisted() after
+    # materialization, the LSH-family contract.
+    counts = cache.persist_tracked(
+        grams.groupBy("bkt").agg(
+            F.sum(F.col("__t").cast("long")).alias("ct"),
+            F.count("*").alias("cr"),
+        )
     )
     totals = counts.agg(
         F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")

@@ -297,6 +297,8 @@ def semantic_dedup(
     num_centroids: int = 16,
     centroid_mode: str = "lowest_id",
     seed: int = 42,
+    pair_mode: str = "gemm",
+    assign_mode: str = "gemm",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster, then prune within
     cluster (Abbas et al. 2023, arXiv:2303.09540 — published method; no
@@ -319,13 +321,18 @@ def semantic_dedup(
     can run the block-pair GEMM (:func:`embedding_neardup_blocked`)
     within the cluster instead of the codegen pair join.
 
-    Cosine arithmetic: norms are hoisted per row (O(n)) so the O(n²/k)
-    pair stage evaluates only the dot product; the value is bit-identical
-    to computing the full cosine per pair (same sqrt, same product, same
-    division), keeping q4-rounded sims exactly equal to the cross-engine
-    oracle's.
+    ``pair_mode='gemm'`` (default, the registered path) runs each
+    cluster's comparison as one Arrow-batched BLAS kernel inside
+    ``applyInPandas`` — the cluster's rows already co-locate after the
+    groupBy exchange, and one (|c| × dim) @ (dim × |c|) product replaces
+    |c|² interpreted array folds (``zip_with``/``aggregate`` lambdas are
+    excluded from whole-stage codegen — the same measured cliff that
+    reshaped v69).  ``pair_mode='join'`` is the pure-Catalyst reference
+    implementation (norms hoisted per row, pair stage dot-product-only);
+    both produce identical q4-rounded sims and are equivalence-tested.
     """
     from flowbyte_spark.functions import dot, l2_norm
+    from flowbyte_spark.operators import cache
 
     _, assignments = ivf_assign(
         df,
@@ -334,33 +341,61 @@ def semantic_dedup(
         num_centroids,
         centroid_mode=centroid_mode,
         seed=seed,
+        assign_mode=assign_mode,
     )
-    sides = assignments.select(
-        "id", "cid", "vec", l2_norm(F.col("vec")).alias("nrm")
-    )
-    left = sides.select(
-        "cid",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    right = sides.select(
-        "cid",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dups = (
-        left.join(right, "cid")
-        .where(F.col("id_b") < F.col("id_a"))
-        .where(
-            q4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-            >= threshold
+    # The assignment table feeds BOTH the prune stage and the final kept
+    # join; persist it so the n×k cosine assignment pass runs once.
+    # Tracked: the caller releases via cache.release_persisted() after
+    # materializing, the LSH-family contract.
+    assignments = cache.persist_tracked(assignments)
+    if pair_mode == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        def cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ mat.T) / np.outer(nrm, nrm)
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            dup = ((sims >= threshold) & (ids[None, :] < ids[:, None])).any(
+                axis=1
+            )
+            return pdf.loc[dup, ["id"]]
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        dups = assignments.groupBy("cid").applyInPandas(
+            cluster_dups, f"id {id_t}"
         )
-        .select(F.col("id_a").alias("id"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+    elif pair_mode == "join":
+        sides = assignments.select(
+            "id", "cid", "vec", l2_norm(F.col("vec")).alias("nrm")
+        )
+        left = sides.select(
+            "cid",
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        right = sides.select(
+            "cid",
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        dups = (
+            left.join(right, "cid")
+            .where(F.col("id_b") < F.col("id_a"))
+            .where(
+                q4(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+                >= threshold
+            )
+            .select(F.col("id_a").alias("id"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
+    dups = dups.withColumn("__dup", F.lit(True))
     return assignments.join(dups, "id", "left").select(
         "id", "cid", F.col("__dup").isNull().alias("kept")
     )
@@ -434,6 +469,7 @@ def ivf_assign(
     num_centroids: int = 16,
     centroid_mode: str = "lowest_id",
     seed: int = 42,
+    assign_mode: str = "fold",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: (centroids, assignments).
 
@@ -442,9 +478,24 @@ def ivf_assign(
     cross-engine oracle SQL, so it anchors the correctness gate.
     ``centroid_mode='kmeans'`` is the production quantizer: seeded
     distributed k-means (:func:`kmeans_centroids`) — better-balanced
-    inverted lists, higher recall at the same nprobe.  Assignment is one
-    broadcast-join pass either way: every vector joins the centroid table
-    and keeps its argmax-cosine centroid.
+    inverted lists, higher recall at the same nprobe.
+
+    ``assign_mode='fold'`` assigns with pure-Catalyst cosine folds over a
+    broadcast centroid join (one map-side ``min_by`` pass — the n×k
+    amplified table never shuffles).  ``assign_mode='gemm'`` computes the
+    same argmax as one (batch × dim) @ (dim × k) BLAS product per Arrow
+    batch in ``mapInPandas``.  Same q4-rounded sims, same lowest-cid
+    tie-break, same NULL/NaN-sims-rank-last semantics; the two modes are
+    equivalence-tested row-for-row on the fixture.  Trade-off, measured
+    on local[32] at 64-d/k=16: the fold pays ~dim·k interpreted lambda
+    evals per row (zip_with/aggregate are excluded from codegen) and the
+    Catalyst interpreter itself runs ~5× slower until the JVM's C2
+    compiler warms it (identical passes: 15-20 s for a fresh session's
+    first runs, ~3 s warm), while the GEMM pays a fixed Arrow round-trip
+    of (id, vec) plus an eager limit-k centroid collect and times
+    STABLY.  Fold wins small warm corpora (v25's fixture path); gemm
+    wins large or latency-sensitive runs and any k in the hundreds
+    (real IVF indexes: k ≈ √n), since the BLAS product is ~flat in k.
     """
     if centroid_mode == "kmeans":
         centroids = kmeans_centroids(
@@ -458,9 +509,19 @@ def ivf_assign(
         )
     else:
         raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
-    scored = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
-        F.broadcast(centroids)
-    )
+    if assign_mode == "gemm":
+        return centroids, _assign_gemm(df, id_col, vec_col, centroids)
+    if assign_mode != "fold":
+        raise ValueError(f"unknown assign_mode {assign_mode!r}")
+    # The broadcast join amplifies every row ×num_centroids and each
+    # amplified row pays an interpreted cosine fold (zip_with/aggregate
+    # are excluded from codegen) — CPU-bound per row, so a small
+    # single-file input must spread across cores first or the whole
+    # assignment pins to the scan's 1-2 partitions (measured 6x on
+    # local[32]).
+    scored = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    ).join(F.broadcast(centroids))
     # argmax via min_by over (-csim, cid): highest similarity, lowest cid on
     # ties — same winner as a row_number window, but the aggregate combines
     # map-side, so the n×centroids amplified table collapses back to n rows
@@ -486,6 +547,58 @@ def ivf_assign(
         .select("id", F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
     )
     return centroids, assignments
+
+
+def _assign_gemm(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Vectorized argmax-cosine assignment against a collected centroid
+    matrix (k × dim — tiny by construction, same bound as the broadcast
+    join in fold mode).
+
+    Matches fold-mode semantics exactly: sims are q4-quantized before the
+    argmax, ties break to the lowest cid (the centroid matrix is sorted
+    by cid and ``np.argmax`` returns the first maximum), and NaN sims
+    (zero-norm vector or centroid) rank last via ``-inf`` — the twin of
+    fold mode's NULL-coalesce-to-+inf on the negated sim.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in rows])
+    cmat = np.stack(
+        [np.asarray(r["cvec"], dtype=np.float64) for r in rows]
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    b = df.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def assign(batches):
+        cids_, cmat_, cnorm_ = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ cmat_.T) / np.outer(nrm, cnorm_)
+            sims = np.floor(sims * 10000.0 + 0.5) / 10000.0
+            sims = np.nan_to_num(sims, nan=-np.inf)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "cid": cids_[best],
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    cid_t = dict(centroids.dtypes)["cid"]
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        assign, f"id {id_t}, cid {cid_t}, vec {vec_t}"
+    )
 
 
 def ivf_topk(

@@ -47,9 +47,13 @@ def canon(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def run_pair(spark, name: str, sf_dir: str):
+    from flowbyte_spark.operators import cache
     from flowbyte_spark.queries import ORACLE, QUERIES
 
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    # materialize-then-release: free operator-internal caches so a full
+    # suite run doesn't accumulate every query's tracked persists.
+    cache.release_persisted()
     con = duckdb_conn(sf_dir)
     oracle_pdf = con.execute(ORACLE[name]).fetchdf()
     con.close()

@@ -147,3 +147,35 @@ def test_dedup_caches_are_tracked_and_releasable(spark):
     # releasing is idempotent and leaves the plan recomputable
     assert cache.release_persisted() == 0
     assert pairs.count() >= 0
+
+
+def test_ivf_assign_gemm_matches_fold(spark):
+    """The vectorized (BLAS) assignment must reproduce the pure-Catalyst
+    fold assignment row-for-row: same cluster for every vector (q4-rounded
+    sims, lowest-cid tie-break) — the invariant that lets semantic_dedup
+    ride the GEMM path while v25's oracle pins the fold arithmetic."""
+    from flowbyte_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    _, fold = ivf_assign(emb, "vec_id", "embedding", 16, assign_mode="fold")
+    _, gemm = ivf_assign(emb, "vec_id", "embedding", 16, assign_mode="gemm")
+    f = {r["id"]: r["cid"] for r in fold.select("id", "cid").collect()}
+    g = {r["id"]: r["cid"] for r in gemm.select("id", "cid").collect()}
+    assert f == g
+
+
+def test_semantic_dedup_pair_modes_agree(spark):
+    """gemm and join prune paths produce the identical kept-set."""
+    from flowbyte_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = {}
+    for mode in ("gemm", "join"):
+        rows = semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.45, pair_mode=mode
+        ).collect()
+        out[mode] = {(r["id"], r["cid"], r["kept"]) for r in rows}
+    assert out["gemm"] == out["join"]
+    assert any(not kept for _, _, kept in out["gemm"]), (
+        "fixture should prune at least one near-duplicate"
+    )
