@@ -122,3 +122,62 @@ def pack_by_budget(
     )
     cum = F.sum(tokens).over(w)
     return df.withColumn(out_col, F.floor((cum - 1) / budget).cast("long"))
+
+
+def global_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: str = "shuffle42",
+    bucket_chars: int = 2,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle: a reproducible 0-based position for
+    every row, equal to its rank in the seeded-md5 order of ``key``.
+
+    The last step of every training-data pipeline — examples must reach
+    the trainer in a well-mixed order, and that order must be
+    reproducible (resume, audit) rather than ``rand()``.  Writing the
+    output sorted by ``pos`` (or range-partitioned on it) yields shard
+    files any reader can consume sequentially.
+
+    Scale shape: a naive global ``row_number`` needs a single partition
+    (the window has no PARTITION BY) — a driver-sized bottleneck.  Here
+    the hash's own hex prefix provides ``16^bucket_chars`` RANGE-disjoint,
+    skew-free buckets (md5 is uniform, and lexicographic prefix order IS
+    global hash order), so the rank decomposes into a per-bucket
+    ``row_number`` (parallel, one exchange on the bucket key) plus a
+    prefix-sum offset from the bucket counts — a ≤16^bucket_chars-row
+    collect, independent of data size.  Raise ``bucket_chars`` so one
+    bucket (~n/16^k rows) fits an executor's window buffer at scale.
+
+    Ties (md5 collisions) break on ``key`` so the order is total on any
+    corpus; position assignment is NOT append-stable by design — adding
+    rows permutes positions, which a global shuffle requires (use
+    :func:`hash_split` / :func:`interleave_sources` for append-stable
+    assignment semantics).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(key).cast("string")))
+    base = df.withColumn("__h", h).withColumn(
+        "__b", F.substring(F.col("__h"), 1, bucket_chars)
+    )
+    counts = (
+        base.groupBy("__b").count().orderBy("__b").collect()
+    )
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["__b"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            list(offsets.items()), "__b STRING, __off LONG"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__b").orderBy("__h", F.col(key))
+    )
+    return (
+        base.join(off_df, "__b")
+        .withColumn(pos_col, (F.col("__off") + rn.cast("long") - 1))
+        .drop("__h", "__b", "__off")
+    )

@@ -101,6 +101,7 @@ def _reorder() -> None:
         "v69_decontaminate",
         "v70_semantic_dedup",
         "v71_dsir_importance",
+        "v72_global_shuffle",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

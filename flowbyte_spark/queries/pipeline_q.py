@@ -260,3 +260,31 @@ def v54_pack_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "chunk")
     )
+
+
+# ---------------------------------------------------------------------------
+# V72 — deterministic global shuffle (seeded total order with positions)
+# ---------------------------------------------------------------------------
+@register(
+    "v72_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5('shuffle42|' || CAST(doc_id AS VARCHAR)),
+                             doc_id
+                ) - 1 AS BIGINT) AS pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def v72_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's position in the seeded global shuffle order —
+    checked against a single-window ROW_NUMBER oracle, while the engine
+    computes the same total order WITHOUT a single-partition window
+    (hex-prefix range buckets + prefix-sum offsets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.global_shuffle(docs, "doc_id")
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    )

@@ -19,6 +19,7 @@ from tests.oracle_util import assert_query_matches
         "v55_stratified_sample",
         "v56_interleave",
         "v57_corpus_prep",
+        "v72_global_shuffle",
     ],
 )
 def test_pipeline_matches_oracle(spark, sf_dir, name):
