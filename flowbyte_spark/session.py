@@ -57,6 +57,14 @@ ENGINE_CONF: dict[str, str] = {
     # Arrow/DuckDB footers, and round-trips through load_table only via
     # the INT96 guard there — micros round-trip cleanly everywhere
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # One BLAS thread per Python worker: the GEMM kernels
+    # (applyInPandas/mapInPandas in similarity.py) already run one worker
+    # per core, so a multithreaded OpenBLAS inside each would oversubscribe
+    # cores² and thrash.  Executor-env only — driver-side numpy keeps its
+    # own defaults.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 

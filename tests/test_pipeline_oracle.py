@@ -100,3 +100,18 @@ def test_pack_by_budget_chunks_respect_budget(spark, sf_dir):
         for r in rs:
             cum += r.n_tok
             assert r.chunk == (cum - 1) // budget, (lang, r.doc_id)
+
+
+def test_global_shuffle_is_permutation_and_partition_invariant(spark, sf_dir):
+    """Positions form exactly 0..n-1 (no gaps/dupes) and do not depend on
+    the input's physical partitioning — only on (seed, key)."""
+    from flowbyte_spark.catalog import load_table
+    from flowbyte_spark.operators.split import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = global_shuffle(docs, "doc_id", seed="perm7")
+    pos_a = {r["doc_id"]: r["pos"] for r in a.collect()}
+    assert sorted(pos_a.values()) == list(range(len(pos_a)))
+    b = global_shuffle(docs.repartition(7), "doc_id", seed="perm7")
+    pos_b = {r["doc_id"]: r["pos"] for r in b.collect()}
+    assert pos_a == pos_b
