@@ -102,6 +102,7 @@ def _reorder() -> None:
         "v70_semantic_dedup",
         "v71_dsir_importance",
         "v72_global_shuffle",
+        "v73_stream_dedup",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

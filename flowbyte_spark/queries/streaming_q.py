@@ -212,3 +212,59 @@ def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("hour_ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# V73 — stateful streaming dedup across micro-batches.
+# The scratch source holds the event table TWICE (two single-file writes →
+# two deterministic micro-batches), so every second-batch row is an exact
+# duplicate of a first-batch row and ``dropDuplicatesWithinWatermark``
+# must carry key state ACROSS batches to suppress it — batch-local dedup
+# would pass rows through and double the output.  The oracle is the batch
+# twin: DISTINCT over the doubled table.
+# ---------------------------------------------------------------------------
+_V73_ORACLE = """
+    SELECT event_id, user_id, event_type, value
+    FROM (SELECT DISTINCT event_id, user_id, event_type, value
+          FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+    ORDER BY event_id
+"""
+
+
+@register("v73_stream_dedup", oracle=_V73_ORACLE)
+def v73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.streaming import (
+        dedup_within_watermark,
+        scoped_sql_conf,
+    )
+
+    src = _scratch_dir("v73_events")
+    ckpt = _scratch_dir("v73_ckpt")
+    out = _scratch_dir("v73_result")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(1).write.parquet(src)  # batch 1: the originals
+    ev.repartition(1).write.mode("append").parquet(src)  # batch 2: exact dupes
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], watermark="3650 days"
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        # Append mode: each batch lands only its first-seen rows; the sink
+        # accumulates exactly the distinct set.
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(
+        deduped, write, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
