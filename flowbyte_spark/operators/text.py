@@ -248,3 +248,21 @@ def pii_scrub(
     for _name, (p, r) in pats.items():
         scrubbed = F.regexp_replace(scrubbed, p, r)
     return df.select("*", *counts, scrubbed.alias(out_col))
+
+
+# RE2-safe (no backtracking), shared verbatim with the cross-engine oracle.
+DOMAIN_REGEX = r"https?://(?:www\.)?([^/:]+)"
+
+
+def extract_domain(
+    df: DataFrame, url_col: str, out_col: str = "domain"
+) -> DataFrame:
+    """Extract the host part of a URL column for per-domain pipeline
+    policies — document caps, mixing weights, blocklists (the Common
+    Crawl curation staples).  Pure regexp map: no shuffle, scales with
+    scan bandwidth.  Full public-suffix-list-aware registrable-domain
+    parsing is a broadcast-joined lookup table away and deliberately out
+    of scope (the PSL is versioned data, not logic)."""
+    return df.withColumn(
+        out_col, F.regexp_extract(F.col(url_col), DOMAIN_REGEX, 1)
+    )

@@ -743,3 +743,68 @@ def v71_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V74 — per-domain document cap (URL domain extraction + top-k per group)
+# ---------------------------------------------------------------------------
+_DOMAIN_CAP = 5
+
+
+@register(
+    "v74_domain_cap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               'https://www.' || source || '-'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                   AS url
+        FROM documents),
+    x AS (
+        SELECT doc_id, n_chars,
+               regexp_extract(url, 'https?://(?:www\\.)?([^/:]+)', 1)
+                   AS domain
+        FROM d),
+    r AS (
+        SELECT doc_id, domain,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM x)
+    SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_DOMAIN_CAP}
+    ORDER BY doc_id
+    """,
+)
+def v74_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the Common Crawl curation staple that
+    stops one prolific site from dominating a source mix.  URLs are
+    synthesized deterministically from the fixture (as v68 does for
+    PII), the domain comes from the shared RE2-safe regex, and the cap
+    is a row_number top-k per domain keyed on quality (n_chars proxy)
+    with a unique tie-break — one shuffle on the domain key."""
+    from flowbyte_spark.operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    capped = top_k_per_group(
+        T.extract_domain(aug, "url"),
+        ["domain"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=_DOMAIN_CAP,
+        rank_col="rk",
+    )
+    return capped.select(
+        "doc_id", "domain", F.col("rk").cast("long").alias("rk")
+    ).orderBy("doc_id")

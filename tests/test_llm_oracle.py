@@ -24,6 +24,7 @@ LLM = [
     "v69_decontaminate",
     "v70_semantic_dedup",
     "v71_dsir_importance",
+    "v74_domain_cap",
 ]
 
 
