@@ -268,3 +268,65 @@ def v73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V75 — arbitrary stateful streaming (applyInPandasWithState) under the
+# hash gate: per-user running totals across 2 micro-batches, update-mode
+# emissions appended per batch, final state = last emission per user.
+# Exact integer-cent state makes the result independent of how rows split
+# across batches — the property that lets a custom state machine be
+# oracle-checked at all (the float variant rounds per batch and cannot).
+# ---------------------------------------------------------------------------
+_V75_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@register("v75_stateful_totals", oracle=_V75_ORACLE)
+def v75_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.streaming import scoped_sql_conf
+    from flowbyte_spark.streaming.stateful import running_user_totals_exact
+
+    src = _scratch_dir("v75_events")
+    ckpt = _scratch_dir("v75_ckpt")
+    out = _scratch_dir("v75_result")
+    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    totals = running_user_totals_exact(stream, watermark="3650 days")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        # Update mode re-emits a user's CURRENT totals whenever a batch
+        # touches them; tag emissions with the batch so the reader keeps
+        # the latest per user.
+        import pyspark.sql.functions as SF
+
+        batch_df.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    writer = foreach_batch_sink(
+        totals, write, checkpoint=ckpt, output_mode="update"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from flowbyte_spark.operators.topk import top_k_per_group
+    from pyspark.sql import functions as F
+
+    latest = top_k_per_group(
+        spark.read.parquet(out),
+        ["user_id"],
+        [F.col("batch_id").desc()],
+        k=1,
+    )
+    return latest.select("user_id", "cnt", "total").orderBy("user_id")

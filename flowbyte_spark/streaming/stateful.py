@@ -56,3 +56,54 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EXACT_STATE_SCHEMA = "cnt BIGINT, cents BIGINT"
+EXACT_OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE"
+
+
+def _update_user_exact(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        cnt, cents = state.get
+    else:
+        cnt, cents = 0, 0
+    for pdf in pdfs:
+        cnt += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((cnt, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "cnt": [cnt], "total": [cents / 100.0]}
+    )
+
+
+def running_user_totals_exact(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user running (count, total) with EXACT integer-cent state.
+
+    The float variant (:func:`running_user_totals`) rounds its stored
+    total every batch, so the final value depends on how rows split
+    across micro-batches — fine for dashboards, unverifiable for a hash
+    gate.  Money-like columns (fixed decimals) instead accumulate as
+    scaled integers: addition is exact and order/batching-independent,
+    and the single final division is IEEE-exact in every engine.  Same
+    rule as the DSIR weights (operators/importance.py): state that must
+    survive accumulation is kept integral, rounding happens once at the
+    edge.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_exact,
+            outputStructType=EXACT_OUTPUT_SCHEMA,
+            stateStructType=EXACT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
