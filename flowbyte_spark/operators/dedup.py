@@ -273,10 +273,16 @@ def benchmark_contamination(
     """
     # No fan-out on the benchmark side: evals are small by definition, and
     # an extra round-robin exchange + AQE stage costs more than exploding
-    # a few thousand docs on their natural partitioning.
-    bench_grams = (
-        _exploded_ngrams(bench, id_col, text_col, n).select("g").distinct()
-    )
+    # a few thousand docs on their natural partitioning.  No DISTINCT on
+    # the build side either: the countDistinct aggregate below already
+    # collapses duplicate-gram matches, so deduping before the broadcast
+    # buys nothing semantically and costs a whole exchange + AQE stage
+    # (measured: the distinct alone doubled the query, 0.36 -> 0.72 s at
+    # sf0.1).  The trade is a broadcast of raw rather than deduped bench
+    # grams — bounded by eval-corpus size, which is small by definition;
+    # re-add a distinct only if a pathological benchmark repeats grams
+    # heavily enough to threaten the broadcast threshold.
+    bench_grams = _exploded_ngrams(bench, id_col, text_col, n).select("g")
     train_grams = _exploded_ngrams(ensure_parallelism(train), id_col, text_col, n)
     # count DISTINCT matched grams: a doc repeating a gram matches it once
     # (same semantics as word_shingles' per-doc array_distinct) — the
