@@ -105,6 +105,7 @@ def _reorder() -> None:
         "v73_stream_dedup",
         "v74_domain_cap",
         "v75_stateful_totals",
+        "v76_stream_upsert",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

@@ -278,12 +278,20 @@ def v73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # across batches — the property that lets a custom state machine be
 # oracle-checked at all (the float variant rounds per batch and cannot).
 # ---------------------------------------------------------------------------
-_V75_ORACLE = """
+_V75_USER_CAP = 300  # applyInPandasWithState pays ~ms per key per batch
+# (Arrow group round-trip + state-store write); the gate verifies the
+# state MACHINE — cross-batch accumulation, exact integer state — which a
+# bounded key subset proves identically, so the bench constant stays
+# O(cap), not O(all users), the same scoping call v60 made for its
+# state-store width.
+
+_V75_ORACLE = f"""
     SELECT user_id,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
                AS total
     FROM events
+    WHERE user_id < {_V75_USER_CAP}
     GROUP BY user_id
     ORDER BY user_id
 """
@@ -294,10 +302,14 @@ def v75_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flowbyte_spark.streaming import scoped_sql_conf
     from flowbyte_spark.streaming.stateful import running_user_totals_exact
 
+    from pyspark.sql import functions as SF
+
     src = _scratch_dir("v75_events")
     ckpt = _scratch_dir("v75_ckpt")
     out = _scratch_dir("v75_result")
-    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+    load_table(spark, sf_dir, "events").where(
+        SF.col("user_id") < _V75_USER_CAP
+    ).repartition(2).write.parquet(src)
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     totals = running_user_totals_exact(stream, watermark="3650 days")
@@ -330,3 +342,78 @@ def v75_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
     )
     return latest.select("user_id", "cnt", "total").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# V76 — streaming upsert (CDC-style): a delta stream merged into a managed
+# table per micro-batch via the reference's update_by_keys semantics.
+# Two disjoint-key delta files → two batches; the second merge must
+# PRESERVE the first's writes through the temp-write-swap protocol, or
+# the final table hash breaks.  This is the streaming twin of the
+# reference's core update_data loop (sql.py:191-249) — exactly what its
+# users run today as scheduled ETL, re-expressed as foreachBatch.
+# ---------------------------------------------------------------------------
+_V76_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+                WHEN c_custkey % 10 = 7 THEN c_acctbal + 200.0
+                ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 3 THEN 'STREAM_A'
+                WHEN c_custkey % 10 = 7 THEN 'STREAM_B'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM customer ORDER BY c_custkey
+"""
+
+_V76_DELTA_SCHEMA = "c_custkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+
+
+@register("v76_stream_upsert", oracle=_V76_ORACLE)
+def v76_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.operators.mutate import ParquetTable
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    tbl_path = _scratch_dir("v76_customer")
+    deltas = _scratch_dir("v76_deltas")
+    ckpt = _scratch_dir("v76_ckpt")
+    customer = load_table(spark, sf_dir, "customer")
+    customer.write.parquet(tbl_path)
+    table = ParquetTable(spark, tbl_path)
+
+    def delta(mod: int, bump: float, seg: str):
+        return customer.where(F.col("c_custkey") % 10 == mod).select(
+            "c_custkey",
+            (F.col("c_acctbal") + bump).alias("c_acctbal"),
+            F.lit(seg).alias("c_mktsegment"),
+        )
+
+    delta(3, 100.0, "STREAM_A").repartition(1).write.parquet(deltas)
+    delta(7, 200.0, "STREAM_B").repartition(1).write.mode("append").parquet(
+        deltas
+    )
+
+    stream = (
+        spark.readStream.schema(_V76_DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltas)
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        table.update_by_keys(batch_df, ["c_custkey"])
+
+    writer = foreach_batch_sink(
+        stream, apply, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+
+    shutil.rmtree(deltas, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        table.read()
+        .select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        .orderBy("c_custkey")
+    )

@@ -125,7 +125,7 @@ def test_dedup_within_watermark_drops_replays(spark, event_files, tmp_path):
 
 @pytest.mark.parametrize(
     "name",
-    ["v32_streaming_window", "v59_sliding_window", "v60_late_data_drop", "v73_stream_dedup", "v75_stateful_totals"],
+    ["v32_streaming_window", "v59_sliding_window", "v60_late_data_drop", "v73_stream_dedup", "v75_stateful_totals", "v76_stream_upsert"],
 )
 def test_streaming_query_matches_oracle(spark, sf_dir, name):
     from tests.oracle_util import assert_query_matches
