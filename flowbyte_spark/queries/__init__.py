@@ -46,6 +46,7 @@ def _load_all() -> None:
         pipeline_q,
         pipeline2,
         relational,
+        relational2,
         streaming_q,
         tier_a,
     )
@@ -106,6 +107,7 @@ def _reorder() -> None:
         "v74_domain_cap",
         "v75_stateful_totals",
         "v76_stream_upsert",
+        "v77_q18_large_orders",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

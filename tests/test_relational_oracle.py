@@ -30,6 +30,7 @@ RELATIONAL = [
     "v16_count_distinct",
     "v62_full_outer_join",
     "v63_right_outer_join",
+    "v77_q18_large_orders",
 ]
 
 
