@@ -179,3 +179,42 @@ def test_semantic_dedup_pair_modes_agree(spark):
     assert any(not kept for _, _, kept in out["gemm"]), (
         "fixture should prune at least one near-duplicate"
     )
+
+
+def test_dsir_importance_degenerate_targets(spark):
+    """Empty target set and all-target set both stay defined (add-1
+    smoothing) — an empty target must not NaN/crash, and target==corpus
+    collapses every weight toward a constant."""
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.operators.importance import dsir_importance
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    none = dsir_importance(docs, "doc_id", "text", target=F.lit(False))
+    allt = dsir_importance(docs, "doc_id", "text", target=F.lit(True))
+    n_pdf, a_pdf = none.toPandas(), allt.toPandas()
+    assert len(n_pdf) == len(a_pdf) > 0
+    assert n_pdf["score"].notna().all()
+    assert a_pdf["score"].notna().all()
+    # With target == corpus, ct_b == cr_b, so each bucket weight is the
+    # constant ln((R+B)/(T+B)) = 0 — every doc scores exactly 0.
+    assert (a_pdf["score"] == 0.0).all()
+
+
+def test_semantic_dedup_threshold_extremes(spark):
+    """threshold > 1 prunes nothing (cosine ≤ 1); threshold = -1 prunes
+    everything except each cluster's lowest id."""
+    from flowbyte_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    keep_all = semantic_dedup(emb, "vec_id", "embedding", threshold=1.01)
+    pdf = keep_all.toPandas()
+    assert pdf["kept"].all()
+    exemplars = semantic_dedup(emb, "vec_id", "embedding", threshold=-1.0)
+    e_pdf = exemplars.toPandas()
+    kept_per_cluster = e_pdf.groupby("cid")["kept"].sum()
+    assert (kept_per_cluster == 1).all()
+    # and the survivor is the lowest id of its cluster
+    mins = e_pdf.groupby("cid")["id"].min().reset_index()
+    kept_ids = set(e_pdf.loc[e_pdf.kept, "id"])
+    assert kept_ids == set(mins["id"])
