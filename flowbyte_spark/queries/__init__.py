@@ -43,6 +43,7 @@ def _load_all() -> None:
         functions_q,
         session_q,
         llm,
+        llm2,
         pipeline_q,
         pipeline2,
         relational,
@@ -108,6 +109,7 @@ def _reorder() -> None:
         "v75_stateful_totals",
         "v76_stream_upsert",
         "v77_q18_large_orders",
+        "v78_paragraph_dedup",
         # text.py/dedup.py/similarity.py gained or touched operators in-
         # round (PII scrub, decontamination, IVF index reuse); the
         # conservative module-level change tracking marks their sibling

@@ -1,0 +1,16 @@
+"""Oracle-differential tests for the V78+ LLM-pipeline queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_util import assert_query_matches
+
+LLM2 = [
+    "v78_paragraph_dedup",
+]
+
+
+@pytest.mark.parametrize("name", LLM2)
+def test_llm2_query_matches_oracle(spark, sf_dir, name):
+    assert_query_matches(spark, name, sf_dir)

@@ -218,3 +218,45 @@ def test_semantic_dedup_threshold_extremes(spark):
     mins = e_pdf.groupby("cid")["id"].min().reset_index()
     kept_ids = set(e_pdf.loc[e_pdf.kept, "id"])
     assert kept_ids == set(mins["id"])
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """Edge cases the oracle fixture can't isolate: same-doc repeats,
+    cross-doc keep-first by (id, pos), full dedup to empty string, and
+    single-paragraph docs."""
+    from flowbyte_spark.operators.paragraphs import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbeta\nalpha"),  # same-doc repeat: 3rd para drops
+        (2, "beta\ngamma"),  # beta already seen in doc 1
+        (3, "alpha\nbeta"),  # fully deduplicated
+        (4, "delta"),  # untouched single paragraph
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: (r.text_dedup, r.n_kept, r.n_paras)
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: ("alpha\nbeta", 2, 3),
+        2: ("gamma", 1, 2),
+        3: ("", 0, 2),
+        4: ("delta", 1, 1),
+    }
+
+
+def test_paragraph_dedup_is_partitioning_independent(spark):
+    """Keep-first is defined by (id, pos), not physical order: the result
+    must be identical however the input is partitioned."""
+    from flowbyte_spark.operators.paragraphs import paragraph_dedup
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 5}" for j in range(6)).replace(" ", "\n", 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, paragraph_dedup(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            paragraph_dedup(df.repartition(13, "text"), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
