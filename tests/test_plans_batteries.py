@@ -74,3 +74,19 @@ def test_pack_by_budget_one_exchange_per_partition_key(spark, sf_dir):
     )
     df = pack_by_budget(docs, "doc_id", F.col("t"), 512, partition_cols=["lang"])
     assert plans.shuffle_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_paragraph_dedup_no_occurrence_join_no_sort(spark, sf_dir):
+    """V78's plan contract: keep-first comes out of ONE aggregate (no join
+    touches the exploded occurrence stream — only the small per-doc
+    reassembly join), there is no range exchange (no global sort), and
+    the shuffle count stays at the designed three (para agg, id agg,
+    reassembly join alignment)."""
+    from flowbyte_spark import plans
+    from flowbyte_spark.queries import QUERIES
+
+    df = QUERIES["v78_paragraph_dedup"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.lower().count("sortmergejoin") <= 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plans.shuffle_exchanges(df) <= 3, plan
