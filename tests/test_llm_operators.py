@@ -260,3 +260,26 @@ def test_paragraph_dedup_is_partitioning_independent(spark):
         )
     )
     assert a == b
+
+
+def test_simhash_signature_forms_agree(spark):
+    """The codegen explode+agg signature path must equal the fold-form
+    twin (hashing.simhash_bits) bit-for-bit on real corpus text."""
+    from flowbyte_spark.functions.hashing import SIMHASH_BITS, simhash_bits, words
+    from flowbyte_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    tokens = docs.select(
+        F.col("doc_id").alias("id"), words("text").alias("w")
+    ).where(F.size("w") > 0)
+    fold = {
+        r.id: tuple(r.bits)
+        for r in tokens.withColumn("bits", simhash_bits(F.col("w")))
+        .select("id", "bits")
+        .collect()
+    }
+    agg = {
+        r.id: tuple(r.bits)
+        for r in simhash_signatures(tokens, "id", "w", SIMHASH_BITS).collect()
+    }
+    assert fold == agg
