@@ -186,18 +186,19 @@ def test_page_filter_modes_agree(spark):
 def test_plan_shape(spark):
     from flowbyte_spark import plans
 
-    # exactly one keyed shuffle (the reassembly agg) in both regimes;
-    # the under-parallel fixture additionally gets a round-robin fan-out
-    # (not a keyed exchange — shuffle_exchanges ignores it by design)
+    # exactly one keyed shuffle in both regimes.  Under-parallel input:
+    # the fan-out hashes on the doc key so the SAME exchange feeds the
+    # reassembly groupBy (no second exchange, no round-robin anywhere).
     df = c4_quality_filter(load_table(spark, SF, "documents"), "doc_id", "text")
     plan = plans.physical_plan(df)
     assert plans.shuffle_exchanges(df) == 1, plan
-    assert "RoundRobinPartitioning" in plan, plan
+    assert "RoundRobinPartitioning" not in plan, plan
+    # already-parallel input: no operator fan-out; the one keyed
+    # exchange is the reassembly agg's
     wide = c4_quality_filter(
         load_table(spark, SF, "documents").repartition(64), "doc_id", "text"
     )
     wide_plan = plans.physical_plan(wide)
     assert plans.shuffle_exchanges(wide) == 1, wide_plan
-    # already-parallel input: the operator must not add its own fan-out
     assert wide_plan.count("RoundRobinPartitioning") == 1, wide_plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
