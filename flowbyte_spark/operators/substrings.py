@@ -1,0 +1,150 @@
+"""Exact-substring span deduplication (ExactSubstr; Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better").
+
+Verbatim-copied spans (license boilerplate, quoted articles, mirrored
+pages) survive document- and paragraph-level dedup whenever the
+surrounding text differs; ExactSubstr removes every later copy of any
+k-token substring that occurs more than once in the corpus.  The paper
+builds a corpus-wide suffix array — inherently single-machine; the
+distributed re-expression here is the standard k-gram rolling-window
+form: every k-token window is keyed by its content, the globally first
+occurrence (by id, then position) of each duplicated window is kept, and
+tokens covered by any LATER occurrence of a duplicated window are
+removed.  A span of j >= k copied tokens is covered by j-k+1 duplicate
+windows, so whole copied regions vanish; spans shorter than k never
+match a full window and are kept — k is exactly the paper's "minimum
+match length".  The reference has no such capability (charter extension;
+`src/flowbyte/sql.py` delegates all row logic to SQL Server).
+
+Scale shape — linear shuffles only, no all-pairs anywhere:
+
+1. token stream: keyed fan-out on the doc id when under-parallel (the
+   same exchange then serves every per-doc stage below — BASELINE.md
+   round-5 finding 7), ``posexplode`` of the split text.
+2. windows: md5 of the space-joined k-token ``slice`` of the carried
+   token array — sort-free whole-stage codegen (content-keyed, not a
+   lossy 32-bit hash, so no false merges); both consumers of the window
+   stream share the fan-out through one ReusedExchange.
+3. duplicated-window table: ``groupBy(window).agg(min(struct(id, pos)),
+   count)`` — partial-aggregatable, so a boilerplate window repeated
+   10**9 times collapses to one candidate per map partition (v78's
+   keep-first shape); only windows with count > 1 survive, which is the
+   table the full window stream joins against — at realistic dup rates
+   it is orders of magnitude smaller than the corpus and AQE broadcasts
+   it.
+4. covered tokens: duplicate occurrences explode to their k covered
+   positions (k-times blowup of DUPLICATED regions only) and aggregate
+   to one position-set per doc — a small table that broadcasts back
+   onto the token stream.
+5. reassembly: one ``groupBy(id)`` over ALL tokens with the covered
+   filter folded into the aggregate itself (``collect_list`` skips the
+   nulls a ``when`` produces), order restored by an ``array_sort`` of
+   (pos, tok) structs.  Every doc keeps its group row, so fully
+   deduplicated documents fall out as empty strings with no extra
+   corpus pass and no final join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    sep: str = " ",
+    fan_out: bool | None = None,
+) -> DataFrame:
+    """Remove every later copy of any k-token substring duplicated
+    corpus-wide; reassemble surviving tokens in order.
+
+    A window occurrence ``(id, pos)`` is a duplicate iff the same
+    k-token string occurs anywhere in the corpus at a smaller
+    ``(id, pos)``.  Tokens covered by at least one duplicate window are
+    dropped.  Documents shorter than ``k`` tokens have no windows and
+    pass through whole.
+
+    Returns one row per input document::
+
+        (id, text_dedup, n_tokens, n_kept)
+
+    Deterministic: independent of partitioning and input order.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-token window dedups words)")
+    sc = df.sparkSession.sparkContext
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # fan_out=None probes the plan (one plan->RDD conversion, ~0.2 s of
+    # planning — BASELINE.md round-5 finding 6); callers that can read
+    # scan metadata (scan_partitions) pass the decision in directly.
+    if fan_out is None:
+        fan_out = src.rdd.getNumPartitions() < sc.defaultParallelism
+    if fan_out:
+        src = src.repartition(sc.defaultParallelism, "id")
+    base = src.select("id", F.split("t", F.lit(sep)).alias("arr"))
+    toks = base.select(
+        "id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.posexplode("arr").alias("pos", "tok"),
+    )
+
+    # Window key from a slice of the carried token array — NOT k-1
+    # ``lead`` expressions over a Window: the analytic form plans a sort
+    # per branch (Window.partitionBy(id).orderBy(pos)) and its id
+    # exchange prunes differently per consumer, defeating exchange
+    # reuse; the slice form is sort-free whole-stage codegen and both
+    # consumers below share one ReusedExchange (measured 1.26 -> ~0.9 s
+    # at sf0.1, 5 -> 3 keyed exchanges).
+    wins = base.select(
+        "id",
+        F.size("arr").alias("n"),
+        F.posexplode("arr").alias("pos", "tok"),
+        F.col("arr"),
+    ).where(F.col("pos") + k <= F.col("n")).select(
+        "id",
+        "pos",
+        F.md5(F.array_join(F.slice("arr", F.col("pos") + 1, k), sep)).alias("wh"),
+    )
+
+    dup_firsts = (
+        wins.groupBy("wh")
+        .agg(F.min(F.struct("id", "pos")).alias("first_occ"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select("wh", "first_occ")
+    )
+    dups = (
+        wins.join(dup_firsts, "wh")
+        .where(
+            (F.col("id") != F.col("first_occ.id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .select("id", "pos")
+    )
+    covered = dups.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos")
+    ).groupBy("id").agg(F.collect_set("cpos").alias("cov"))
+
+    # The covered-position filter lives INSIDE the reassembly aggregate
+    # (collect_list skips nulls): every document keeps a group row, so
+    # fully-deduplicated docs fall out as empty strings without the
+    # extra (id, n_tokens) branch + left join a where() would force —
+    # one fewer pass over the corpus and no final join at all.
+    not_cov = F.expr("cov IS NULL OR NOT array_contains(cov, pos)")
+    return (
+        toks.join(covered, "id", "left")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(not_cov, F.struct("pos", "tok")))
+                ).getField("tok"),
+                sep,
+            ).alias("text_dedup"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.when(not_cov, F.lit(1))).cast("long").alias("n_kept"),
+        )
+        .select("id", "text_dedup", "n_tokens", "n_kept")
+    )

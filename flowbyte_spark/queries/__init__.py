@@ -25,7 +25,9 @@ ORACLE: dict[str, str] = {}
 # by tests/test_registry.py: each entry must carry a hash oracle AND an
 # in-suite differential test (the identical comparison the driver runs),
 # and the NEXT round's window must lead with these names.
-POST_WINDOW_NEW: frozenset[str] = frozenset({"v79_c4_quality_filter"})
+POST_WINDOW_NEW: frozenset[str] = frozenset(
+    {"v79_c4_quality_filter", "v80_exact_substrings"}
+)
 
 
 def register(name: str, oracle: str | None = None):

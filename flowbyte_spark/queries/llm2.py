@@ -186,3 +186,70 @@ def v79_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # re-derive them serially (measured 1.6x whole-query cost)
         early_page_filter=False,
     )
+
+# ---------------------------------------------------------------------------
+# V80 — exact-substring span dedup (ExactSubstr; Lee et al. 2021)
+# ---------------------------------------------------------------------------
+# k=5 tokens on the fixture (production default is the paper's 50): the
+# corpus's near-dup replicas share long verbatim spans, so the gate
+# exercises cross-doc span removal, within-doc repeats, overlapping
+# covered regions, fully-deduplicated docs, and sub-k docs passing
+# through whole (36 docs trimmed, 14 emptied at sf0.01).
+_ESUB_K = 5
+
+
+@register(
+    "v80_exact_substrings",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    wins AS (
+        SELECT doc_id, unnest(range(0, greatest(len(arr) - {_ESUB_K} + 1, 0))) AS pos, arr
+        FROM docs),
+    keyed AS (
+        SELECT doc_id, pos, md5(array_to_string(arr[pos+1 : pos+{_ESUB_K}], ' ')) AS wh
+        FROM wins),
+    flagged AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+        FROM keyed),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + unnest(range(0, {_ESUB_K})) AS cpos
+        FROM flagged WHERE rn > 1),
+    toks AS (
+        SELECT doc_id, unnest(arr) AS tok, unnest(range(0, len(arr))) AS pos
+        FROM docs),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        WHERE c.doc_id IS NULL),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+    SELECT d.doc_id AS id,
+           COALESCE(r.text_dedup, '') AS text_dedup,
+           CAST(len(d.arr) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def v80_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr over the documents table: every later corpus-wide copy
+    of a duplicated 5-token window is removed at token granularity and
+    documents are reassembled in order.  The full (id, text_dedup,
+    n_tokens, n_kept) table is hash-checked, so a wrong first-occurrence
+    tie-break, a mis-covered token, or a broken rebuild breaks the gate."""
+    from flowbyte_spark.catalog import table_path
+    from flowbyte_spark.operators.ordering import scan_partitions
+    from flowbyte_spark.operators.substrings import exact_substring_dedup
+
+    fan_out = scan_partitions(
+        spark, table_path(sf_dir, "documents")
+    ) < spark.sparkContext.defaultParallelism
+    return exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=_ESUB_K,
+        fan_out=fan_out,
+    )

@@ -9,6 +9,7 @@ from tests.oracle_util import assert_query_matches
 LLM2 = [
     "v78_paragraph_dedup",
     "v79_c4_quality_filter",
+    "v80_exact_substrings",
 ]
 
 
