@@ -132,6 +132,7 @@ def with_media_column(
     payload_from: str,
     kind: str = "image",
     mime: str = "application/octet-stream",
+    duration_ms: int | None = None,
 ) -> DataFrame:
     """Wrap an existing column's bytes (e.g. utf-8 of a text column for
     tests) into the canonical media shape."""
@@ -143,6 +144,133 @@ def with_media_column(
             F.lit(mime).alias("mime"),
             F.lit(None).cast("long").alias("width"),
             F.lit(None).cast("long").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(duration_ms).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def _resize_stub(payload: bytes, width: int, height: int, fake: bool) -> bytes:
+    """Placeholder for the real decode->resize->re-encode kernel (Pillow /
+    libvips in real deployments).  ``fake=True`` derives a deterministic
+    pseudo-payload from a sha256 of (payload, dims) — stable across
+    runs/engines and dependent on every input, so a dropped or reordered
+    row is visible; ``fake=False`` raises."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "environment; pass fake_decode=True for the deterministic stub"
+        )
+    seed = (payload or b"") + f"|{width}x{height}".encode()
+    return hashlib.sha256(seed).digest()
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    batch_size: int = 64,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas``; audio/video rows pass
+    through untouched.
+
+    Output keeps the canonical MEDIA_SCHEMA: payload replaced, meta.width
+    and meta.height set to the target dims (mime/duration preserved).
+    Map-only — no shuffle; executor memory is bounded by batch_size ×
+    max payload like :func:`extract_features`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                meta = dict(m) if m is not None else {}
+                if k == "image":
+                    payloads.append(_resize_stub(p, width, height, fake_decode))
+                    meta["width"], meta["height"] = width, height
+                else:
+                    payloads.append(p)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_BYTES = 16
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    batch_size: int = 64,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Sample one frame every ``every_ms`` from video payloads via
+    ``mapInPandas`` — the one-to-many stage of the multimodal tier (one
+    output row per frame, so downstream per-frame featurization reuses
+    :func:`extract_features` unchanged).
+
+    Non-video rows produce no frames.  Frame count is
+    ``min(max_frames, max(1, duration_ms // every_ms))`` (unknown
+    duration -> 1 frame at t=0); the decode itself is stubbed like the
+    other kernels — ``fake=True`` yields FRAME_BYTES deterministic bytes
+    per frame keyed by (payload, frame index).  The generator emits one
+    output batch per input batch, so memory stays bounded by
+    batch_size × max_frames × frame size, never partition row count.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, k, p, m in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if k != "video":
+                    continue
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "video frame extraction requires a codec library not "
+                        "present in this environment; pass fake_decode=True "
+                        "for the deterministic stub"
+                    )
+                dur = (m or {}).get("duration_ms")
+                n = min(max_frames, max(1, int(dur) // every_ms)) if dur else 1
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    seed = (p or b"") + f"|frame{i}".encode()
+                    payloads.append(
+                        hashlib.sha256(seed).digest()[:FRAME_BYTES]
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "payload": payloads,
+                },
+            ).astype({"media_id": "int64", "frame_idx": "int64", "ts_ms": "int64"})
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_size))
+    return media.mapInPandas(run, FRAMES_SCHEMA)

@@ -283,3 +283,68 @@ def test_simhash_signature_forms_agree(spark):
         for r in simhash_signatures(tokens, "id", "w", SIMHASH_BITS).collect()
     }
     assert fold == agg
+
+
+def test_resize_media_contract(spark):
+    from flowbyte_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, SF, "documents").limit(8)
+    media = with_media_column(docs, "text")
+    out = resize_media(media, 224, 224, batch_size=3, fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 8
+    # canonical shape preserved (nullability flags may differ)
+    assert out.schema.simpleString() == media.schema.simpleString()
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
+    assert all(r.meta.mime == "application/octet-stream" for r in rows)
+    # deterministic fake payload: same input -> same bytes across runs
+    again = {r.media_id: bytes(r.payload) for r in
+             resize_media(media, 224, 224, fake_decode=True).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
+    # non-image rows pass through untouched
+    audio = with_media_column(docs, "text", kind="audio")
+    kept = resize_media(audio, 224, 224, fake_decode=True).collect()
+    orig = {r.media_id: bytes(r.payload) for r in audio.collect()}
+    assert all(bytes(r.payload) == orig[r.media_id] for r in kept)
+    assert all(r.meta.width is None for r in kept)
+    with pytest.raises(Exception):
+        resize_media(media, 2, 2, fake_decode=False).collect()
+
+
+def test_sample_frames_contract(spark):
+    from flowbyte_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAMES_SCHEMA,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(6)
+    video = with_media_column(docs, "text", kind="video", duration_ms=3500)
+    out = sample_frames(video, every_ms=1000, fake_decode=True)
+    assert out.schema == FRAMES_SCHEMA
+    rows = out.collect()
+    # 3500 ms at 1 frame/s -> 3 frames per video
+    assert len(rows) == 18
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+        assert len(r.payload) == FRAME_BYTES
+    assert all(sorted(v) == [(0, 0), (1, 1000), (2, 2000)] for v in by_media.values())
+    # unknown duration -> a single t=0 frame; non-video -> no frames
+    nodur = with_media_column(docs, "text", kind="video")
+    assert sample_frames(nodur, fake_decode=True).count() == 6
+    image = with_media_column(docs, "text", kind="image")
+    assert sample_frames(image, fake_decode=True).count() == 0
+    with pytest.raises(Exception):
+        sample_frames(video, fake_decode=False).collect()
+    # per-frame featurization composes: frames re-enter the media shape
+    frames = sample_frames(video, every_ms=1000, fake_decode=True)
+    refeat = extract_features(
+        frames.select(
+            F.col("media_id"),
+            F.lit("image").alias("kind"),
+            "payload",
+        ),
+        fake_decode=True,
+    )
+    assert refeat.count() == 18
