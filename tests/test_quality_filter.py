@@ -202,3 +202,58 @@ def test_plan_shape(spark):
     assert plans.shuffle_exchanges(wide) == 1, wide_plan
     assert wide_plan.count("RoundRobinPartitioning") == 1, wide_plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- property test vs a sequential reference ------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny vocab with punctuation and blocklist markers mixed in, so every
+# rule trips regularly; docs are small line lists
+_word = st.sampled_from(["aa", "bb.", "x", "javascript", "{", "lorem", "ipsum"])
+_line = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+_corpus = st.lists(st.lists(_line, min_size=1, max_size=4), min_size=1, max_size=4)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _reference(corpus, min_words=2, min_kept=1):
+    import re
+
+    out = {}
+    for doc_id, doc_lines in enumerate(corpus):
+        text = "\n".join(doc_lines)
+        low = text.lower()
+        if "lorem ipsum" in low or "{" in low:
+            continue
+        kept = [
+            ln
+            for ln in doc_lines
+            if len(re.findall(r"\S+", ln)) >= min_words
+            and re.search(r'[.!?"]\s*$', ln)
+            and "javascript" not in ln.lower()
+        ]
+        if len(kept) >= min_kept:
+            out[doc_id] = ("\n".join(kept), len(doc_lines), len(kept))
+    return out
+
+
+@given(_corpus)
+@_SETTINGS
+def test_matches_sequential_reference(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(corpus)],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r.id: (r.text_clean, r.n_lines, r.n_kept)
+        for r in c4_quality_filter(
+            df, "doc_id", "text", min_words=2, min_kept_lines=1
+        ).collect()
+    }
+    assert got == _reference(corpus)
