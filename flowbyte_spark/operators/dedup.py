@@ -74,6 +74,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with word-n-gram Jaccard ≥ threshold (exact).
 
@@ -81,6 +82,24 @@ def ngram_jaccard_pairs(
     co-locates equal shingles) → per-pair intersection counts → Jaccard from
     set sizes.  Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard
     rounded to 4 d.p. for canonical comparison.
+
+    ``max_shingle_freq`` is the skew valve for scale (the SCALE.md row this
+    operator carries): a shingle appearing in d documents contributes
+    d·(d-1)/2 join rows, so corpus-common boilerplate shingles quadratically
+    dominate the self-join while carrying no similarity signal.  When set,
+    shingles with document frequency above the bound generate NO candidate
+    pairs; surviving candidates are then verified with EXACT Jaccard via
+    ``array_intersect`` on the full (unfiltered) shingle sets — reported
+    scores are identical to the exact path, and the only change is recall:
+    a pair sharing ONLY above-bound shingles is missed.  The recall
+    caveat that matters: a duplicate CLUSTER of d > bound documents
+    pushes its own shared shingles above the bound and blocks itself —
+    so run content-hash exact dedup first (exact clusters collapse to
+    one survivor) and set the bound above the expected near-dup cluster
+    size; what remains above it is genuine cross-document boilerplate,
+    which is exactly the join skew this valve exists to shed.  Same
+    candidates→exact-verify structure as :func:`minhash_lsh_pairs`, with
+    rare-shingle blocking in place of minhash banding.
     """
     sh = (
         ensure_parallelism(df)
@@ -97,6 +116,36 @@ def ngram_jaccard_pairs(
     exploded = sh.where(F.col("n_sh") > 0).select(
         "id", "n_sh", F.explode("sh").alias("g")
     )
+    if max_shingle_freq is not None:
+        rare = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_g"))
+            .where(F.col("df_g") <= max_shingle_freq)
+            .select("g")
+        )
+        cand = exploded.join(rare, "g")
+        a, b = cand.alias("a"), cand.alias("b")
+        pairs = (
+            a.join(
+                b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(
+            F.col("id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        verified = pairs.join(sa, "id_a").join(sb, "id_b")
+        inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter_sz / (F.size("sh_a") + F.col("n_b") - inter_sz)
+        return (
+            verified.withColumn("jaccard", F.round(jac, 4))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))

@@ -348,3 +348,44 @@ def test_sample_frames_contract(spark):
         fake_decode=True,
     )
     assert refeat.count() == 18
+
+
+def test_jaccard_shingle_freq_valve(spark):
+    """The skew valve must not change reported scores — only (documented)
+    recall of pairs held together solely by corpus-common shingles."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact
+    # bound above any real doc frequency -> identical output
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_freq=10**9
+        ).collect()
+    }
+    assert loose == exact
+    # bound above the fixture's near-dup cluster sizes: subset of the
+    # exact pairs, identical scores where kept, and every high-similarity
+    # pair (the near-dup replicas) survives
+    tight = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_freq=8
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    assert all(exact[p] == v for p, v in tight.items())
+    high = {p for p, v in exact.items() if v >= 0.8}
+    assert high and high <= set(tight)
+    # the documented caveat is real: a bound BELOW a duplicate cluster's
+    # size blocks that cluster's own shared shingles and loses its pairs
+    starved = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_shingle_freq=3
+        ).collect()
+    }
+    assert not (high <= starved)
