@@ -453,3 +453,83 @@ def v76_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# V81 — stream-stream event-time join (view -> click attribution).
+# Two file streams over the same 2-file scratch source (views / clicks
+# split by event_type), inner-joined per user on a 30-minute event-time
+# range.  With maxFilesPerTrigger=1 the files hash-split pairs across
+# micro-batches, so a first-batch view must sit in join state until its
+# click arrives in batch 2 — batch-local joining would lose those pairs
+# and break the hash.  The horizon watermark makes the result independent
+# of file order (state eviction itself is v60's proof); the oracle is the
+# batch range-join twin.
+# ---------------------------------------------------------------------------
+_V81_ORACLE = """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id, click_id
+"""
+
+
+@register("v81_stream_stream_join", oracle=_V81_ORACLE)
+def v81_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.streaming import stream_stream_join
+
+    src = _memo_source(
+        "v32_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.parquet(p),
+    )
+    ckpt = _scratch_dir("v81_ckpt")
+
+    views = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_join(
+        views,
+        clicks,
+        key="user_id",
+        max_delay="30 minutes",
+        watermark="3650 days",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias(
+            "delay_us"
+        ),
+    )
+
+    out = _scratch_dir("v81_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(joined, write, checkpoint=ckpt, output_mode="append")
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).orderBy("view_id", "click_id")

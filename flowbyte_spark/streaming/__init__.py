@@ -190,3 +190,36 @@ def scoped_sql_conf(spark: SparkSession, **confs: str):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time inner join of two streams: right rows within
+    ``[left_ts, left_ts + max_delay]`` of a matching key.
+
+    Both sides carry watermarks and the join condition carries the time
+    range — the pair Structured Streaming needs to bound join state: a
+    buffered left row can be dropped once the right watermark passes
+    ``left_ts + max_delay``, a right row once the left watermark passes
+    ``right_ts``.  At 100 TB/day the state per key is whatever falls in
+    the delay window, independent of stream length.  Sides are aliased
+    ``l``/``r``; callers project from those.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")

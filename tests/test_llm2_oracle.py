@@ -10,6 +10,7 @@ LLM2 = [
     "v78_paragraph_dedup",
     "v79_c4_quality_filter",
     "v80_exact_substrings",
+    "v81_stream_stream_join",
 ]
 
 
