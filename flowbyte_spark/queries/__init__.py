@@ -26,7 +26,12 @@ ORACLE: dict[str, str] = {}
 # in-suite differential test (the identical comparison the driver runs),
 # and the NEXT round's window must lead with these names.
 POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {"v79_c4_quality_filter", "v80_exact_substrings", "v81_stream_stream_join"}
+    {
+        "v79_c4_quality_filter",
+        "v80_exact_substrings",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+    }
 )
 
 

@@ -253,3 +253,57 @@ def v80_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_ESUB_K,
         fan_out=fan_out,
     )
+
+# ---------------------------------------------------------------------------
+# V82 — Python Data Source connector, hash-gated end-to-end
+# ---------------------------------------------------------------------------
+# The reference library is a connector (chunked fetch, sql.py:88); its
+# Spark-4 re-expression is sources/python_ds.py: executors fetch chunk
+# partitions in parallel and range predicates prune whole chunks at
+# planning time.  The backend is deterministic md5 arithmetic, so DuckDB
+# re-generates the identical table and the gate hash-checks the whole
+# connector stack: schema, option handling, partition planning, pushed
+# and residual filters, and the per-partition iterators.  Row count
+# scales with the fixture (20 per document); the filter keeps the middle
+# half, exercising the pushdown path the tests pin partition-count-wise.
+
+
+@register(
+    "v82_python_datasource",
+    oracle="""
+    WITH n AS (SELECT 20 * COUNT(*) AS rows_ FROM documents),
+    ids AS (SELECT unnest(range(0, (SELECT rows_ FROM n))) AS i),
+    gen AS (
+        SELECT i AS event_id,
+               ('0x' || substring(md5('u|' || i), 1, 8))::BIGINT % 100 AS user_id,
+               (['click','view','purchase','signup','error'])[
+                   (('0x' || substring(md5('t|' || i), 1, 8))::BIGINT % 5) + 1
+               ] AS event_type,
+               (('0x' || substring(md5('v|' || i), 1, 8))::BIGINT % 1000000)
+                   / 100.0 AS value
+        FROM ids)
+    SELECT * FROM gen
+    WHERE event_id >= (SELECT rows_ FROM n) / 4
+      AND event_id < 3 * (SELECT rows_ FROM n) / 4
+      AND event_type <> 'error'
+    """,
+)
+def v82_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the synthetic-events Python Data Source and keep the middle
+    event_id half (pushed down into chunk planning) minus 'error' rows
+    (residual filter Spark applies above the scan).  Full row hash gate."""
+    from flowbyte_spark.sources import python_ds
+
+    python_ds.register(spark)
+    rows = 20 * load_table(spark, sf_dir, "documents").count()
+    df = (
+        spark.read.format("flowbyte_synth")
+        .option("rows", rows)
+        .option("chunk_size", 1000)
+        .load()
+    )
+    return df.where(
+        (F.col("event_id") >= rows // 4)
+        & (F.col("event_id") < 3 * rows // 4)
+        & (F.col("event_type") != "error")
+    )

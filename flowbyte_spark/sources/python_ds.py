@@ -1,0 +1,135 @@
+"""Spark-4 Python Data Source: the reference connector's role as a
+first-class pluggable source.
+
+The reference library IS a connector (chunked ODBC fetch with
+``chunksize=10000`` — ``src/flowbyte/sql.py:88,113-116`` — plus progress
+reporting); its Spark-native re-expression is not a driver-side fetch
+loop but a ``DataSource`` implementation: the engine plans one input
+partition per chunk, executors fetch chunks in parallel, and filter
+pushdown prunes chunks before any fetch happens.  No JDBC jar is needed —
+the reader runs in the Python workers, which is exactly what the Python
+Data Source API (Spark 4.0+) exists for.
+
+``SyntheticEventsDataSource`` demonstrates the full surface against a
+deterministic arithmetic backend (each row derives from md5 of its row
+id, so a DuckDB oracle can re-generate the identical table and
+hash-gate the connector end-to-end — see v82):
+
+- schema declaration (``schema()``),
+- chunk partition planning (``partitions()`` — one ``InputPartition``
+  per ``chunk_size`` rows, the reference's fetch unit),
+- predicate pushdown (``pushFilters()`` — range filters on ``event_id``
+  narrow the planned row range, so out-of-range CHUNKS are never
+  planned; unsupported filters are handed back to Spark unchanged),
+- per-partition iterators (``read()`` — yields plain tuples; Arrow
+  ``RecordBatch`` is the high-volume variant).
+
+A real deployment swaps ``_row`` for the remote fetch (REST page, SQL
+chunk, object-store listing); planning, pushdown and parallelism carry
+over unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def _h(prefix: str, i: int) -> int:
+    return int(hashlib.md5(f"{prefix}|{i}".encode()).hexdigest()[:8], 16)
+
+
+def _row(i: int) -> tuple:
+    return (
+        i,
+        _h("u", i) % 100,
+        EVENT_TYPES[_h("t", i) % 5],
+        (_h("v", i) % 10**6) / 100.0,
+    )
+
+
+class _Chunk(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 10000))
+        self.chunk = int(options.get("chunk_size", 10000))
+        self.lo, self.hi = 0, self.rows
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("event_id",):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f  # unsupported: Spark re-applies it above the scan
+
+    def partitions(self) -> list[_Chunk]:
+        return [
+            _Chunk(s, min(s + self.chunk, self.hi))
+            for s in range(self.lo, self.hi, self.chunk)
+        ] or [_Chunk(0, 0)]
+
+    def read(self, partition: _Chunk) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("flowbyte_synth").option("rows", n)`` after
+    ``spark.dataSource.register(SyntheticEventsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flowbyte_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> _Reader:
+        return _Reader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent session registration.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, off by default in 4.1): a reader that implements
+    ``pushFilters`` fails loudly at planning time when the flag is off,
+    rather than silently skipping pushdown.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

@@ -11,6 +11,7 @@ LLM2 = [
     "v79_c4_quality_filter",
     "v80_exact_substrings",
     "v81_stream_stream_join",
+    "v82_python_datasource",
 ]
 
 

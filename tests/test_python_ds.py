@@ -1,0 +1,64 @@
+"""Python Data Source connector: partition planning, filter pushdown
+(pruned chunks observable in the partition count), residual-filter
+correctness, and determinism."""
+
+from __future__ import annotations
+
+from flowbyte_spark.sources import python_ds
+
+
+def _read(spark, rows=10000, chunk=2000):
+    python_ds.register(spark)
+    return (
+        spark.read.format("flowbyte_synth")
+        .option("rows", rows)
+        .option("chunk_size", chunk)
+        .load()
+    )
+
+
+def test_partition_planning(spark):
+    df = _read(spark)
+    assert df.count() == 10000
+    assert df.rdd.getNumPartitions() == 5  # ceil(10000 / 2000)
+    assert df.columns == ["event_id", "user_id", "event_type", "value"]
+    # zero-row source still plans a (single, empty) partition
+    assert _read(spark, rows=0).count() == 0
+
+
+def test_range_pushdown_prunes_chunks(spark):
+    df = _read(spark)
+    pruned = df.where("event_id >= 2500 AND event_id < 4500")
+    # [2500, 4500) re-chunks from the pushed lower bound: one 2000-row chunk
+    assert pruned.rdd.getNumPartitions() == 1
+    assert pruned.count() == 2000
+    ids = pruned.agg({"event_id": "min"}).first()[0], pruned.agg(
+        {"event_id": "max"}
+    ).first()[0]
+    assert ids == (2500, 4499)
+
+
+def test_residual_filters_stay_correct(spark):
+    df = _read(spark)
+    # event_type is NOT pushable: the reader hands it back and Spark
+    # applies it above the scan — counts must match a local recompute
+    expected = sum(
+        1 for i in range(10000) if python_ds._row(i)[2] == "click"
+    )
+    assert df.where("event_type = 'click'").count() == expected
+    # combined pushed + residual
+    both = df.where("event_id < 2000 AND event_type = 'click'")
+    expected_both = sum(
+        1 for i in range(2000) if python_ds._row(i)[2] == "click"
+    )
+    assert both.count() == expected_both
+    assert both.rdd.getNumPartitions() == 1
+
+
+def test_rows_match_local_generator(spark):
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in _read(spark, rows=50, chunk=7).collect()
+    }
+    want = {i: python_ds._row(i)[1:] for i in range(50)}
+    assert got == want
