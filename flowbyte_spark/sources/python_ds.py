@@ -122,6 +122,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> _Reader:
         return _Reader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "_DirWriter":
+        return _DirWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent session registration.
@@ -133,3 +136,85 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write half: the reference's chunked bulk insert (sql.py:174-188) as a
+# DataSourceWriter with a real two-phase commit protocol.
+# ---------------------------------------------------------------------------
+import json
+import os
+
+from dataclasses import dataclass
+
+from pyspark import TaskContext
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    rows: int
+
+
+class _DirWriter(DataSourceWriter):
+    """Executor tasks stage one JSONL file each under ``_staging/`` (named
+    by partition + task attempt, so a retried task never collides with its
+    zombie predecessor); the DRIVER publishes exactly the staged files
+    named in the returned commit messages — the same speculative-task-safe
+    rename protocol FileOutputCommitter implements for file formats, here
+    standing in for the reference's chunked-INSERT + transaction commit.
+    ``abort()`` leaves the destination untouched.  Readers trust the
+    ``_MANIFEST`` (written last), never directory listing, so a crashed
+    job is invisible rather than half-visible."""
+
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("flowbyte_synth writer requires .option('path', ...)")
+        self.path, self.overwrite = path, overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        ctx = TaskContext.get()
+        fname = f"part-{ctx.partitionId():05d}-a{ctx.attemptNumber()}.jsonl"
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        n = 0
+        with open(os.path.join(staging, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            published.append({"file": m.filename, "rows": m.rows})
+        for leftover in os.listdir(staging):  # zombie attempts
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(sorted(published, key=lambda p: p["file"]), f)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+def read_manifest(spark, path: str):
+    """Committed rows only: the manifest names the published files."""
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        files = [os.path.join(path, p["file"]) for p in json.load(f)]
+    return spark.read.json(files) if files else None

@@ -62,3 +62,31 @@ def test_rows_match_local_generator(spark):
     }
     want = {i: python_ds._row(i)[1:] for i in range(50)}
     assert got == want
+
+
+def test_writer_commit_protocol(spark, tmp_path):
+    import os
+
+    dest = str(tmp_path / "sink")
+    os.makedirs(dest)
+    df = _read(spark, rows=100, chunk=25)
+    df.write.format("flowbyte_synth").option("path", dest).mode("append").save()
+    # staging is gone, manifest published, committed rows round-trip
+    assert not os.path.exists(os.path.join(dest, "_staging"))
+    assert os.path.exists(os.path.join(dest, "_MANIFEST"))
+    back = python_ds.read_manifest(spark, dest)
+    assert back.count() == 100
+    got = {
+        r.event_id: (r.user_id, r.event_type, r.value) for r in back.collect()
+    }
+    assert got == {i: python_ds._row(i)[1:] for i in range(100)}
+    # a stray uncommitted staging file must stay invisible to readers
+    os.makedirs(os.path.join(dest, "_staging"), exist_ok=True)
+    with open(os.path.join(dest, "_staging", "part-zombie.jsonl"), "w") as f:
+        f.write('{"event_id": -1}\n')
+    assert python_ds.read_manifest(spark, dest).count() == 100
+    # overwrite mode replaces previously committed files
+    _read(spark, rows=10, chunk=5).write.format("flowbyte_synth").option(
+        "path", dest
+    ).mode("overwrite").save()
+    assert python_ds.read_manifest(spark, dest).count() == 10
