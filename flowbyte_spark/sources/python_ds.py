@@ -125,6 +125,9 @@ class SyntheticEventsDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "_DirWriter":
         return _DirWriter(self.options, overwrite)
 
+    def streamReader(self, schema) -> "_StreamReader":
+        return _StreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration.
@@ -218,3 +221,49 @@ def read_manifest(spark, path: str):
     with open(os.path.join(path, "_MANIFEST")) as f:
         files = [os.path.join(path, p["file"]) for p in json.load(f)]
     return spark.read.json(files) if files else None
+
+
+# ---------------------------------------------------------------------------
+# Stream half: the same chunk arithmetic as a DataSourceStreamReader with
+# real offset management (micro-batches advance a row-index offset, chunks
+# are planned per batch, commit is the no-op of an idempotent backend).
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offsets are row indices: ``latestOffset`` advances by
+    ``rows_per_batch`` until the backend is exhausted, ``partitions``
+    plans the same chunk ranges as the batch reader between the two
+    offsets, and ``read`` reuses the chunk iterator — executors fetch,
+    the driver only does offset arithmetic.  Checkpointed offsets make
+    restarts exact: Spark replans from the committed index, and since
+    rows derive from their index alone, replayed batches are identical
+    (the Kafka-like contract a production fetch backend must also
+    honor)."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 10000))
+        self.chunk = int(options.get("chunk_size", 10000))
+        self.batch_rows = int(options.get("rows_per_batch", self.chunk))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self.rows, self._pos + self.batch_rows)
+        return {"index": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        lo, hi = start["index"], end["index"]
+        return [
+            _Chunk(s, min(s + self.chunk, hi)) for s in range(lo, hi, self.chunk)
+        ] or [_Chunk(0, 0)]
+
+    def read(self, partition: _Chunk) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # idempotent arithmetic backend: nothing to acknowledge

@@ -90,3 +90,38 @@ def test_writer_commit_protocol(spark, tmp_path):
         "path", dest
     ).mode("overwrite").save()
     assert python_ds.read_manifest(spark, dest).count() == 10
+
+
+def test_stream_reader_offsets(spark, tmp_path):
+    """Micro-batches advance the row-index offset by rows_per_batch;
+    the drained stream equals the batch read, with no duplicate or
+    missing offsets across batches."""
+    python_ds.register(spark)
+    batches = []
+
+    def sink(batch_df, batch_id):
+        batches.append(
+            {r.event_id: (r.user_id, r.event_type, r.value) for r in batch_df.collect()}
+        )
+
+    q = (
+        spark.readStream.format("flowbyte_synth")
+        .option("rows", 100)
+        .option("chunk_size", 25)
+        .option("rows_per_batch", 40)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sizes = sorted(len(b) for b in batches if b)
+    assert sizes == [20, 40, 40]
+    merged = {}
+    for b in batches:
+        assert not (set(b) & set(merged)), "offset ranges must not overlap"
+        merged.update(b)
+    assert merged == {i: python_ds._row(i)[1:] for i in range(100)}
