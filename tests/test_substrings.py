@@ -122,3 +122,21 @@ def test_plan_shape(spark):
     assert "RoundRobinPartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioning_independent(spark):
+    """keep-first tie-break and reassembly must not depend on physical
+    layout: a hostile repartition yields byte-identical results."""
+    docs = load_table(spark, SF, "documents")
+    base = sorted(
+        map(tuple, exact_substring_dedup(docs, "doc_id", "text", k=5).collect())
+    )
+    weird = sorted(
+        map(
+            tuple,
+            exact_substring_dedup(
+                docs.repartition(7), "doc_id", "text", k=5, fan_out=False
+            ).collect(),
+        )
+    )
+    assert base == weird
