@@ -266,3 +266,66 @@ def extract_domain(
     return df.withColumn(
         out_col, F.regexp_extract(F.col(url_col), DOMAIN_REGEX, 1)
     )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Gopher's document-level quality rules (Rae et al. 2021, §A1.1) as
+    per-rule boolean columns plus the conjunctive ``gopher_pass`` gate.
+
+    The paper's filter battery, verbatim: word count in [50, 100k], mean
+    word length in [3, 10], '#'/'...' symbol-to-word ratio <= 0.1, at most
+    90% of lines starting with a bullet and 30% ending with an ellipsis,
+    >= 80% of words containing an alphabetic character, and at least two
+    stopword hits.  (The repetition tier of the same appendix —
+    duplicate-word and top-n-gram fractions — is :func:`repetition_signals`;
+    compose both for the full Gopher pipeline.)
+
+    Rule columns are returned rather than rows dropped so callers can
+    measure per-rule kill rates before committing to a filter — the
+    standard first step when retuning thresholds on a new corpus.  One
+    map-only pass, all whole-stage codegen, no shuffle.
+    """
+    c = F.col(text_col)
+    w = words(c)
+    n_words = F.size(w)
+    avg_wlen = (F.length(c) - (n_words - 1)) / n_words
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = _stopword_hits(w, STOPWORDS)
+    lines = F.split(c, F.lit(sep))
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*([-*•]|\d+[.)])\s"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_word_len": (avg_wlen >= min_avg_word_len)
+        & (avg_wlen <= max_avg_word_len),
+        "r_symbol_ratio": (symbols / n_words) <= max_symbol_ratio,
+        "r_bullet_lines": (bullet_lines / n_lines) <= max_bullet_frac,
+        "r_ellipsis_lines": (ellipsis_lines / n_lines) <= max_ellipsis_frac,
+        "r_alpha_words": (alpha_words / n_words) >= min_alpha_frac,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    out = df
+    gate = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        gate = gate & F.col(name)
+    return out.withColumn("gopher_pass", gate)

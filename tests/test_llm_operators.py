@@ -389,3 +389,38 @@ def test_jaccard_shingle_freq_valve(spark):
         ).collect()
     }
     assert not (high <= starved)
+
+
+def test_gopher_quality_gate_rules(spark):
+    from flowbyte_spark.operators.text import gopher_quality_gate
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, good),                                   # passes every rule
+        (2, "short text only"),                      # word-count floor
+        (3, "aa " * 13 + "aa"),                      # no stopwords, thin alpha ok
+        (4, good.replace("quick", "### ### ###")),   # symbol ratio
+        (5, "- one two\n- three four\n- five six"),  # all-bullet lines
+        (6, "one two three...\nfour five six..."),   # all-ellipsis lines
+        (7, good.replace("brown", "12345 67890 11111 22222")),  # alpha frac
+    ]
+    out = {
+        r.id: r
+        for r in gopher_quality_gate(
+            spark.createDataFrame(rows, "id long, text string"),
+            min_words=10,
+        ).collect()
+    }
+    assert out[1].gopher_pass
+    assert not out[2].gopher_pass and not out[2].r_word_count
+    assert not out[3].gopher_pass and not out[3].r_stopwords
+    assert not out[4].gopher_pass and not out[4].r_symbol_ratio
+    assert not out[5].gopher_pass and not out[5].r_bullet_lines
+    assert not out[6].gopher_pass and not out[6].r_ellipsis_lines
+    assert not out[7].gopher_pass and not out[7].r_alpha_words
+    # map-only: no shuffle anywhere
+    from flowbyte_spark import plans
+    from flowbyte_spark.catalog import load_table
+
+    df = gopher_quality_gate(load_table(spark, SF, "documents"))
+    assert plans.shuffle_exchanges(df) == 0, plans.physical_plan(df)
