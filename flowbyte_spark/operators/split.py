@@ -181,3 +181,51 @@ def global_shuffle(
         .withColumn(pos_col, (F.col("__off") + rn.cast("long") - 1))
         .drop("__h", "__b", "__off")
     )
+
+
+def temperature_mixture_rates(
+    counts: dict[str, int], alpha: float, budget: int
+) -> dict[str, float]:
+    """Per-source keep rates realizing sampling weights ∝ n_i^alpha.
+
+    The data-mixing staple (GPT-3/LLaMA-style source weighting): alpha=1
+    is natural proportions, alpha=0 is uniform-across-sources, values in
+    between up-weight small high-quality sources.  A source whose target
+    exceeds its size caps at rate 1.0 (you cannot sample rows that do
+    not exist); the shortfall is NOT silently redistributed — callers
+    who need an exact budget re-run with the capped source pinned, which
+    keeps each source's rate a pure function of (counts, alpha, budget)
+    and therefore reproducible."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    weights = {s: float(n) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(weights.values())
+    if not z:
+        return {s: 0.0 for s in counts}
+    return {
+        s: min(1.0, budget * weights.get(s, 0.0) / z / n) if n else 0.0
+        for s, n in counts.items()
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    alpha: float,
+    budget: int,
+    seed: str = "mix42",
+) -> DataFrame:
+    """Sample a ``budget``-row mixture with source weights ∝ n_i^alpha.
+
+    One tiny aggregate (|sources| rows to the driver — mixture design is
+    a per-SOURCE decision, there are dozens of sources, not millions)
+    computes the rates; membership is then the seeded-md5 predicate of
+    :func:`stratified_hash_sample`, so the sample is deterministic,
+    partitioning-independent, and append-stable like every split in this
+    module."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    rates = temperature_mixture_rates(counts, alpha, budget)
+    return stratified_hash_sample(df, key, source_col, rates, seed=seed)

@@ -336,3 +336,41 @@ def test_repetition_signals_shapes(spark):
     # doc 3: no repeats, 3 distinct bigrams of 3 -> 1/3 (q4-quantized)
     assert rows[3]["dup_word_frac"] == pytest.approx(0.0)
     assert rows[3]["top_bigram_frac"] == pytest.approx(0.3333)
+
+
+def test_temperature_mixture(spark):
+    from flowbyte_spark.catalog import load_table
+    from flowbyte_spark.operators.split import (
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+
+    SF = "/root/testdata/sf0.01"
+
+    # rate math: alpha=1 keeps natural proportions (uniform rate across
+    # sources); alpha=0 asks the same row count from every source
+    counts = {"web": 8000, "books": 1000, "code": 1000}
+    r1 = temperature_mixture_rates(counts, 1.0, 5000)
+    assert all(abs(v - 0.5) < 1e-9 for v in r1.values())
+    r0 = temperature_mixture_rates(counts, 0.0, 3000)
+    assert abs(r0["web"] - 1000 / 8000) < 1e-9
+    assert abs(r0["books"] - 1.0) < 1e-9  # capped: target == size
+    # alpha between: small sources up-weighted vs natural
+    rh = temperature_mixture_rates(counts, 0.5, 5000)
+    assert rh["books"] > r1["books"] and rh["web"] < 0.5
+    assert temperature_mixture_rates({"a": 0}, 0.5, 10) == {"a": 0.0}
+
+    docs = load_table(spark, SF, "documents")
+    out = temperature_mixture_sample(docs, "doc_id", "source", 0.5, 200)
+    n = out.count()
+    assert 140 <= n <= 260, n  # binomial tolerance around the budget
+    # deterministic + append-stable: a re-run over a superset keeps
+    # exactly the originally sampled rows
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            docs, "doc_id", "source", 0.5, 200
+        ).select("doc_id").collect()
+    }
+    assert ids == again
