@@ -120,3 +120,21 @@ def euclidean_distance(a: Column, b: Column) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def reassemble_in_order(pos_col: str, val_col: str, sep: str) -> Column:
+    """Aggregate expression rebuilding a document from (position, value)
+    rows: ``array_join(array_sort(collect_list(struct(pos, val))).val, sep)``.
+
+    The rebuild idiom shared by every keep-dropped-pieces operator
+    (paragraph dedup, C4 filter, exact-substring dedup): sorting structs
+    with the position FIRST restores original order, and field extraction
+    via ``.getField`` (not a ``transform`` lambda) keeps the whole rebuild
+    inside codegen — BASELINE.md round-5 finding 1.
+    """
+    return F.array_join(
+        F.array_sort(F.collect_list(F.struct(pos_col, val_col))).getField(
+            val_col
+        ),
+        sep,
+    )

@@ -80,6 +80,19 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
+def _set_arrow_batch(media: DataFrame, batch_size: int | None) -> None:
+    """``batch_size`` bounds executor memory via the SESSION-wide Arrow
+    max-records-per-batch conf — the conf must still be set when the
+    returned lazy DataFrame executes, so it cannot be scoped inside the
+    operator.  ``None`` (the default) leaves the session conf untouched;
+    pass a value only when this media stage dominates the session, and
+    restore/scope it externally otherwise."""
+    if batch_size is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+
+
 def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
     """Ingest raw media files as (path, modificationTime, length, content)
     via Spark's binaryFile source — the standard way multimodal payloads
@@ -93,7 +106,7 @@ def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
 
 def extract_features(
     media: DataFrame,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     fake_decode: bool = False,
 ) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
@@ -122,8 +135,7 @@ def extract_features(
             )
             yield out
 
-    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    media.sparkSession.conf.set(conf_key, str(batch_size))
+    _set_arrow_batch(media, batch_size)
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
@@ -168,7 +180,7 @@ def resize_media(
     media: DataFrame,
     width: int,
     height: int,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     fake_decode: bool = False,
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas``; audio/video rows pass
@@ -200,8 +212,7 @@ def resize_media(
                 }
             )
 
-    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    media.sparkSession.conf.set(conf_key, str(batch_size))
+    _set_arrow_batch(media, batch_size)
     return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
@@ -221,7 +232,7 @@ def sample_frames(
     media: DataFrame,
     every_ms: int = 1000,
     max_frames: int = 16,
-    batch_size: int = 64,
+    batch_size: int | None = None,
     fake_decode: bool = False,
 ) -> DataFrame:
     """Sample one frame every ``every_ms`` from video payloads via
@@ -271,6 +282,5 @@ def sample_frames(
                 },
             ).astype({"media_id": "int64", "frame_idx": "int64", "ts_ms": "int64"})
 
-    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    media.sparkSession.conf.set(conf_key, str(batch_size))
+    _set_arrow_batch(media, batch_size)
     return media.mapInPandas(run, FRAMES_SCHEMA)

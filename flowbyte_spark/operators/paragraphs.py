@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flowbyte_spark.functions import reassemble_in_order
+
 
 def paragraph_dedup(
     df: DataFrame,
@@ -87,12 +89,7 @@ def paragraph_dedup(
         )
     )
     rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.array_sort(F.collect_list(F.struct("pos", "para"))).getField(
-                "para"
-            ),
-            sep,
-        ).alias("text_dedup"),
+        reassemble_in_order("pos", "para", sep).alias("text_dedup"),
         F.count("*").alias("n_kept"),
     )
     return (

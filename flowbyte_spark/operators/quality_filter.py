@@ -43,6 +43,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flowbyte_spark.functions import reassemble_in_order
+
 #: C4's published defaults (Raffel et al. 2020 §2.2): the terminal
 #: punctuation set, the line-level "javascript" rule, the page-level
 #: "lorem ipsum" / "{" rules, and the ≥3-sentence page floor (expressed
@@ -89,6 +91,12 @@ def c4_quality_filter(
     where ``text_clean`` re-joins the kept lines in original order.
     Deterministic: independent of partitioning and input order.
     """
+    if min_kept_lines < 1:
+        # C4 semantics: a page with zero surviving lines is an empty page
+        # and is dropped — and the plan relies on it (zero-kept docs have
+        # no group row).  Callers wanting emptied docs retained want a
+        # dedup-style rebuild (see exact_substring_dedup), not a filter.
+        raise ValueError("min_kept_lines must be >= 1 (C4 drops empty pages)")
     t = F.col(text_col)
     doc_ok = ~_contains_any(F.lower(t), doc_blocklist)
     # The rule pass is CPU-bound per line (two regexes + contains), like
@@ -146,12 +154,7 @@ def c4_quality_filter(
         base.where(keep)
         .groupBy("id")
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))).getField(
-                    "line"
-                ),
-                sep,
-            ).alias("text_clean"),
+            reassemble_in_order("pos", "line", sep).alias("text_clean"),
             F.first("n_lines").alias("n_lines"),
             F.first("doc_ok").alias("doc_ok"),
             F.count("*").alias("n_kept"),

@@ -224,8 +224,13 @@ def temperature_mixture_sample(
     :func:`stratified_hash_sample`, so the sample is deterministic,
     partitioning-independent, and append-stable like every split in this
     module."""
+    # NULL sources are unclassifiable: excluded deterministically (rate 0
+    # via stratified_hash_sample's default) rather than crashing the
+    # sorted() over rate keys with a None/str comparison.
     counts = {
-        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
     }
     rates = temperature_mixture_rates(counts, alpha, budget)
     return stratified_hash_sample(df, key, source_col, rates, seed=seed)

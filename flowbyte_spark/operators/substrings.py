@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flowbyte_spark.functions import reassemble_in_order
+
 
 def exact_substring_dedup(
     df: DataFrame,
@@ -135,14 +137,10 @@ def exact_substring_dedup(
     not_cov = F.expr("cov IS NULL OR NOT array_contains(cov, pos)")
     return (
         toks.join(covered, "id", "left")
+        .withColumn("tok", F.when(not_cov, F.col("tok")))
         .groupBy("id")
         .agg(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(F.when(not_cov, F.struct("pos", "tok")))
-                ).getField("tok"),
-                sep,
-            ).alias("text_dedup"),
+            reassemble_in_order("pos", "tok", sep).alias("text_dedup"),
             F.first("n_tokens").alias("n_tokens"),
             F.count(F.when(not_cov, F.lit(1))).cast("long").alias("n_kept"),
         )

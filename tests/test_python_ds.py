@@ -85,6 +85,15 @@ def test_writer_commit_protocol(spark, tmp_path):
     with open(os.path.join(dest, "_staging", "part-zombie.jsonl"), "w") as f:
         f.write('{"event_id": -1}\n')
     assert python_ds.read_manifest(spark, dest).count() == 100
+    # append mode must EXTEND the manifest: a second job's commit may not
+    # orphan the first job's rows
+    _read(spark, rows=10, chunk=5).where("event_id >= 100").write.format(
+        "flowbyte_synth"
+    ).option("path", dest).mode("append").save()
+    assert python_ds.read_manifest(spark, dest).count() == 100  # 0 new rows
+    more = _read(spark, rows=120, chunk=30).where("event_id >= 100")
+    more.write.format("flowbyte_synth").option("path", dest).mode("append").save()
+    assert python_ds.read_manifest(spark, dest).count() == 120
     # overwrite mode replaces previously committed files
     _read(spark, rows=10, chunk=5).write.format("flowbyte_synth").option(
         "path", dest
@@ -125,3 +134,23 @@ def test_stream_reader_offsets(spark, tmp_path):
         assert not (set(b) & set(merged)), "offset ranges must not overlap"
         merged.update(b)
     assert merged == {i: python_ds._row(i)[1:] for i in range(100)}
+    # restart on the drained checkpoint: progress derives from the
+    # checkpoint (SimpleDataSourceStreamReader.read receives the start
+    # offset), so NOTHING replays — the partition-planned stream API's
+    # reader-instance latestOffset measured a 60-row replay here
+    batches.clear()
+    q2 = (
+        spark.readStream.format("flowbyte_synth")
+        .option("rows", 100)
+        .option("chunk_size", 25)
+        .option("rows_per_batch", 40)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sum(len(b) for b in batches) == 0, batches

@@ -165,7 +165,7 @@ def test_differential_is_not_vacuous_on_rules(spark):
     assert ref != survivors(line_blocklist=())
     assert ref != survivors(terminal_punct=None)
     assert ref != survivors(doc_blocklist=("lorem ipsum",))
-    assert ref != survivors(min_kept_lines=0)
+    assert ref != survivors(min_kept_lines=1)
 
 
 def test_page_filter_modes_agree(spark):
