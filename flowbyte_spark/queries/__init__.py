@@ -84,6 +84,12 @@ def _reorder() -> None:
     in-round driver row (the gap that shipped v34 broken in r3 and left
     v64/v65/v67 unverified in r4).
     """
+    # ROUND-6 REBUILD RECIPE: replace this list with (a) POST_WINDOW_NEW
+    # (tier-3, never driver-verified — must lead), (b) every query with
+    # no row in CORRECTNESS_r05.json (the set below minus r5's window),
+    # (c) every query _coverage marks narrow-changed in round 6.  Update
+    # test_driver_window_plus_r4_file_covers_everything to read the r5
+    # file at the same time.
     first = [
         # no round-4 driver row (rotated out of the 50-query window).
         "v46_array_funcs",

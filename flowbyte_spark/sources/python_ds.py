@@ -73,6 +73,14 @@ class _Reader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 10000))
         self.chunk = int(options.get("chunk_size", 10000))
+        # arrow=true serves whole pyarrow RecordBatches per chunk instead
+        # of per-row tuples.  On THIS synthetic backend the two measure
+        # identically (0.63 s/1M rows either way — per-row md5 generation
+        # dominates, and Spark batches tuple results internally anyway);
+        # the path exists for backends that are already columnar (Arrow
+        # Flight, parquet-over-REST), where pivoting to tuples first
+        # would add a per-row cost the batch hand-off avoids.
+        self.arrow = str(options.get("arrow", "false")).lower() == "true"
         self.lo, self.hi = 0, self.rows
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -103,9 +111,27 @@ class _Reader(DataSourceReader):
             for s in range(self.lo, self.hi, self.chunk)
         ] or [_Chunk(0, 0)]
 
-    def read(self, partition: _Chunk) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def read(self, partition: _Chunk):
+        if not self.arrow:
+            for i in range(partition.start, partition.end):
+                yield _row(i)
+            return
+        import pyarrow as pa
+
+        rows = [_row(i) for i in range(partition.start, partition.end)]
+        if rows:
+            ids, users, kinds, values = zip(*rows)
+        else:
+            ids = users = kinds = values = ()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(users, pa.int64()),
+                pa.array(kinds, pa.string()),
+                pa.array(values, pa.float64()),
+            ],
+            names=["event_id", "user_id", "event_type", "value"],
+        )
 
 
 class SyntheticEventsDataSource(DataSource):

@@ -154,3 +154,23 @@ def test_stream_reader_offsets(spark, tmp_path):
     finally:
         q2.stop()
     assert sum(len(b) for b in batches) == 0, batches
+
+
+def test_arrow_read_path_matches_row_path(spark):
+    """arrow=true serves RecordBatches per chunk — identical rows, and
+    pushdown/pruning still applies before any batch is built."""
+    python_ds.register(spark)
+    row = _read(spark, rows=3000, chunk=700)
+    arrow = (
+        spark.read.format("flowbyte_synth")
+        .option("rows", 3000)
+        .option("chunk_size", 700)
+        .option("arrow", "true")
+        .load()
+    )
+    a = sorted(map(tuple, row.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b
+    pruned = arrow.where("event_id >= 1400 AND event_id < 2100")
+    assert pruned.rdd.getNumPartitions() == 1
+    assert pruned.count() == 700
