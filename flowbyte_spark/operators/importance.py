@@ -66,6 +66,12 @@ def dsir_importance(
     from flowbyte_spark.operators import cache
 
     num_buckets = 16**bucket_chars
+    # Round-robin fan-out, deliberately NOT the keyed form of finding 7:
+    # measured here, hash(id) does not carry through the gram explosion
+    # to the scoring groupBy (no exchange saved, plan still 4 keyed
+    # exchanges) and timing was flat-to-worse — the finding applies when
+    # the reassembly consumes the fan-out DIRECTLY, not through an
+    # explode+join sandwich.
     tagged = ensure_parallelism(df).select(
         F.col(id_col), F.col(text_col), target.alias("__t")
     )
