@@ -174,3 +174,44 @@ def test_arrow_read_path_matches_row_path(spark):
     pruned = arrow.where("event_id >= 1400 AND event_id < 2100")
     assert pruned.rdd.getNumPartitions() == 1
     assert pruned.count() == 700
+
+
+def test_pushdown_property(spark):
+    """Random range-predicate combinations: pushed planning must never
+    change results vs the local generator (the property that matters —
+    pruning is an optimization, not a semantics change)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    python_ds.register(spark)
+    df = _read(spark, rows=200, chunk=30)
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from([">=", ">", "<", "<=", "="]),
+                      st.integers(min_value=-10, max_value=210)),
+            min_size=0,
+            max_size=3,
+        )
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(preds):
+        cond = " AND ".join(f"event_id {op} {v}" for op, v in preds) or "true"
+        got = sorted(r.event_id for r in df.where(cond).collect())
+
+        def ok(i):
+            for op, v in preds:
+                if op == ">=" and not i >= v: return False
+                if op == ">" and not i > v: return False
+                if op == "<" and not i < v: return False
+                if op == "<=" and not i <= v: return False
+                if op == "=" and not i == v: return False
+            return True
+
+        assert got == [i for i in range(200) if ok(i)]
+
+    check()
