@@ -19,20 +19,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-# Queries introduced AFTER this round's 50-slot driver window saturated
-# (the window must hold the 17 no-r4-row queries plus every query whose
-# code changed in-round — exactly 50).  Tier-3 coverage contract, pinned
-# by tests/test_registry.py: each entry must carry a hash oracle AND an
-# in-suite differential test (the identical comparison the driver runs),
-# and the NEXT round's window must lead with these names.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {
-        "v79_c4_quality_filter",
-        "v80_exact_substrings",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
-    }
-)
+# Queries introduced AFTER the current round's 50-slot driver window
+# saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
+# each entry must carry a hash oracle AND an in-suite differential test
+# (the identical comparison the driver runs), and the NEXT round's window
+# must lead with these names.  Round 6: empty — r5's four tier-3 queries
+# (v79–v82) lead the r6 window below, per the rebuild recipe.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None):
@@ -75,83 +68,69 @@ def _reorder() -> None:
     """Deterministic driver-facing ordering.
 
     The driver's correctness sweep caps at 50 queries per round in
-    dict-iteration order, so with 68+ registered queries we rotate which
-    ones lead.  Round 4's file covered v01-v45 + v59-v63; the 17 it missed
-    (v46-v58, v64-v67) lead this round.  Policy (pinned by
-    tests/test_registry.py via queries/_coverage.py): any query whose code
-    changed in-round — at function granularity, transitively — must also
-    sit inside the 50-query window, so in-round rewrites always get an
-    in-round driver row (the gap that shipped v34 broken in r3 and left
-    v64/v65/v67 unverified in r4).
+    dict-iteration order, so with 80+ registered queries we rotate which
+    ones lead.  Policy (pinned by tests/test_registry.py via
+    queries/_coverage.py): any query whose code changed in-round — at
+    function granularity, transitively — must also sit inside the
+    50-query window, so in-round rewrites always get an in-round driver
+    row (the gap that shipped v34 broken in r3 and left v64/v65/v67
+    unverified in r4).
     """
-    # ROUND-6 REBUILD RECIPE: replace this list with (a) POST_WINDOW_NEW
-    # (tier-3, never driver-verified — must lead), (b) every query with
-    # no row in CORRECTNESS_r05.json (the set below minus r5's window),
-    # (c) every query _coverage marks narrow-changed in round 6.  Update
-    # test_driver_window_plus_r4_file_covers_everything to read the r5
-    # file at the same time.
+    # ROUND-7 REBUILD RECIPE: replace this list with (a) any
+    # POST_WINDOW_NEW names (tier-3, never driver-verified — must lead),
+    # (b) every query with no row in CORRECTNESS_r06.json, (c) every
+    # query _coverage marks narrow-changed in round 7.  Update
+    # test_driver_window_plus_prior_files_cover_everything to also read
+    # the r6 file.
     first = [
-        # no round-4 driver row (rotated out of the 50-query window).
-        "v46_array_funcs",
-        "v47_null_conditional",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v50_window_battery",
-        "v51_unpivot",
-        "v52_string_agg",
-        "v53_hash_split",
-        "v54_pack_by_budget",
-        "v55_stratified_sample",
-        "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
-        "v64_neardup_clusters",
-        "v65_repetition_signals",
-        "v66_scd2_merge",
-        "v67_cluster_corpus_prep",
-        # changed-in-round-5 queries that sorted order would leave outside
-        # the window (forced in by the _coverage policy test).
-        "v34_range_join",  # asof.py integer bucket math
-        "v36_grouping_sets",  # cube_agg → cache (r5 seam/accounting edits)
-        "v42_cube",  # cube_agg imports operators.cache (exact-id accounting)
-        # streaming_q rewrites this round (sentinel build, scoped state
-        # width) — narrow-affected, must re-verify in-window.
-        "v32_streaming_window",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        # new this round: no prior driver row exists at all.
-        "v68_pii_scrub",
-        "v69_decontaminate",
-        "v70_semantic_dedup",
-        "v71_dsir_importance",
-        "v72_global_shuffle",
-        "v73_stream_dedup",
-        "v74_domain_cap",
-        "v75_stateful_totals",
-        "v76_stream_upsert",
-        "v77_q18_large_orders",
-        "v78_paragraph_dedup",
-        # text.py/dedup.py/similarity.py gained or touched operators in-
-        # round (PII scrub, decontamination, IVF index reuse); the
-        # conservative module-level change tracking marks their sibling
-        # queries changed too — re-verify in-window.
-        "v19_dedup_exact",
-        "v20_cosine_topk",
-        "v21_dedup_content_hash",
-        "v22_minhash_lsh",
-        "v23_jaccard_pairs",
-        "v24_simhash",
-        "v25_ann_ivf",
-        "v26_embedding_neardup",
-        "v27_text_quality",
-        "v28_lang_id",
-        "v29_token_count",
-        "v30_fingerprint",
-        "v31_multimodal_features",
-        # merge/mutate/table seam + v13 sort/catalog work this round.
-        "v13_scalar_funcs",
-        "v17_update_by_keys",
-        "v18_insert_delete",
+        # r5's tier-3 additions: NEVER driver-verified (no row in any
+        # CORRECTNESS file) — they lead, per r5 VERDICT mandate #1.
+        "v79_c4_quality_filter",
+        "v80_exact_substrings",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+        # no round-5 driver row (rotated out of r5's 50-query window;
+        # all green in CORRECTNESS_r04.json or earlier).
+        "v01_scan",
+        "v02_project_filter",
+        "v03_agg_q1",
+        "v04_join_agg",
+        "v05_q3_top10",
+        "v06_left_join_coalesce",
+        "v07_semi_anti",
+        "v08_theta_join",
+        "v09_rollup",
+        "v10_window_rank",
+        "v11_window_frames",
+        "v12_set_ops",
+        "v14_json_extract",
+        "v15_time_bucket",
+        "v16_count_distinct",
+        "v33_asof_join",
+        "v35_pivot",
+        "v37_approx_distinct",
+        "v38_tfidf",
+        "v39_map_struct_json",
+        "v40_math_funcs",
+        "v41_session_window",
+        "v43_percentiles_stats",
+        "v44_string_funcs",
+        "v45_date_funcs",
+        "v61_approx_percentiles",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
+        # changed in round 6 (forced in-window by the _coverage policy
+        # test): DSIR one-scan rework, stateful key-guard lift, ADVICE
+        # fixes (simhash empty-doc join-back, sep regex-escape in
+        # paragraph/substr/c4, gopher boolean rule guards).
+        "v71_dsir_importance",  # importance.py one-scan rework
+        "v75_stateful_totals",  # stateful.py max_keys guard lift
+        "v24_simhash",  # dedup.py simhash empty-doc zero-signature
+        "v78_paragraph_dedup",  # paragraphs.py sep escape
+        "v65_repetition_signals",  # text.py gopher rule-column guard
+        # new in round 6: no prior driver row exists at all.  (Names are
+        # appended here in the same commit that registers each query —
+        # test_rotation_head_names_all_exist fails otherwise.)
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -26,26 +26,55 @@ def test_every_oracle_has_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
-def test_driver_window_plus_r4_file_covers_everything():
+def test_driver_window_plus_prior_files_cover_everything():
     # Union-coverage contract: the first 50 (this round's driver window)
-    # plus round 4's recorded rows must leave no query unverified.
+    # plus prior rounds' recorded rows must leave no query unverified.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r4 = set(json.load(open(os.path.join(repo, "CORRECTNESS_r04.json"))))
+    prior: set[str] = set()
+    for fname in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+        prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
-    uncovered = set(QUERIES) - window - r4 - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4∪r5: {uncovered}"
+    uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
+    assert not uncovered, f"queries with no driver row in r4∪r5∪r6: {uncovered}"
+
+
+def test_never_driver_verified_queries_lead_the_window():
+    # r5 VERDICT mandate #1: queries that have NEVER had a driver row
+    # (r5's tier-3 set) must occupy the head of the r6 window so nothing
+    # can evict them if the sweep is cut short.
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior: set[str] = set()
+    for fname in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+        prior |= set(json.load(open(os.path.join(repo, fname))))
+    never = [q for q in QUERIES if q not in prior and q not in POST_WINDOW_NEW]
+    head = list(QUERIES)[: len(never)]
+    assert set(head) == set(never) or all(
+        list(QUERIES).index(q) < 50 for q in never
+    ), f"never-verified queries not all inside the window: {never}"
+    # the four r5 tier-3 names specifically lead (positions 0-3)
+    r5_tier3 = [
+        "v79_c4_quality_filter",
+        "v80_exact_substrings",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+    ]
+    assert list(QUERIES)[:4] == r5_tier3
 
 
 def test_post_window_new_queries_carry_tier3_coverage():
-    # The window saturated mid-round (17 no-r4-row + 33 changed-in-round
-    # = 50), so queries added after that point cannot get an in-round
-    # driver row without evicting re-verification of changed code.  The
-    # tier-3 contract: each must have a hash oracle AND run through the
-    # in-suite differential harness (tests/test_llm2_oracle.py executes
-    # the same Spark-vs-DuckDB comparison the driver does).
+    # If the window saturates mid-round, queries added after that point
+    # cannot get an in-round driver row without evicting re-verification
+    # of changed code.  The tier-3 contract: each must have a hash oracle
+    # AND run through the in-suite differential harness
+    # (tests/test_llm2_oracle.py executes the same Spark-vs-DuckDB
+    # comparison the driver does).  Round 6: POST_WINDOW_NEW is empty —
+    # the checks below are vacuous until the window saturates again.
     from tests.test_llm2_oracle import LLM2
 
     for name in POST_WINDOW_NEW:
