@@ -122,6 +122,20 @@ def euclidean_distance(a: Column, b: Column) -> Column:
     )
 
 
+def regex_literal(s: str) -> str:
+    """Quote ``s`` so Java regex (``F.split``, ``rlike``) matches it
+    literally — ``\\Q...\\E`` with embedded ``\\E`` split out, the same
+    construction as ``java.util.regex.Pattern.quote``.
+
+    The split/rejoin operators (paragraph dedup, C4 filter, exact-substr
+    dedup) take a ``sep`` that ``F.split`` treats as a REGEX but
+    ``array_join`` re-inserts LITERALLY; without quoting, a separator
+    containing metacharacters (``.``, ``|``, ``\\n\\n+``) splits and
+    rejoins inconsistently.
+    """
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def reassemble_in_order(pos_col: str, val_col: str, sep: str) -> Column:
     """Aggregate expression rebuilding a document from (position, value)
     rows: ``array_join(array_sort(collect_list(struct(pos, val))).val, sep)``.

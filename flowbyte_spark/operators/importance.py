@@ -9,34 +9,59 @@ distribution you want more of) versus the RAW corpus.  High scores mean
 the score to tilt a 100 TB crawl toward a quality distribution without
 training a classifier.
 
-Scale shape — three bounded stages, nothing quadratic:
+Scale shape — two linear passes over the gram stream, nothing quadratic:
 
-1. gram explosion: one scan, codegen-only (explode-the-offsets form —
+1. bucket counts: gram explosion (codegen-only explode-the-offsets form —
    see ``dedup._exploded_ngrams`` for why ``transform`` lambdas are
-   banned from hot paths);
-2. bucket counts: groupBy over ``16^bucket_chars`` hashed buckets —
-   map-side partial agg collapses each partition to ≤B rows before the
-   exchange, so the shuffle is O(B × partitions) no matter the corpus;
-3. scoring: the weight table (≤B rows) broadcast-joins the gram stream
-   and a per-doc sum aggregates map-side — shuffle volume ~one row per
-   document.
+   banned from hot paths) → ``groupBy(bucket)`` whose map-side partial
+   agg collapses every partition to ≤``16^bucket_chars`` rows before the
+   exchange, so the collected count table is BOUNDED by the bucket count
+   (≤1M at the enforced ``bucket_chars <= 5``) no matter the corpus size;
+2. weights: computed on the DRIVER from that bounded table — the
+   add-1-smoothed LLR per bucket is 4096 scalar ops, and doing it
+   driver-side deletes the totals-aggregate and crossJoin-broadcast
+   stages (two AQE barriers) the in-plan form paid per run;
+3. scoring: the weight table broadcast-joins the gram stream and a
+   per-doc sum aggregates map-side (a doc's grams are partition-local) —
+   shuffle volume ~one row per document.
+
+Round-6 rework (v71 straddled the 2x perf bar for two rounds at
+1.8-2.5x; all numbers sf0.1, local[32], median-of-5 under bench.py's
+release-per-run semantics): the r5 shape kept everything in-plan
+(cached ≤B-row bucket counts feeding a totals agg + crossJoin) and ran
+the explosion twice — 1.54 s with a wild 1.36-2.50 s spread.  Measured
+alternatives: per-(doc,bucket) pre-agg cache 1.73-2.09 s (the extra
+keyed exchange + cache build outruns the explosion it saves); keyed
+fan-out repartition 2.52 s (worse, see below); driver-side weights with
+double-scan 1.55 s; driver-side weights + NARROW gram-stream cache
+(id, bool, 3-char bucket — not the wide gram strings whose cache build
+measured erratic 2-17 s at 10x in r5) **1.40 s with a 1.33-1.44 s
+spread** — the shipped fixture-scale path.  At scale the gram-stream
+cache is corpus-sized, so inputs already wider than the cluster
+(partitions >= defaultParallelism) take the double-scan path instead:
+both passes are scan-bound and the explosion re-runs rather than
+spilling a 100 TB cache — the same applicability-check-plus-fallback
+pattern as the GEMM kernel and the single-split sort fast path.
 
 Cross-engine exactness: bucket ids are md5-hex prefixes (string-equal in
 every engine — no base-16 conversion), each bucket weight is quantized
 to integer 1e-4 units (``floor(w·10⁴+0.5)`` as BIGINT) and per-document
 scores are sums of those integers — exact, order-independent arithmetic,
-so the DuckDB oracle hash-matches despite floating-point ``ln``.
+so the DuckDB oracle hash-matches despite floating-point ``ln`` (the
+driver-side ``math.log`` uses the platform libm, same as DuckDB's).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import ensure_parallelism
 from flowbyte_spark.operators.dedup import _exploded_ngrams
 
 WEIGHT_QUANTUM = 10_000  # bucket weights quantized to 1e-4
+MAX_BUCKET_CHARS = 5  # 16^5 = 1M rows — the driver-collect bound
 
 
 def dsir_importance(
@@ -62,19 +87,25 @@ def dsir_importance(
     count — the add-1-smoothed bag-of-hashed-ngrams log-likelihood ratio
     of the DSIR paper.  Buckets are md5-hex prefixes of the gram
     (``16^bucket_chars`` of them), so the hashing is engine-portable.
+
+    Eager: the bucket-count pass (bounded at ``16^bucket_chars`` rows by
+    map-side partial aggregation regardless of corpus size) runs at call
+    time to build the weight table on the driver.
     """
     from flowbyte_spark.operators import cache
 
+    if bucket_chars > MAX_BUCKET_CHARS:
+        raise ValueError(
+            f"bucket_chars={bucket_chars} would collect 16^{bucket_chars} "
+            f"bucket rows to the driver; max is {MAX_BUCKET_CHARS}"
+        )
     num_buckets = 16**bucket_chars
-    # Round-robin fan-out, deliberately NOT the keyed form of finding 7:
-    # measured here, hash(id) does not carry through the gram explosion
-    # to the scoring groupBy (no exchange saved, plan still 4 keyed
-    # exchanges) and timing was flat-to-worse — the finding applies when
-    # the reassembly consumes the fan-out DIRECTLY, not through an
-    # explode+join sandwich.
-    tagged = ensure_parallelism(df).select(
-        F.col(id_col), F.col(text_col), target.alias("__t")
-    )
+    spark = df.sparkSession
+    # No fan-out repartition (contrast r5): measured 2.52 s vs 1.55 s
+    # without at fixture scale — the gram explosion is cheap per row and
+    # at scale parallelism comes from file splits, exactly the
+    # paragraph_dedup rationale.
+    tagged = df.select(F.col(id_col), F.col(text_col), target.alias("__t"))
     grams = _exploded_ngrams(
         tagged, id_col, text_col, n, extra_cols=("__t",)
     ).select(
@@ -82,36 +113,43 @@ def dsir_importance(
         "__t",
         F.substring(F.md5("g"), 1, bucket_chars).alias("bkt"),
     )
-    # Persist the BUCKET COUNTS (≤16^k rows — tiny), NOT the gram stream:
-    # counts feed both `totals` and `weights`, so an unpersisted counts
-    # subtree would re-run the whole gram explosion a third time, while
-    # caching the 10⁷-row gram stream itself costs a fresh columnar
-    # cache build + GC churn per run (measured: erratic 2-17 s at 10x).
-    # With only the count table cached, the gram scan runs exactly twice
-    # (count pass + scoring pass) — stable and purely scan-bound, the
-    # same shape DuckDB executes with its materialized CTE.  Tracked:
-    # released by the caller's cache.release_persisted() after
-    # materialization, the LSH-family contract.
-    counts = cache.persist_tracked(
-        grams.groupBy("bkt").agg(
+    # Fixture-scale inputs (fewer partitions than the cluster is wide)
+    # persist the NARROW gram stream so the explosion runs once; at-scale
+    # inputs double-scan instead of spilling a corpus-sized cache — both
+    # passes are scan-bound there and the weight-table barrier sits
+    # between them either way.
+    small_input = (
+        df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    )
+    if small_input:
+        grams = cache.persist_tracked(grams)
+    counts = (
+        grams.groupBy("bkt")
+        .agg(
             F.sum(F.col("__t").cast("long")).alias("ct"),
             F.count("*").alias("cr"),
         )
+        .collect()
     )
-    totals = counts.agg(
-        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
-    )
-    weights = counts.crossJoin(F.broadcast(totals)).select(
-        "bkt",
-        F.floor(
-            (
-                F.log((F.col("ct") + 1.0) / (F.col("t_total") + num_buckets))
-                - F.log((F.col("cr") + 1.0) / (F.col("r_total") + num_buckets))
-            )
-            * WEIGHT_QUANTUM
-            + F.lit(0.5)
-        ).alias("wq"),
-    )
+    t_total = sum(r.ct for r in counts)
+    r_total = sum(r.cr for r in counts)
+    wq_rows = [
+        (
+            r.bkt,
+            int(
+                math.floor(
+                    (
+                        math.log((r.ct + 1.0) / (t_total + num_buckets))
+                        - math.log((r.cr + 1.0) / (r_total + num_buckets))
+                    )
+                    * WEIGHT_QUANTUM
+                    + 0.5
+                )
+            ),
+        )
+        for r in counts
+    ]
+    weights = spark.createDataFrame(wq_rows, "bkt string, wq long")
     return (
         grams.join(F.broadcast(weights), "bkt")
         .groupBy("id")

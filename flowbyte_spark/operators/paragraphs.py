@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import reassemble_in_order
+from flowbyte_spark.functions import reassemble_in_order, regex_literal
 
 
 def paragraph_dedup(
@@ -71,7 +71,9 @@ def paragraph_dedup(
     # and an explode — scan-bound — so at scale parallelism comes from
     # file splits, and at fixture scale the extra exchange costs more
     # than the single-task map it parallelizes (measured +0.4 s).
-    sep_lit = F.lit(sep)
+    # F.split takes a regex but reassembly re-inserts sep literally —
+    # quote it so metacharacter separators split/rejoin consistently.
+    sep_lit = F.lit(regex_literal(sep))
     base = df.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), sep_lit).alias("paras"),

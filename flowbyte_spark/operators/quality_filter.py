@@ -43,7 +43,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import reassemble_in_order
+from flowbyte_spark.functions import reassemble_in_order, regex_literal
 
 #: C4's published defaults (Raffel et al. 2020 §2.2): the terminal
 #: punctuation set, the line-level "javascript" rule, the page-level
@@ -136,7 +136,9 @@ def c4_quality_filter(
         src, doc_ok = src.where(doc_ok), F.lit(True)
     base = src.select(
         F.col(id_col).alias("id"),
-        F.split(t, F.lit(sep)).alias("arr"),
+        # F.split takes a regex but reassembly re-inserts sep literally —
+        # quote it so metacharacter separators split/rejoin consistently.
+        F.split(t, F.lit(regex_literal(sep))).alias("arr"),
         doc_ok.alias("doc_ok"),
     ).select(
         "id",

@@ -37,8 +37,9 @@ Scale shape — linear shuffles only, no all-pairs anywhere:
    to one position-set per doc — a small table that broadcasts back
    onto the token stream.
 5. reassembly: one ``groupBy(id)`` over ALL tokens with the covered
-   filter folded into the aggregate itself (``collect_list`` skips the
-   nulls a ``when`` produces), order restored by an ``array_sort`` of
+   filter folded into the aggregate itself (``collect_list`` keeps the
+   struct(pos, NULL) entries; ``array_join`` without nullReplacement
+   then drops the nulled tokens), order restored by an ``array_sort`` of
    (pos, tok) structs.  Every doc keeps its group row, so fully
    deduplicated documents fall out as empty strings with no extra
    corpus pass and no final join.
@@ -49,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flowbyte_spark.functions import reassemble_in_order
+from flowbyte_spark.functions import reassemble_in_order, regex_literal
 
 
 def exact_substring_dedup(
@@ -86,7 +87,9 @@ def exact_substring_dedup(
         fan_out = src.rdd.getNumPartitions() < sc.defaultParallelism
     if fan_out:
         src = src.repartition(sc.defaultParallelism, "id")
-    base = src.select("id", F.split("t", F.lit(sep)).alias("arr"))
+    # F.split takes a regex but array_join re-inserts sep literally —
+    # quote it so metacharacter separators split/rejoin consistently.
+    base = src.select("id", F.split("t", F.lit(regex_literal(sep))).alias("arr"))
     toks = base.select(
         "id",
         F.size("arr").cast("long").alias("n_tokens"),
@@ -129,8 +132,12 @@ def exact_substring_dedup(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("cpos")
     ).groupBy("id").agg(F.collect_set("cpos").alias("cov"))
 
-    # The covered-position filter lives INSIDE the reassembly aggregate
-    # (collect_list skips nulls): every document keeps a group row, so
+    # The covered-position filter lives INSIDE the reassembly aggregate:
+    # collect_list keeps the struct(pos, NULL) entries (the struct itself
+    # is non-null) and it is array_join — called WITHOUT nullReplacement
+    # inside reassemble_in_order — that drops the nulled-out tokens.
+    # (Swapping array_join for concat_ws/transform would re-emit doubled
+    # separators.)  Every document keeps a group row, so
     # fully-deduplicated docs fall out as empty strings without the
     # extra (id, n_tokens) branch + left join a where() would force —
     # one fewer pass over the corpus and no final join at all.

@@ -322,14 +322,23 @@ def gopher_quality_gate(
     )
     ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
 
+    # Ratio rules divide by n_words; on an empty/whitespace-only document
+    # that division is NULL, and the docstring promises BOOLEAN rule
+    # columns (NULLs silently skew avg()-based kill-rate measurement) —
+    # guard them to an explicit False.  n_lines is always >= 1 (split of
+    # "" yields [""]), so the line-ratio rules need no guard.
+    def _needs_words(expr):
+        return F.when(n_words > 0, expr).otherwise(F.lit(False))
+
     rules = {
         "r_word_count": (n_words >= min_words) & (n_words <= max_words),
-        "r_word_len": (avg_wlen >= min_avg_word_len)
-        & (avg_wlen <= max_avg_word_len),
-        "r_symbol_ratio": (symbols / n_words) <= max_symbol_ratio,
+        "r_word_len": _needs_words(
+            (avg_wlen >= min_avg_word_len) & (avg_wlen <= max_avg_word_len)
+        ),
+        "r_symbol_ratio": _needs_words((symbols / n_words) <= max_symbol_ratio),
         "r_bullet_lines": (bullet_lines / n_lines) <= max_bullet_frac,
         "r_ellipsis_lines": (ellipsis_lines / n_lines) <= max_ellipsis_frac,
-        "r_alpha_words": (alpha_words / n_words) >= min_alpha_frac,
+        "r_alpha_words": _needs_words((alpha_words / n_words) >= min_alpha_frac),
         "r_stopwords": stop_hits >= min_stop_hits,
     }
     out = df

@@ -243,16 +243,37 @@ class _DirWriter(DataSourceWriter):
                 os.path.join(self.path, m.filename),
             )
             published.append({"file": m.filename, "rows": m.rows})
-        for leftover in os.listdir(staging):  # zombie attempts
-            os.remove(os.path.join(staging, leftover))
-        os.rmdir(staging)
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        # Zombie cleanup is scoped to THIS job's token: a concurrent
+        # append job stages into the same _staging/ dir, and a blanket
+        # sweep would delete its in-flight files mid-commit.
+        for leftover in os.listdir(staging):
+            if self.job in leftover:
+                os.remove(os.path.join(staging, leftover))
+        try:
+            os.rmdir(staging)  # succeeds only once the last job drains it
+        except OSError:
+            pass
+        # Atomic manifest swap: a crash mid-write must leave the PREVIOUS
+        # manifest intact, not a truncated one that orphans every
+        # committed row.
+        tmp = os.path.join(self.path, f"_MANIFEST.{self.job}.tmp")
+        with open(tmp, "w") as f:
             json.dump(sorted(published, key=lambda p: p["file"]), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
 
     def abort(self, messages) -> None:
-        import shutil
-
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        # Scoped like commit(): drop only this job's staged files so a
+        # concurrent append job's in-flight staging survives our abort.
+        staging = os.path.join(self.path, "_staging")
+        try:
+            for leftover in os.listdir(staging):
+                if self.job in leftover:
+                    os.remove(os.path.join(staging, leftover))
+            os.rmdir(staging)
+        except OSError:
+            pass
 
 
 def read_manifest(spark, path: str):

@@ -435,3 +435,80 @@ def test_gopher_quality_gate_rules(spark):
 
     df = gopher_quality_gate(load_table(spark, SF, "documents"))
     assert plans.shuffle_exchanges(df) == 0, plans.physical_plan(df)
+
+
+def test_simhash_signatures_keep_empty_docs(spark):
+    """ADVICE r5: an empty words array must yield the fold form's
+    all-zero signature row, not silently vanish from the groupBy."""
+    from flowbyte_spark.functions.hashing import SIMHASH_BITS
+    from flowbyte_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "beta"]), (2, []), (3, None)],
+        "id long, w array<string>",
+    )
+    out = {r.id: tuple(r.bits) for r in
+           simhash_signatures(df, "id", "w", SIMHASH_BITS).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0,) * SIMHASH_BITS
+    assert out[3] == (0,) * SIMHASH_BITS
+    assert out[1] != (0,) * SIMHASH_BITS
+
+
+def test_gopher_gate_empty_doc_rules_are_boolean(spark):
+    """ADVICE r5: ratio rules on an empty/whitespace doc must come out
+    False, never NULL (NULLs skew avg()-based kill-rate measurement)."""
+    from flowbyte_spark.operators.text import gopher_quality_gate
+
+    rows = gopher_quality_gate(
+        spark.createDataFrame(
+            [(1, ""), (2, "   \n\t  "), (3, None)], "id long, text string"
+        ),
+        min_words=10,
+    ).collect()
+    rule_cols = [c for c in rows[0].asDict() if c.startswith("r_")]
+    for r in rows:
+        if r.text is None:
+            continue  # null text propagates null (documented SQL nulls)
+        for c in rule_cols:
+            assert r[c] is not None, f"id={r.id} rule {c} is NULL"
+        assert r.gopher_pass is False
+
+
+def test_split_rejoin_operators_treat_sep_literally(spark):
+    """ADVICE r5: a separator containing regex metacharacters must split
+    and rejoin consistently (F.split regex vs array_join literal)."""
+    from flowbyte_spark.operators.paragraphs import paragraph_dedup
+    from flowbyte_spark.operators.quality_filter import c4_quality_filter
+    from flowbyte_spark.operators.substrings import exact_substring_dedup
+
+    sep = "|.|"  # pipe + dot: both regex metacharacters
+    df = spark.createDataFrame(
+        [(1, f"alpha beta{sep}gamma delta{sep}alpha beta"),
+         (2, f"alpha beta{sep}unique para here")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in
+           paragraph_dedup(df, "id", "text", sep=sep).collect()}
+    assert out[1].text_dedup == f"alpha beta{sep}gamma delta"
+    assert out[2].text_dedup == "unique para here"
+
+    # substr dedup with a metachar token separator round-trips unchanged
+    # when nothing is duplicated at window length k
+    sdf = spark.createDataFrame(
+        [(1, "a.b.c.d.e"), (2, "v.w.x.y.z")], "id long, text string"
+    )
+    sres = {r.id: r for r in
+            exact_substring_dedup(sdf, "id", "text", k=3, sep=".").collect()}
+    assert sres[1].text_dedup == "a.b.c.d.e"
+    assert sres[1].n_tokens == 5 and sres[1].n_kept == 5
+
+    # c4 with a dotted line separator keeps line structure intact
+    cdf = spark.createDataFrame(
+        [(1, "the cat sat on the warm mat today.|.|the dog ran far away.")],
+        "id long, text string",
+    )
+    cres = c4_quality_filter(
+        cdf, "id", "text", sep="|.|", min_words=3, min_kept_lines=1
+    ).collect()
+    assert cres and cres[0].text_clean.count("|.|") == 1

@@ -215,3 +215,28 @@ def test_pushdown_property(spark):
         assert got == [i for i in range(200) if ok(i)]
 
     check()
+
+
+def test_commit_scoped_to_own_job_and_manifest_atomic(spark, tmp_path):
+    """ADVICE r5: commit() must only sweep ITS OWN staged files (a
+    concurrent append job's in-flight files survive), and the manifest
+    must be swapped atomically (no .tmp debris, previous manifest never
+    truncated in place)."""
+    import os
+
+    dest = str(tmp_path / "sink2")
+    os.makedirs(dest)
+    staging = os.path.join(dest, "_staging")
+    os.makedirs(staging)
+    # another job's in-flight staged file (different job token)
+    inflight = os.path.join(staging, "part-otherjob0001-00000-a0.jsonl")
+    with open(inflight, "w") as f:
+        f.write('{"event_id": -7}\n')
+    _read(spark, rows=20, chunk=5).write.format("flowbyte_synth").option(
+        "path", dest
+    ).mode("append").save()
+    # our commit published our rows but left the other job's file alone
+    assert os.path.exists(inflight), "concurrent job's staged file was swept"
+    assert python_ds.read_manifest(spark, dest).count() == 20
+    # no temp-manifest debris after the atomic swap
+    assert not [f for f in os.listdir(dest) if f.startswith("_MANIFEST.")]
