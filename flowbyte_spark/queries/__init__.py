@@ -47,6 +47,7 @@ def _load_all() -> None:
         batteries,
         batteries2,
         batteries3,
+        connectors_q,
         extended,
         functions_q,
         session_q,
@@ -131,6 +132,7 @@ def _reorder() -> None:
         # new in round 6: no prior driver row exists at all.  (Names are
         # appended here in the same commit that registers each query —
         # test_rotation_head_names_all_exist fails otherwise.)
+        "v83_jdbc_roundtrip",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -106,3 +106,70 @@ def test_jdbc_write_options():
     assert opts["batchsize"] == "5000"
     assert opts["truncate"] == "true"
     assert opts["url"].startswith("jdbc:sqlserver://")
+
+
+# ---------------------------------------------------------------------------
+# Live end-to-end against embedded Derby (ships in pyspark's jars/ — on
+# every session's classpath).  These exercise the REAL JDBC path the
+# option-construction tests above only shape-check: batched write,
+# partitioned range read, predicate pushdown into the database.
+# ---------------------------------------------------------------------------
+
+
+def _derby(spark, db):
+    from flowbyte_spark.queries.connectors_q import DERBY_DRIVER, embedded_derby_url
+
+    return JDBCSource(url=embedded_derby_url(spark, db), driver=DERBY_DRIVER)
+
+
+def test_jdbc_derby_roundtrip_partitioned(spark):
+    src = _derby(spark, "t_rt")
+    cust = load_table(spark, SF, "customer")
+    src.insert_data(cust, None, "cust_rt", mode="overwrite")
+    back = src.get_data(
+        spark,
+        table="cust_rt",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=cust.count() + 1,
+        num_partitions=4,
+        fetchsize=100,
+    )
+    # the read genuinely plans 4 concurrent range partitions
+    from flowbyte_spark import plans
+
+    assert "numPartitions=4" in plans.physical_plan(back)
+    assert back.rdd.getNumPartitions() == 4
+    # content equality: no row lost, duplicated, or re-typed across the
+    # write -> server -> partitioned-read path (range-stride off-by-ones
+    # show up here as missing/doubled boundary rows)
+    a = sorted(map(tuple, cust.select("c_custkey", "c_name", "c_nationkey").collect()))
+    b = sorted(map(tuple, back.select("c_custkey", "c_name", "c_nationkey").collect()))
+    assert a == b
+
+
+def test_jdbc_derby_predicate_pushdown(spark):
+    from flowbyte_spark import plans
+
+    src = _derby(spark, "t_push")
+    nation = load_table(spark, SF, "nation")
+    src.insert_data(nation, None, "nation_p", mode="overwrite")
+    back = src.get_data(spark, table="nation_p").where(F.col("n_regionkey") == 2)
+    plan = plans.physical_plan(back)
+    assert "PushedFilters" in plan and "EqualTo(N_REGIONKEY,2)" in plan.replace(
+        "n_regionkey", "N_REGIONKEY"
+    ), plan
+    want = {r.n_name for r in nation.where("n_regionkey = 2").collect()}
+    assert {r.n_name for r in back.collect()} == want
+
+
+def test_jdbc_derby_truncate_overwrite(spark):
+    src = _derby(spark, "t_trunc")
+    region = load_table(spark, SF, "region")
+    src.insert_data(region, None, "region_t", mode="overwrite")
+    # truncate-then-load keeps the table but replaces the rows
+    src.overwrite_truncating(region.limit(2), None, "region_t")
+    assert src.get_data(spark, table="region_t").count() == 2
+    # append extends
+    src.insert_data(region.limit(1), None, "region_t", mode="append")
+    assert src.get_data(spark, table="region_t").count() == 3
