@@ -146,3 +146,65 @@ def test_running_user_totals_accumulates_across_batches(spark, tmp_path):
         assert last_state[uid][0] == expected[uid][0], uid
         # running float sum rounded per batch: allow cent-level drift
         assert abs(last_state[uid][1] - expected[uid][1]) < 0.05, uid
+
+def test_stateful_max_keys_guard_trips(spark, tmp_path):
+    """VERDICT r5 defect 3: the key-cardinality brake lives on the
+    OPERATOR now — a direct caller with an unbounded key domain fails
+    loudly instead of silently degrading O(keys) per batch."""
+    import shutil
+
+    import pytest
+
+    from flowbyte_spark.streaming import read_event_stream
+    from flowbyte_spark.streaming.stateful import running_user_totals_exact
+
+    src = str(tmp_path / "events_guard")
+    load_table(spark, SF, "events").repartition(2).write.parquet(src)
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert n_users > 10
+
+    # one state partition -> one worker sees every key -> guard must trip
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        stream = read_event_stream(spark, src, max_files_per_trigger=2)
+        q = (
+            running_user_totals_exact(stream, watermark="365 days", max_keys=10)
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_guard"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="max_keys=10"):
+            q.awaitTermination()
+            raise AssertionError("guard did not trip")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_max_keys_waiver_and_default(spark, tmp_path):
+    """max_keys=None waives the guard; the bounded default passes for a
+    small key domain (v75's oracle path is unchanged)."""
+    import shutil
+
+    from flowbyte_spark.streaming import read_event_stream
+    from flowbyte_spark.streaming.stateful import running_user_totals_exact
+
+    src = str(tmp_path / "events_ok")
+    load_table(spark, SF, "events").where(F.col("user_id") < 5).repartition(
+        2
+    ).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    seen: list = []
+    q = (
+        running_user_totals_exact(stream, watermark="365 days", max_keys=None)
+        .writeStream.foreachBatch(lambda df, bid: seen.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ok"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    assert {r.user_id for r in seen} == {0, 1, 2, 3, 4}
