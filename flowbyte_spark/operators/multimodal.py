@@ -5,11 +5,16 @@ Charter scope.  Images/audio/video travel as ``binary`` columns with a
 feature-extract) run as Arrow-batched ``mapInPandas`` stages so payload
 bytes move executor-side in columnar batches, never through the driver.
 
-The decode kernels themselves are STUBBED — the runtime has no
-image/audio libraries — behind :func:`_decode_stub`, which either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(test mode).  Everything Spark-side (schemas, batch iteration, partition
-behavior, output contracts) is real and tested.
+Kernels: the IMAGE path is REAL for PNG payloads — decode, pixel
+featurization, and nearest-neighbor resize run on the stdlib-only codec
+in ``functions/png.py`` (all five PNG scanline filters, verified against
+an independent reference encoder in tests) with no external library.
+Audio/video and non-PNG image formats remain fail-loud stubs behind
+``fake_decode`` — the runtime has no torchaudio/codec libraries — which
+either raise ``NotImplementedError`` (strict mode) or produce a
+deterministic fake (test mode).  Everything Spark-side (schemas, batch
+iteration, partition behavior, output contracts) is real and tested for
+every modality.
 """
 
 from __future__ import annotations
@@ -62,19 +67,49 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float]:
-    """Placeholder for the real decode+featurize kernel.
+def _png_features(arr) -> list[float]:
+    """Deterministic pixel statistics for a decoded (H, W, C) uint8 image.
 
-    Real deployments plug Pillow/torchaudio/decord here; this container has
-    none of them, so ``fake=True`` derives a deterministic pseudo-feature
-    vector from a sha256 of the payload (stable across runs/engines), and
-    ``fake=False`` raises — making the missing dependency explicit rather
-    than silently wrong.
+    Every entry is an exactly-representable integer-valued float (counts,
+    sums of uint8 values, bin counts), so the vector is bit-identical
+    across engines and re-runs — the property that lets the REAL decode
+    path sit under the driver's hash gate (v84)::
+
+        [w, h, c, w*h*c, sum, min, max, hist8[0..7], 0]
     """
+    import numpy as np
+
+    h, w, c = arr.shape
+    flat = arr.reshape(-1)
+    hist = np.bincount(flat >> 5, minlength=8)  # 8 bins of 32 values
+    return [
+        float(v)
+        for v in (
+            w, h, c, w * h * c,
+            int(flat.sum(dtype=np.int64)),
+            int(flat.min()), int(flat.max()),
+            *(int(x) for x in hist),
+            0,
+        )
+    ]
+
+
+def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
+    """Decode+featurize: REAL for PNG images (stdlib codec — see
+    ``functions/png.py``), deterministic fake or fail-loud
+    ``NotImplementedError`` for every other modality/format (the
+    container has no audio/video/JPEG libraries — explicit beats
+    silently wrong).
+    """
+    from flowbyte_spark.functions import png
+
+    if kind == "image" and png.is_png(payload):
+        return _png_features(png.decode_png(payload))
     if not fake:
         raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this environment; pass fake_decode=True for the deterministic stub"
+            f"decode of kind={kind!r} requires a media library not present "
+            "in this environment (only PNG images decode natively); pass "
+            "fake_decode=True for the deterministic stub"
         )
     digest = hashlib.sha256(kind.encode() + (payload or b"")).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
@@ -128,7 +163,7 @@ def extract_features(
                         len(p) if p is not None else 0 for p in pdf["payload"]
                     ],
                     "features": [
-                        _decode_stub(p, k, fake_decode)
+                        _decode_kernel(p, k, fake_decode)
                         for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
@@ -161,16 +196,23 @@ def with_media_column(
     )
 
 
-def _resize_stub(payload: bytes, width: int, height: int, fake: bool) -> bytes:
-    """Placeholder for the real decode->resize->re-encode kernel (Pillow /
-    libvips in real deployments).  ``fake=True`` derives a deterministic
-    pseudo-payload from a sha256 of (payload, dims) — stable across
-    runs/engines and dependent on every input, so a dropped or reordered
-    row is visible; ``fake=False`` raises."""
+def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes:
+    """Decode -> nearest-neighbor resize -> re-encode: REAL for PNG
+    payloads (stdlib codec).  Other image formats: ``fake=True`` derives
+    a deterministic pseudo-payload from a sha256 of (payload, dims) —
+    stable across runs/engines and dependent on every input, so a dropped
+    or reordered row is visible; ``fake=False`` raises."""
+    from flowbyte_spark.functions import png
+
+    if png.is_png(payload):
+        return png.encode_png(
+            png.resize_nearest(png.decode_png(payload), width, height)
+        )
     if not fake:
         raise NotImplementedError(
-            "image resize requires an image library not present in this "
-            "environment; pass fake_decode=True for the deterministic stub"
+            "resize of non-PNG images requires a media library not present "
+            "in this environment; pass fake_decode=True for the "
+            "deterministic stub"
         )
     seed = (payload or b"") + f"|{width}x{height}".encode()
     return hashlib.sha256(seed).digest()
@@ -198,7 +240,7 @@ def resize_media(
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
                 meta = dict(m) if m is not None else {}
                 if k == "image":
-                    payloads.append(_resize_stub(p, width, height, fake_decode))
+                    payloads.append(_resize_kernel(p, width, height, fake_decode))
                     meta["width"], meta["height"] = width, height
                 else:
                     payloads.append(p)

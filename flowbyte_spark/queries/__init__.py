@@ -129,10 +129,12 @@ def _reorder() -> None:
         "v24_simhash",  # dedup.py simhash empty-doc zero-signature
         "v78_paragraph_dedup",  # paragraphs.py sep escape
         "v65_repetition_signals",  # text.py gopher rule-column guard
+        "v31_multimodal_features",  # multimodal.py real PNG kernel dispatch
         # new in round 6: no prior driver row exists at all.  (Names are
         # appended here in the same commit that registers each query —
         # test_rotation_head_names_all_exist fails otherwise.)
         "v83_jdbc_roundtrip",
+        "v84_media_decode",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -7,6 +7,7 @@ algorithms follow the published pipelines cited in each operator module.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -307,3 +308,79 @@ def v82_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("event_id") < 3 * rows // 4)
         & (F.col("event_type") != "error")
     )
+
+
+# ---------------------------------------------------------------------------
+# V84 — REAL image decode under the hash gate (round 6)
+# ---------------------------------------------------------------------------
+# v31 verifies the multimodal PLUMBING with the sha256 stub; this query
+# verifies an actual codec: each document's md5 digest becomes the 16
+# pixels of a 4x4 greyscale PNG (encoded executor-side by the stdlib
+# codec in functions/png.py), extract_features runs with
+# fake_decode=False — the REAL decode path: signature parse, zlib
+# inflate, scanline unfilter — and the decoded pixel statistics must
+# equal what DuckDB computes straight from the same md5 hex.  A single
+# bit wrong anywhere in encode or decode breaks sum/min/max.
+
+
+@register(
+    "v84_media_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 2 * i.n + 1, 2)) AS BIGINT)
+                   AS v
+        FROM documents, (SELECT unnest(range(16)) AS n) AS i
+        WHERE doc_id < 200)
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY media_id
+    """,
+)
+def v84_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x4 greyscale PNGs from md5(text) bytes, decoded by the REAL PNG
+    kernel (fake_decode=False); pixel stats hash-checked against the md5
+    bytes DuckDB derives directly."""
+    from flowbyte_spark.operators import multimodal as M
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def png_of_md5(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from flowbyte_spark.functions.png import encode_png
+
+        return text.map(
+            lambda t: encode_png(
+                np.frombuffer(
+                    hashlib.md5(t.encode()).digest(), dtype=np.uint8
+                ).reshape(4, 4)
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        png_of_md5("text").alias("payload"),
+    )
+    feats = M.extract_features(media, batch_size=64, fake_decode=False)
+    f = lambda i: F.element_at("features", i).cast("long")  # noqa: E731
+    return feats.select(
+        "media_id",
+        f(1).alias("width"),
+        f(2).alias("height"),
+        f(3).alias("channels"),
+        f(5).alias("px_sum"),
+        f(6).alias("px_min"),
+        f(7).alias("px_max"),
+    ).orderBy("media_id")
