@@ -228,6 +228,14 @@ class CatalogTable(Table):
     # -- keyed updates ------------------------------------------------------
 
     def _merge(self, delta: DataFrame, keys, set_cols, presence: bool) -> None:
+        # MERGE analysis requires a DETERMINISTIC source plan: the runtime
+        # row-group filter wraps the source in an EXISTS pushed onto the
+        # target scan, and the delta's last-record-wins ordering uses
+        # monotonically_increasing_id (non-deterministic by declaration).
+        # localCheckpoint materializes the computed rows and truncates the
+        # plan to them — the delta is one row per updated key, so this is
+        # a bounded write, the same size the join path broadcasts.
+        delta = delta.localCheckpoint(eager=True)
         view = f"__fb_delta_{uuid.uuid4().hex[:12]}"
         delta.createOrReplaceTempView(view)
         try:

@@ -68,6 +68,21 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _memcat_conf() -> dict[str, str]:
+    """Register the bundled single-JVM v2 catalog (java/memcat — MERGE
+    INTO / UPDATE / DELETE support for the CatalogTable seam's e2e tests)
+    when its jar is present.  Static conf: only effective on sessions THIS
+    factory creates; driver-owned sessions simply don't get the catalog.
+    """
+    jar = os.path.join(os.path.dirname(__file__), "jars", "flowbyte-memcat.jar")
+    if not os.path.exists(jar):
+        return {}
+    return {
+        "spark.jars": jar,
+        "spark.sql.catalog.memcat": "flowbyte.memcat.MemoryCatalog",
+    }
+
+
 def get_spark(
     app_name: str = "flowbyte-spark",
     master: str | None = None,
@@ -85,7 +100,7 @@ def get_spark(
         master = f"local[{cpus}]"
 
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
+    for k, v in {**ENGINE_CONF, **_memcat_conf(), **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Apply runtime-settable confs even when an existing session was reused
