@@ -646,3 +646,225 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" (the FAISS IndexPQ structure).  Round 6.
+# ---------------------------------------------------------------------------
+# Scale shape: vectors compress to m one-byte codes (64d float -> 8 bytes
+# at m=8: a 32x memory cut), the codebook (codes x dim floats) broadcasts,
+# and a query scans CODES not floats — asymmetric distance computation
+# (ADC) is one m*codes lookup table per query plus an integer sum per
+# vector.  Encode is a single broadcast-join pass; search shuffles one
+# row per vector (map-side partial sum).  Everything below is pure
+# Catalyst (slice / zip_with / aggregate) — no UDFs.
+#
+# Distances are quantized to integer 1e-4 units BEFORE the argmin/sum
+# (the DSIR weight rule): code assignment ties break on the code id and
+# the ADC sum is exact integer arithmetic, so results hash-match the
+# DuckDB oracle despite floating-point squares.
+
+PQ_QUANTUM = 10_000
+
+
+def _sub_sqdist_q(vec, cvec, j, ds: int):
+    """Quantized squared L2 distance between subvectors j of two arrays
+    (1-based slice start = j*ds + 1)."""
+    diff2 = F.zip_with(
+        F.slice(vec, j * ds + 1, ds),
+        F.slice(cvec, j * ds + 1, ds),
+        lambda x, y: (x - y) * (x - y),
+    )
+    s = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    return F.floor(s * PQ_QUANTUM + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, codes: int = 16
+) -> DataFrame:
+    """``(code, cvec)`` — one shared codebook table whose per-subspace
+    codewords are the sliced subvectors of the ``codes`` lowest-id
+    vectors (deterministic and engine-portable, the ivf_assign
+    ``lowest_id`` convention; production swaps in per-subspace k-means —
+    codebook quality is orthogonal to the encode/search machinery)."""
+    return F.broadcast(
+        df.where(F.col(id_col) < codes).select(
+            F.col(id_col).cast("int").alias("code"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """``(id, j, code)`` PQ codes: per subspace j, the codeword with the
+    smallest quantized squared distance (ties -> lowest code).  One
+    broadcast join + one (id, j) aggregate; the m-per-vector fan-out
+    collapses map-side."""
+    ds = dim // m
+    sub = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select("id", "vec", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"))
+        .join(codebook, how="cross")
+        .select(
+            "id",
+            "j",
+            "code",
+            _sub_sqdist_q(F.col("vec"), F.col("cvec"), F.col("j"), ds).alias("dq"),
+        )
+    )
+    return (
+        sub.groupBy("id", "j")
+        .agg(F.min(F.struct("dq", "code")).alias("best"))
+        .select("id", "j", F.col("best.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    encoded: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k nearest (smallest L2) to ``query_id`` by ADC:
+    the query builds an m x codes lookup table of quantized subspace
+    distances, each encoded vector's approximate distance is the exact
+    integer sum of its m table entries.  Returns ``(id, adist)`` ranked
+    ascending.  Pass ``encoded`` (a prebuilt :func:`pq_encode` result) to
+    amortize encoding across queries — the production pattern.  Recall
+    gate: tests/test_pq_recall.py.  ``codebook`` and ``encoded`` must
+    come from the same training mode — pass both (or neither)."""
+    if codebook is None:
+        codebook = pq_codebooks(df, id_col, vec_col, codes)
+    if encoded is None:
+        encoded = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    ds = dim // m
+    qv = _query_vector(df, id_col, vec_col, query_id)
+    table = F.broadcast(
+        codebook.crossJoin(qv)
+        .select("code", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"), "cvec", "__qv__")
+        .select(
+            "j",
+            "code",
+            _sub_sqdist_q(F.col("__qv__"), F.col("cvec"), F.col("j"), ds).alias("tq"),
+        )
+    )
+    return (
+        encoded.join(table, ["j", "code"])
+        .groupBy("id")
+        .agg((F.sum("tq") / float(PQ_QUANTUM)).alias("adist"))
+        .where(F.col("id") != query_id)
+        .orderBy(F.col("adist").asc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def pq_topk_reranked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    encoded: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval (the production FAISS pattern): ADC ranks
+    every code vector cheaply, the top ``shortlist`` candidates are
+    re-ranked by EXACT cosine against the raw vectors, and the final
+    top-k comes from the re-rank.  The expensive exact pass touches only
+    ``shortlist`` vectors regardless of corpus size."""
+    cand = F.broadcast(
+        pq_adc_topk(
+            df, id_col, vec_col, query_id,
+            k=shortlist, m=m, dim=dim, codes=codes,
+            encoded=encoded, codebook=codebook,
+        ).select(F.col("id").alias(id_col))
+    )
+    qv = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    return (
+        df.join(cand, id_col)
+        .crossJoin(qv)
+        .select(
+            F.col(id_col).alias("id"),
+            q4(cosine_similarity(F.col(vec_col), F.col("__qv__"))).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Quality codebooks: per-subspace Lloyd k-means on a bounded,
+    deterministic sample (lowest ids), run driver-side in numpy —
+    ``sample x dim`` floats, a few hundred KB regardless of corpus size,
+    the ivf_assign kmeans pattern.  Returns the same ``(code, cvec)``
+    shape as :func:`pq_codebooks` (codeword c's full vector is the
+    concatenation of subspace c-th centroids), so encode/ADC are
+    unchanged.  :func:`pq_codebooks` (lowest-id) stays the
+    engine-portable mode the v87 oracle replicates; this is the
+    production-quality mode (recall gate: tests/test_pq_recall.py)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    ds = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * ds : (j + 1) * ds]
+        # k-means++ seeding, then Lloyd iterations
+        cent = [S[rng.integers(len(S))]]
+        for _ in range(codes - 1):
+            d2 = np.min(
+                ((S[:, None, :] - np.array(cent)[None]) ** 2).sum(-1), axis=1
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cent.append(S[rng.choice(len(S), p=p)])
+        C = np.array(cent)
+        for _ in range(iters):
+            assign = ((S[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+            for c in range(codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(0)
+        books.append(C)
+    full = np.concatenate(books, axis=1)  # codes x dim
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in full[c]]) for c in range(codes)],
+            f"code int, cvec array<double>",
+        )
+    )

@@ -130,11 +130,19 @@ def _reorder() -> None:
         "v78_paragraph_dedup",  # paragraphs.py sep escape
         "v65_repetition_signals",  # text.py gopher rule-column guard
         "v31_multimodal_features",  # multimodal.py real PNG kernel dispatch
+        "v20_cosine_topk",  # similarity.py gained the PQ tier (module residue)
+        "v25_ann_ivf",  # same
+        "v26_embedding_neardup",  # same
+        "v70_semantic_dedup",  # same
+        "v77_q18_large_orders",  # relational2.py gained v85/v86 (residue)
         # new in round 6: no prior driver row exists at all.  (Names are
         # appended here in the same commit that registers each query —
         # test_rotation_head_names_all_exist fails otherwise.)
         "v83_jdbc_roundtrip",
         "v84_media_decode",
+        "v85_salted_window",
+        "v86_salted_lag",
+        "v87_pq_ann",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -384,3 +384,72 @@ def v84_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(6).alias("px_min"),
         f(7).alias("px_max"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# V87 — product-quantization ANN (Jégou et al. 2011; round 6)
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_DS = 8  # 64-dim fixtures / 8 subspaces
+_PQ_CODES = 16
+_PQ_QUERY = 7
+
+
+@register(
+    "v87_pq_ann",
+    oracle=f"""
+    WITH cb AS (
+        SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < {_PQ_CODES}),
+    v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+    js AS (SELECT unnest(range({_PQ_M})) AS j),
+    sd AS (
+        SELECT v.id, js.j, cb.code,
+               CAST(FLOOR(list_sum(list_transform(range(1, {_PQ_DS + 1}),
+                    i -> (vec[js.j*{_PQ_DS} + i] - cvec[js.j*{_PQ_DS} + i])^2))
+                    * 10000 + 0.5) AS BIGINT) AS dq
+        FROM v, js, cb),
+    codes AS (
+        SELECT id, j, code FROM (
+            SELECT id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY dq, code) AS rn
+            FROM sd) WHERE rn = 1),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {_PQ_QUERY}),
+    tab AS (
+        SELECT js.j, cb.code,
+               CAST(FLOOR(list_sum(list_transform(range(1, {_PQ_DS + 1}),
+                    i -> (qv[js.j*{_PQ_DS} + i] - cvec[js.j*{_PQ_DS} + i])^2))
+                    * 10000 + 0.5) AS BIGINT) AS tq
+        FROM cb, js, q)
+    SELECT c.id, SUM(t.tq) / 10000.0 AS adist
+    FROM codes c JOIN tab t USING (j, code)
+    WHERE c.id <> {_PQ_QUERY}
+    GROUP BY c.id
+    ORDER BY adist ASC, id
+    LIMIT 5
+    """,
+)
+def v87_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: vectors
+    compress to {m} one-byte codes against a deterministic lowest-id
+    codebook, the query builds an m x codes asymmetric-distance lookup
+    table, and approximate distances are exact integer sums of quantized
+    table entries — the FAISS IndexPQ structure as pure Catalyst
+    (slice/zip_with/aggregate, codebook + table broadcast).  The oracle
+    recomputes codes AND the ADC ranking from the same arithmetic, so a
+    wrong code assignment, a broken subspace slice, or a tie-flip all
+    break the hash."""
+    from flowbyte_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _PQ_QUERY,
+        k=5,
+        m=_PQ_M,
+        dim=_PQ_M * _PQ_DS,
+        codes=_PQ_CODES,
+    )
