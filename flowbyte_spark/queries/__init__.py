@@ -23,9 +23,16 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 6: empty — r5's four tier-3 queries
-# (v79–v82) lead the r6 window below, per the rebuild recipe.
-POST_WINDOW_NEW: frozenset[str] = frozenset()
+# must lead with these names.  Round 6: r5's four tier-3 queries (v79-v82)
+# lead the r6 window; the window then saturated again (28 no-r5-row +
+# 13 changed-in-round + 5 new = 50 exactly), so v88/v90 — added after
+# saturation — carry tier-3 coverage and lead r7.
+POST_WINDOW_NEW: frozenset[str] = frozenset(
+    {
+        "v88_variant_json",
+        "v90_q21_waiting_suppliers",
+    }
+)
 
 
 def register(name: str, oracle: str | None = None):

@@ -170,3 +170,154 @@ def v86_salted_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreakers=("event_id",),
     )
     return out.select("event_id", "prev_event").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# V88 — VariantType semi-structured tier (Spark 4; round 6).
+# v14/v39 cover string-path JSON (get_json_object / from_json with a
+# declared schema); Variant is the schemaless binary-encoded form Spark 4
+# added for open JSON — parse once, typed path extraction without a
+# schema, malformed input isolated by try_parse_json.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v88_variant_json",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL),
+    p AS (
+        SELECT k,
+               '{"k": ' || k || ', "tag": "t' || (k % 7) || '", "arr": ['
+                   || (k % 3) || ', ' || (k % 5) || ']}' AS payload
+        FROM e)
+    SELECT 't' || (k % 7) AS tag,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract(payload, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(CAST(json_extract(payload, '$.arr[1]') AS INT)) AS BIGINT)
+               AS sum_a1,
+           CAST(SUM(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_malformed
+    FROM p
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v88_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-JSON processing through Spark 4's VariantType: both engines
+    deterministically enrich each event's props into a nested payload
+    (object + array), Spark parses it ONCE into a variant and extracts
+    typed paths (`variant_get` with casts, 0-based array index), and a
+    malformed twin of every 10th payload must be isolated by
+    `try_parse_json` returning NULL rather than failing the query.  The
+    oracle recomputes every extraction with DuckDB's JSON functions."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = events.select(k.alias("k")).where(F.col("k").isNotNull())
+    payload = F.format_string(
+        '{"k": %d, "tag": "t%d", "arr": [%d, %d]}',
+        F.col("k"), F.col("k") % 7, F.col("k") % 3, F.col("k") % 5,
+    )
+    broken = F.when(F.col("k") % 10 == 0, F.lit("{oops")).otherwise(payload)
+    v = base.select(
+        "k",
+        F.parse_json(payload).alias("v"),
+        F.try_parse_json(broken).alias("maybe_v"),
+    )
+    return (
+        v.select(
+            F.variant_get("v", "$.tag", "string").alias("tag"),
+            F.variant_get("v", "$.k", "int").alias("vk"),
+            F.variant_get("v", "$.arr[1]", "int").alias("a1"),
+            F.col("maybe_v").isNull().cast("int").alias("bad"),
+        )
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("vk").cast("long").alias("sum_k"),
+            F.sum("a1").cast("long").alias("sum_a1"),
+            F.sum("bad").cast("long").alias("n_malformed"),
+        )
+        .orderBy("tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V90 — TPC-H Q21 shape: suppliers who kept orders waiting (round 6).
+# The classic correlated EXISTS + NOT-EXISTS pair on the SAME table with
+# a two-column correlation (orderkey match, suppkey mismatch) — the shape
+# that separates real decorrelation from the simple single-EXISTS of
+# v48.  Adapted to the fixture schema: "late" = shipped after a fixed
+# cutoff (the fixtures carry no receipt/commit dates).
+# ---------------------------------------------------------------------------
+_Q21_CUTOFF = "1999-06-01 00:00:00"
+_Q21_TOPN = 20
+
+
+@register(
+    "v90_q21_waiting_suppliers",
+    oracle=f"""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > TIMESTAMP '{_Q21_CUTOFF}'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > TIMESTAMP '{_Q21_CUTOFF}')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {_Q21_TOPN}
+    """,
+)
+def v90_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers whose LATE line was the only late line in a
+    multi-supplier finished order.  The correlated EXISTS compiles to a
+    left-semi join on (orderkey, suppkey<>) and the NOT EXISTS to a
+    left-anti join over the late subset — both against the same fact
+    table, broadcast-eligible after the late filter prunes it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_Q21_CUTOFF).cast("timestamp")
+    late = li.where(F.col("l_shipdate") > cutoff)
+    orders_f = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    l1 = late.alias("l1").join(
+        orders_f.select("o_orderkey"),
+        F.col("l1.l_orderkey") == F.col("o_orderkey"),
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(_Q21_TOPN)
+    )

@@ -174,3 +174,84 @@ def running_user_totals_exact(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's arbitrary-state API; round 6).
+# applyInPandasWithState's successor: a StatefulProcessor object with
+# named state variables (value/list/map), timers, and TTL, backed by the
+# RocksDB state store.  The operator below is the exact-integer-cent
+# running-totals machine again — same semantics as
+# running_user_totals_exact — so the two APIs are mutually verifiable.
+# ENVIRONMENT GATE: the transformWithState Python worker speaks a
+# protobuf-encoded state-server protocol; this sandbox has no
+# `google.protobuf`, so execution is covered by a skip-marked test
+# (tests/test_skew_stateful.py) that runs wherever protobuf exists —
+# same policy as the Delta e2e variant.  Plan construction and the
+# processor class itself are exercised unconditionally.
+# ---------------------------------------------------------------------------
+try:  # pyspark >= 4
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key (cnt, cents) accumulator with update-mode emissions.
+
+    State is ONE value-state entry per user; integer cents keep the
+    result independent of micro-batch row splits (the v75 rule).  The
+    ``max_keys`` brake reuses the module accounting above.
+    """
+
+    def __init__(self, max_keys: int | None = DEFAULT_MAX_KEYS):
+        self._max_keys = max_keys
+        self._guard_id = uuid.uuid4().hex
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", EXACT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            cnt, cents = self._state.get()
+        else:
+            _count_created_key(self._guard_id, self._max_keys)
+            cnt, cents = 0, 0
+        for pdf in rows:
+            cnt += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        self._state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "cnt": [cnt], "total": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def running_user_totals_tws(
+    events: DataFrame,
+    max_keys: int | None = DEFAULT_MAX_KEYS,
+) -> DataFrame:
+    """``running_user_totals_exact`` through transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (bundled ``rocksdbjni``):
+    set ``spark.sql.streaming.stateStore.providerClass`` to
+    :data:`ROCKSDB_PROVIDER` on the session — and ``google.protobuf``
+    in the Python workers (see the section comment's environment gate).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(max_keys),
+        outputStructType=EXACT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -12,6 +12,11 @@ LLM2 = [
     "v80_exact_substrings",
     "v81_stream_stream_join",
     "v82_python_datasource",
+    # round-6 post-saturation additions (POST_WINDOW_NEW tier-3): the
+    # driver window refilled to exactly 50, so these carry the in-suite
+    # differential until they lead r7's window.
+    "v88_variant_json",
+    "v90_q21_waiting_suppliers",
 ]
 
 

@@ -208,3 +208,81 @@ def test_stateful_max_keys_waiver_and_default(spark, tmp_path):
     q.awaitTermination()
     shutil.rmtree(src, ignore_errors=True)
     assert {r.user_id for r in seen} == {0, 1, 2, 3, 4}
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_builds(spark, tmp_path):
+    """The Spark-4 StatefulProcessor path: plan construction (analysis,
+    state schema, output schema) must work everywhere; EXECUTION needs
+    google.protobuf in the workers (absent in this sandbox) and runs in
+    the gated test below."""
+    from flowbyte_spark.streaming import read_event_stream
+    from flowbyte_spark.streaming.stateful import running_user_totals_tws
+
+    src = str(tmp_path / "events_tws")
+    load_table(spark, SF, "events").repartition(2).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=2)
+    df = running_user_totals_tws(stream)
+    assert [f.name for f in df.schema.fields] == ["user_id", "cnt", "total"]
+    assert df.isStreaming
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason="no google.protobuf in sandbox")
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """Where protobuf exists: the transformWithState machine must emit
+    the same final per-user totals as running_user_totals_exact."""
+    import shutil
+
+    from flowbyte_spark.streaming import read_event_stream, scoped_sql_conf
+    from flowbyte_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_tws,
+    )
+
+    src = str(tmp_path / "events_tws2")
+    load_table(spark, SF, "events").where(F.col("user_id") < 20).repartition(
+        2
+    ).write.parquet(src)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out: dict[int, tuple] = {}
+
+    def write(batch_df, batch_id):
+        for r in batch_df.collect():
+            out[r.user_id] = (r.cnt, r.total)
+
+    with scoped_sql_conf(
+        spark,
+        **{"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER},
+    ):
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    expected = {
+        r.user_id: (r.cnt, float(r.total))
+        for r in load_table(spark, SF, "events")
+        .where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total"
+            ),
+        )
+        .collect()
+    }
+    assert out == expected
