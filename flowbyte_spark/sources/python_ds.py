@@ -222,6 +222,35 @@ class _DirWriter(DataSourceWriter):
         return _FileCommit(fname, n)
 
     def commit(self, messages) -> None:
+        # Exclusive commit lock: two concurrent append jobs otherwise race
+        # the manifest read-modify-write and the last writer orphans the
+        # other's rows.  O_EXCL create is atomic on POSIX; a crashed
+        # holder's stale lock times out fail-loud rather than deadlocking.
+        import time
+
+        lock = os.path.join(self.path, "_MANIFEST.lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held for >30s — remove the "
+                        "stale lock if the holding job crashed"
+                    )
+                time.sleep(0.05)
+        try:
+            self._commit_locked(messages)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _commit_locked(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
         published = []
         manifest = os.path.join(self.path, "_MANIFEST")

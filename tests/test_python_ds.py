@@ -240,3 +240,74 @@ def test_commit_scoped_to_own_job_and_manifest_atomic(spark, tmp_path):
     assert python_ds.read_manifest(spark, dest).count() == 20
     # no temp-manifest debris after the atomic swap
     assert not [f for f in os.listdir(dest) if f.startswith("_MANIFEST.")]
+
+
+def test_commit_lock_blocks_and_releases(tmp_path):
+    """The commit lock must serialize manifest read-modify-writes: while
+    another job holds _MANIFEST.lock, commit() blocks; when the lock
+    clears, it proceeds and merges; a stale lock times out fail-loud."""
+    import json
+    import os
+    import threading
+    import time
+
+    from flowbyte_spark.sources.python_ds import _DirWriter, _FileCommit
+
+    dest = str(tmp_path / "sink3")
+    staging = os.path.join(dest, "_staging")
+    os.makedirs(staging)
+
+    # pre-existing committed state from "another job"
+    with open(os.path.join(dest, "old.jsonl"), "w") as f:
+        f.write('{"event_id": 1}\n')
+    with open(os.path.join(dest, "_MANIFEST"), "w") as f:
+        json.dump([{"file": "old.jsonl", "rows": 1}], f)
+
+    w = _DirWriter({"path": dest}, overwrite=False)
+    fname = f"part-{w.job}-00000-a0.jsonl"
+    with open(os.path.join(staging, fname), "w") as f:
+        f.write('{"event_id": 2}\n')
+
+    # hold the lock; the commit thread must NOT publish until release
+    lock = os.path.join(dest, "_MANIFEST.lock")
+    open(lock, "w").close()
+    done = threading.Event()
+
+    def run():
+        w.commit([_FileCommit(fname, 1)])
+        done.set()
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.5)
+    assert not done.is_set(), "commit proceeded while lock was held"
+    with open(os.path.join(dest, "_MANIFEST")) as f:
+        assert json.load(f) == [{"file": "old.jsonl", "rows": 1}]
+    os.remove(lock)
+    t.join(timeout=10)
+    assert done.is_set()
+    with open(os.path.join(dest, "_MANIFEST")) as f:
+        files = {p["file"]: p["rows"] for p in json.load(f)}
+    assert files == {"old.jsonl": 1, fname: 1}
+    assert not os.path.exists(lock)
+
+
+def test_commit_stale_lock_times_out(tmp_path, monkeypatch):
+    import os
+
+    import pytest
+
+    from flowbyte_spark.sources import python_ds as pds
+
+    dest = str(tmp_path / "sink4")
+    os.makedirs(os.path.join(dest, "_staging"))
+    open(os.path.join(dest, "_MANIFEST.lock"), "w").close()
+    w = pds._DirWriter({"path": dest}, overwrite=False)
+    # shrink the 30 s deadline for the test
+    real_monotonic = __import__("time").monotonic
+    base = real_monotonic()
+    monkeypatch.setattr(
+        "time.monotonic", lambda: base + (real_monotonic() - base) * 1000
+    )
+    with pytest.raises(TimeoutError, match="commit lock"):
+        w.commit([])
