@@ -670,13 +670,21 @@ PQ_QUANTUM = 10_000
 
 def _sub_sqdist_q(vec, cvec, j, ds: int):
     """Quantized squared L2 distance between subvectors j of two arrays
-    (1-based slice start = j*ds + 1)."""
-    diff2 = F.zip_with(
-        F.slice(vec, j * ds + 1, ds),
-        F.slice(cvec, j * ds + 1, ds),
-        lambda x, y: (x - y) * (x - y),
-    )
-    s = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    (1-based element index = j*ds + i).
+
+    Unrolled per-dimension arithmetic, NOT slice + zip_with/aggregate:
+    higher-order lambdas evaluate INTERPRETED (BASELINE.md round-5
+    finding 1), and the encode pass runs this once per
+    (vector, subspace, codeword).  ``ds`` is small by construction
+    (2-8), so the expression tree stays compact and whole-stage codegen
+    compiles the straight-line float math.
+    """
+    base = j * ds
+    s = None
+    for i in range(1, ds + 1):
+        d = F.element_at(vec, base + i) - F.element_at(cvec, base + i)
+        term = d * d
+        s = term if s is None else s + term
     return F.floor(s * PQ_QUANTUM + F.lit(0.5)).cast("long")
 
 

@@ -213,9 +213,19 @@ def v88_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed twin of every 10th payload must be isolated by
     `try_parse_json` returning NULL rather than failing the query.  The
     oracle recomputes every extraction with DuckDB's JSON functions."""
+    from flowbyte_spark.functions import ensure_parallelism
+
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    base = events.select(k.alias("k")).where(F.col("k").isNotNull())
+    # fan out the RAW props before any JSON work: the fixture is one
+    # parquet split, and extracting k pre-exchange would run the first
+    # (and most expensive) parse single-threaded under the exchange; at
+    # production scale file splits make this a no-op.
+    base = (
+        ensure_parallelism(events.select("props"))
+        .select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+    )
     payload = F.format_string(
         '{"k": %d, "tag": "t%d", "arr": [%d, %d]}',
         F.col("k"), F.col("k") % 7, F.col("k") % 3, F.col("k") % 5,
