@@ -99,19 +99,32 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
   static final class TableState implements Serializable {
     final StructType schema;
     volatile List<InternalRow> rows = Collections.emptyList();
+    // snapshot history: one immutable row-list + wall-clock micros per
+    // commit (version 0 = the empty table at creation) — what VERSION AS
+    // OF / TIMESTAMP AS OF reads resolve against, Iceberg-style.
+    final List<List<InternalRow>> snapshots = new ArrayList<>();
+    final List<Long> snapshotMicros = new ArrayList<>();
 
     TableState(StructType schema) {
       this.schema = schema;
+      snapshots.add(rows);
+      snapshotMicros.add(System.currentTimeMillis() * 1000L);
     }
 
     synchronized void replace(List<InternalRow> next) {
       rows = Collections.unmodifiableList(next);
+      snapshots.add(rows);
+      snapshotMicros.add(System.currentTimeMillis() * 1000L);
     }
 
     synchronized void append(List<InternalRow> extra) {
       List<InternalRow> next = new ArrayList<>(rows);
       next.addAll(extra);
-      rows = Collections.unmodifiableList(next);
+      replace(next);
+    }
+
+    synchronized int currentVersion() {
+      return snapshots.size() - 1;
     }
   }
 
@@ -151,6 +164,49 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
       throw new NoSuchTableException(ident);
     }
     return new MemTable(key(ident), st);
+  }
+
+  @Override
+  public Table loadTable(Identifier ident, String version)
+      throws NoSuchTableException {
+    TableState st = TABLES.get(key(ident));
+    if (st == null) {
+      throw new NoSuchTableException(ident);
+    }
+    int v;
+    try {
+      v = Integer.parseInt(version);
+    } catch (NumberFormatException e) {
+      throw new IllegalArgumentException(
+          "memcat versions are integer commit ordinals, got: " + version);
+    }
+    if (v < 0 || v >= st.snapshots.size()) {
+      throw new IllegalArgumentException(
+          "no version " + v + " (table has versions 0.."
+              + st.currentVersion() + ")");
+    }
+    return new MemTable(key(ident), st, v);
+  }
+
+  @Override
+  public Table loadTable(Identifier ident, long timestampMicros)
+      throws NoSuchTableException {
+    TableState st = TABLES.get(key(ident));
+    if (st == null) {
+      throw new NoSuchTableException(ident);
+    }
+    // latest snapshot committed at or before the timestamp
+    int v = -1;
+    for (int i = 0; i < st.snapshotMicros.size(); i++) {
+      if (st.snapshotMicros.get(i) <= timestampMicros) {
+        v = i;
+      }
+    }
+    if (v < 0) {
+      throw new IllegalArgumentException(
+          "no snapshot at or before timestamp " + timestampMicros);
+    }
+    return new MemTable(key(ident), st, v);
   }
 
   @Override
@@ -269,10 +325,23 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
           SupportsMetadataColumns {
     private final String key;
     private final TableState state;
+    private final int pinnedVersion; // -1 = live table
 
     MemTable(String key, TableState state) {
+      this(key, state, -1);
+    }
+
+    MemTable(String key, TableState state, int pinnedVersion) {
       this.key = key;
       this.state = state;
+      this.pinnedVersion = pinnedVersion;
+    }
+
+    private void rejectWriteIfPinned() {
+      if (pinnedVersion >= 0) {
+        throw new UnsupportedOperationException(
+            "cannot write to a time-travel (VERSION/TIMESTAMP AS OF) view");
+      }
     }
 
     @Override
@@ -301,13 +370,20 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-      return () -> new MemScan(key, state.schema, false);
+      return () -> new MemScan(key, state.schema, false, pinnedVersion);
+    }
+
+    @Override
+    public String version() {
+      return String.valueOf(
+          pinnedVersion >= 0 ? pinnedVersion : state.currentVersion());
     }
 
     // -- plain writes (INSERT INTO / INSERT OVERWRITE) ----------------------
 
     @Override
     public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+      rejectWriteIfPinned();
       return new MemWriteBuilder(key, info.schema(), false);
     }
 
@@ -325,6 +401,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public void deleteWhere(Filter[] filters) {
+      rejectWriteIfPinned();
       List<InternalRow> keep = new ArrayList<>();
       for (InternalRow row : state.rows) {
         boolean match = true;
@@ -345,6 +422,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public RowLevelOperationBuilder newRowLevelOperationBuilder(RowLevelOperationInfo info) {
+      rejectWriteIfPinned();
       return () ->
           new RowLevelOperation() {
             @Override
@@ -354,7 +432,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
             @Override
             public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-              return () -> new MemScan(key, state.schema, true);
+              return () -> new MemScan(key, state.schema, true, -1);
             }
 
             @Override
@@ -380,11 +458,13 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
     private final String key;
     private final StructType schema;
     private final boolean withPos;
+    private final int version; // -1 = live rows
 
-    MemScan(String key, StructType schema, boolean withPos) {
+    MemScan(String key, StructType schema, boolean withPos, int version) {
       this.key = key;
       this.schema = schema;
       this.withPos = withPos;
+      this.version = version;
     }
 
     @Override
@@ -399,7 +479,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
     @Override
     public InputPartition[] planInputPartitions() {
-      return new InputPartition[] {new MemPartition(key)};
+      return new InputPartition[] {new MemPartition(key, version)};
     }
 
     @Override
@@ -410,9 +490,11 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
 
   static final class MemPartition implements InputPartition {
     final String key;
+    final int version;
 
-    MemPartition(String key) {
+    MemPartition(String key, int version) {
       this.key = key;
+      this.version = version;
     }
   }
 
@@ -426,8 +508,12 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
     @Override
     public PartitionReader<InternalRow> createReader(InputPartition partition) {
       // same-JVM resolution (local[*] only — see class doc)
-      TableState st = TABLES.get(((MemPartition) partition).key);
-      List<InternalRow> snapshot = st == null ? Collections.emptyList() : st.rows;
+      MemPartition p = (MemPartition) partition;
+      TableState st = TABLES.get(p.key);
+      List<InternalRow> snapshot =
+          st == null
+              ? Collections.emptyList()
+              : (p.version >= 0 ? st.snapshots.get(p.version) : st.rows);
       boolean pos = withPos;
       return new PartitionReader<InternalRow>() {
         private int i = -1;

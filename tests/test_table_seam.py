@@ -200,3 +200,56 @@ def test_catalog_table_delete_and_truncate_end_to_end(spark):
     # injection gate still fires before any SQL reaches the catalog
     with pytest.raises(Exception):
         t.delete_where("1; DROP TABLE x")
+
+
+def test_memcat_time_travel(spark):
+    """Snapshot reads (round 6): every commit appends an immutable
+    version; VERSION AS OF n reads it back exactly, TIMESTAMP AS OF
+    resolves to the latest snapshot at-or-before, and time-travel views
+    reject writes — the Iceberg/Delta read contract on the bundled
+    catalog."""
+    import time
+
+    ident = f"memcat.db.tt_{_uuid.uuid4().hex[:10]}"
+    spark.sql(f"CREATE TABLE {ident} (id INT, v STRING)")           # v0
+    spark.sql(f"INSERT INTO {ident} VALUES (1,'a')")                # v1
+    mid = time.time()
+    time.sleep(0.05)
+    spark.sql(f"INSERT INTO {ident} VALUES (2,'b')")                # v2
+    spark.createDataFrame([(1, "a2")], "id int, v string").createOrReplaceTempView(
+        "tt_src"
+    )
+    spark.sql(
+        f"MERGE INTO {ident} t USING tt_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )                                                               # v3
+
+    def at(ver):
+        return sorted(
+            (r.id, r.v)
+            for r in spark.sql(
+                f"SELECT * FROM {ident} VERSION AS OF {ver}"
+            ).collect()
+        )
+
+    assert at(0) == []
+    assert at(1) == [(1, "a")]
+    assert at(2) == [(1, "a"), (2, "b")]
+    assert at(3) == [(1, "a2"), (2, "b")]
+    # live read = latest
+    assert sorted((r.id, r.v) for r in spark.table(ident).collect()) == at(3)
+
+    import datetime
+
+    ts = datetime.datetime.utcfromtimestamp(mid).strftime("%Y-%m-%d %H:%M:%S.%f")
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.sql(
+            f"SELECT * FROM {ident} TIMESTAMP AS OF '{ts}'"
+        ).collect()
+    )
+    assert got == [(1, "a")]
+
+    # nonexistent version fails loud
+    with pytest.raises(Exception, match="no version|INVALID|version"):
+        spark.sql(f"SELECT * FROM {ident} VERSION AS OF 99").collect()
