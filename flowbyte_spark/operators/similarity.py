@@ -876,3 +876,119 @@ def pq_codebooks_kmeans(
             f"code int, cvec array<double>",
         )
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    shortlist: int = 100,
+    centroid_mode: str = "kmeans",
+    seed: int = 42,
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN structure (FAISS IVFPQ).
+
+    IVF bounds the SCAN (only ``nprobe``/``num_centroids`` of the corpus
+    is touched per query) and PQ bounds the MEMORY (candidates are
+    ranked from m-byte codes, raw vectors touched only for the
+    ``shortlist`` exact re-rank).  Returns ``(id, sim)`` ranked by exact
+    cosine like :func:`cosine_topk`.
+
+    ``index`` — a prebuilt ``(centroids, assignments, codebook,
+    encoded)`` from :func:`ivfpq_build` — amortizes both quantizers
+    across the query stream (the production pattern).
+    """
+    if index is None:
+        index = ivfpq_build(
+            df, id_col, vec_col,
+            num_centroids=num_centroids, m=m, dim=dim, codes=codes,
+            centroid_mode=centroid_mode, seed=seed,
+        )
+    centroids, assignments, codebook, encoded = index
+    qv = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    probed = F.broadcast(
+        centroids.crossJoin(qv)
+        .select(
+            "cid",
+            q4(cosine_similarity(F.col("cvec"), F.col("__qv__"))).alias("qsim"),
+        )
+        .orderBy(F.col("qsim").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    # candidate ids = union of the probed inverted lists
+    cand_ids = F.broadcast(assignments.join(probed, "cid").select("id"))
+    # ADC over the candidates' CODES only
+    ds = dim // m
+    table = F.broadcast(
+        codebook.crossJoin(qv)
+        .select(
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            "cvec",
+            "__qv__",
+        )
+        .select(
+            "j",
+            "code",
+            _sub_sqdist_q(F.col("__qv__"), F.col("cvec"), F.col("j"), ds).alias("tq"),
+        )
+    )
+    adc = (
+        encoded.join(cand_ids, "id")
+        .join(table, ["j", "code"])
+        .groupBy("id")
+        .agg(F.sum("tq").alias("aq"))
+        .where(F.col("id") != query_id)
+        .orderBy(F.col("aq").asc(), F.col("id"))
+        .limit(shortlist)
+        .select("id")
+    )
+    # exact cosine re-rank of the shortlist
+    return (
+        df.join(F.broadcast(adc.withColumnRenamed("id", id_col)), id_col)
+        .crossJoin(qv)
+        .select(
+            F.col(id_col).alias("id"),
+            q4(cosine_similarity(F.col(vec_col), F.col("__qv__"))).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    m: int = 8,
+    dim: int = 64,
+    codes: int = 16,
+    centroid_mode: str = "kmeans",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build both quantizers once: (centroids, assignments, codebook,
+    encoded codes).  Persist assignments/encoded before a query stream —
+    the same amortization contract as :func:`ivf_assign`."""
+    centroids, assignments = ivf_assign(
+        df, id_col, vec_col, num_centroids,
+        centroid_mode=centroid_mode, seed=seed,
+    )
+    codebook = (
+        pq_codebooks_kmeans(
+            df, id_col, vec_col, m=m, dim=dim, codes=codes, seed=seed
+        )
+        if centroid_mode == "kmeans"
+        else pq_codebooks(df, id_col, vec_col, codes)
+    )
+    encoded = pq_encode(df, id_col, vec_col, codebook, m, dim)
+    return centroids, assignments, codebook, encoded

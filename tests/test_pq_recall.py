@@ -92,3 +92,39 @@ def test_pq_recall_at_k(corpus):
     # cheap filter; the two-stage pipeline must match IVF's 0.9 bar.
     assert mean_raw >= 0.4, f"raw ADC recall collapsed: {raw}"
     assert mean_rr >= 0.9, f"re-ranked recall@{K}={mean_rr:.3f} ({reranked})"
+
+
+def test_ivfpq_recall_at_k(corpus):
+    """The composed IVF-PQ structure must hold the same 0.9 bar: IVF
+    bounds the scan (nprobe of 16 lists), PQ ranks candidates from
+    codes, the shortlist re-ranks exactly."""
+    from flowbyte_spark.operators.similarity import ivfpq_build, ivfpq_topk
+
+    index = ivfpq_build(
+        corpus, "vec_id", "emb",
+        num_centroids=16, m=M, dim=DIM, codes=CODES,
+        centroid_mode="kmeans", seed=42,
+    )
+    index = (index[0], index[1].persist(), index[2], index[3].persist())
+    index[1].count(); index[3].count()
+
+    recalls = []
+    for qid in range(0, N_QUERIES * 1250, 1250):
+        exact = {
+            r["id"]
+            for r in cosine_topk(corpus, "vec_id", "emb", qid, k=K).collect()
+        }
+        approx = {
+            r["id"]
+            for r in ivfpq_topk(
+                corpus, "vec_id", "emb", qid, k=K,
+                num_centroids=16, nprobe=4, m=M, dim=DIM, codes=CODES,
+                shortlist=SHORTLIST, index=index,
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / K)
+    index[1].unpersist(); index[3].unpersist()
+    release_persisted()
+    mean = sum(recalls) / len(recalls)
+    print(f"IVF-PQ recall@{K}: {mean:.3f}")
+    assert mean >= 0.9, f"recall@{K}={mean:.3f} ({recalls})"
