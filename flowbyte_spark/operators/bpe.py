@@ -55,23 +55,23 @@ def _word_freqs(texts: list[str]) -> Counter:
 def train_bpe(
     df: DataFrame,
     text_col: str,
+    id_col: str,
     num_merges: int = 200,
     sample_docs: int = 2000,
-    id_col: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from a bounded, deterministic
-    sample (lowest ids when ``id_col`` is given, else the first
-    ``sample_docs`` rows of the stable input order).
+    sample: the ``sample_docs`` LOWEST-``id_col`` rows.  ``id_col`` is
+    required — ``limit()`` without an order takes whichever partitions
+    finish first, which would silently break the pure-function-of-the-
+    sample determinism contract (round-6 review finding).
 
     Classic algorithm: words split to characters + ``</w>``; repeatedly
     merge the most frequent adjacent symbol pair (ties: lexicographically
     smallest pair — deterministic).  Returns the ordered merge list.
     """
     src = df.select(
-        *( [F.col(id_col)] if id_col else [] ), F.col(text_col).alias("__bpe_text")
-    )
-    if id_col:
-        src = src.orderBy(id_col)
+        F.col(id_col), F.col(text_col).alias("__bpe_text")
+    ).orderBy(id_col)
     texts = [r["__bpe_text"] for r in src.limit(sample_docs).collect()]
     freqs = _word_freqs(texts)
     # word type -> current symbol tuple

@@ -104,7 +104,14 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     from flowbyte_spark.functions import png
 
     if kind == "image" and png.is_png(payload):
-        return _png_features(png.decode_png(payload))
+        try:
+            return _png_features(png.decode_png(payload))
+        except ValueError:
+            # corrupt-but-PNG-signature payload: fake mode keeps its
+            # never-raises contract (deterministic stub below); strict
+            # mode fails loud on the malformed image.
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             f"decode of kind={kind!r} requires a media library not present "
@@ -205,9 +212,13 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
     from flowbyte_spark.functions import png
 
     if png.is_png(payload):
-        return png.encode_png(
-            png.resize_nearest(png.decode_png(payload), width, height)
-        )
+        try:
+            return png.encode_png(
+                png.resize_nearest(png.decode_png(payload), width, height)
+            )
+        except ValueError:
+            if not fake:  # corrupt PNG: fake mode falls through to stub
+                raise
     if not fake:
         raise NotImplementedError(
             "resize of non-PNG images requires a media library not present "

@@ -693,15 +693,23 @@ def pq_codebooks(
 ) -> DataFrame:
     """``(code, cvec)`` — one shared codebook table whose per-subspace
     codewords are the sliced subvectors of the ``codes`` lowest-id
-    vectors (deterministic and engine-portable, the ivf_assign
-    ``lowest_id`` convention; production swaps in per-subspace k-means —
-    codebook quality is orthogonal to the encode/search machinery)."""
-    return F.broadcast(
-        df.where(F.col(id_col) < codes).select(
-            F.col(id_col).cast("int").alias("code"),
-            F.col(vec_col).alias("cvec"),
-        )
+    vectors, with code ids assigned by RANK in that order (0..codes-1) —
+    so sparse or offset id domains still yield a full codebook instead
+    of a silently empty/undersized one (round-6 review finding).
+    Deterministic and engine-portable (the ivf_assign ``lowest_id``
+    convention); production swaps in per-subspace k-means — codebook
+    quality is orthogonal to the encode/search machinery."""
+    from pyspark.sql import Window
+
+    lowest = df.select(
+        F.col(id_col).alias("__cb_id"), F.col(vec_col).alias("cvec")
+    ).orderBy("__cb_id").limit(codes)
+    # rank over ≤codes rows: the single-partition window is the point
+    ranked = lowest.withColumn(
+        "code",
+        (F.row_number().over(Window.orderBy("__cb_id")) - 1).cast("int"),
     )
+    return F.broadcast(ranked.select("code", "cvec"))
 
 
 def pq_encode(

@@ -24,8 +24,9 @@ ORACLE: dict[str, str] = {}
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
 # must lead with these names.  Round 6: r5's four tier-3 queries (v79-v82)
-# lead the r6 window; the window then saturated again (28 no-r5-row +
-# 13 changed-in-round + 5 new = 50 exactly), so v88/v90 — added after
+# lead the r6 window; the head list then refilled the window exactly
+# (4 tier-3 + 28 no-r5-row + 11 changed-in-round + 5 new = 48 named +
+# 2 from the sorted remainder = 50), so v88/v90 — added after
 # saturation — carry tier-3 coverage and lead r7.
 POST_WINDOW_NEW: frozenset[str] = frozenset(
     {

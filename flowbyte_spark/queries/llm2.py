@@ -399,8 +399,10 @@ _PQ_QUERY = 7
     "v87_pq_ann",
     oracle=f"""
     WITH cb AS (
-        SELECT vec_id AS code, embedding::DOUBLE[] AS cvec
-        FROM embeddings WHERE vec_id < {_PQ_CODES}),
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+               embedding::DOUBLE[] AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {_PQ_CODES})),
     v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
     js AS (SELECT unnest(range({_PQ_M})) AS j),
     sd AS (

@@ -12,14 +12,17 @@ unbounded keys vs 2.6 s capped), and state grows O(keys) forever under
 ``NoTimeout``, so a direct caller with an unbounded key column (user id,
 session id, URL) gets a silently degrading query.  Both helpers therefore
 take ``max_keys`` (default ``DEFAULT_MAX_KEYS``) and FAIL LOUDLY when the
-bound is crossed.  Accounting is per-Python-worker: each worker counts
-the state entries it has created; any single worker exceeding
-``max_keys`` proves global state is at least that large, so the trip is
-a true positive (it fires late — global state may reach
-``workers x max_keys`` first — but unbounded growth always trips every
-worker eventually, which is what a brake is for).  Callers that have
-already bounded their key domain (v75 filters ``user_id < 300`` before
-grouping) can pass ``max_keys=None`` to waive the guard explicitly.
+bound is crossed.  Accounting is per-Python-worker DISTINCT KEYS SEEN
+(a bounded set — at most max_keys+1 hashes are retained before the
+raise): keys inherited from a checkpoint restart count the first time
+they are touched, so the brake survives restarts and worker-reuse=false
+(the created-count form it replaced reset to zero on both).  A single
+worker exceeding ``max_keys`` distinct keys proves global distinct-key
+cardinality is at least that large — a true positive, though it fires
+late when keys spread across many workers (global state may reach
+``workers x max_keys`` first).  Callers that have already bounded their
+key domain (v75 filters ``user_id < 300`` before grouping) can pass
+``max_keys=None`` to waive the guard explicitly.
 """
 
 from __future__ import annotations
@@ -36,27 +39,30 @@ OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE"
 
 DEFAULT_MAX_KEYS = 10_000
 
-# per-worker-process created-state-entry counts, keyed by operator
-# instance (populated inside executor Python workers, never the driver)
-_CREATED_KEYS: dict[str, int] = {}
+# per-worker-process sets of distinct keys seen, keyed by operator
+# instance (populated inside executor Python workers, never the driver);
+# bounded: a set stops growing at max_keys+1 because the add that crosses
+# the bound raises
+_SEEN_KEYS: dict[str, set] = {}
 
 
-def _count_created_key(guard_id: str, max_keys: int | None) -> None:
-    """Executor-side accounting: called when a key's state is first
-    created in this worker process.  Raises once this worker alone has
-    created more than ``max_keys`` entries — a lower bound on global
-    state size."""
+def _count_seen_key(guard_id: str, key: tuple, max_keys: int | None) -> None:
+    """Executor-side accounting: called on EVERY key touch (state
+    existing or not, so checkpoint-inherited keys count on first touch
+    after a restart).  Raises once this worker alone has seen more than
+    ``max_keys`` distinct keys — a lower bound on global distinct-key
+    cardinality."""
     if max_keys is None:
         return
-    n = _CREATED_KEYS.get(guard_id, 0) + 1
-    _CREATED_KEYS[guard_id] = n
-    if n > max_keys:
+    seen = _SEEN_KEYS.setdefault(guard_id, set())
+    seen.add(key)
+    if len(seen) > max_keys:
         raise RuntimeError(
             f"stateful operator exceeded max_keys={max_keys}: this worker "
-            f"alone has created {n} state entries, so global state is at "
-            "least that large.  applyInPandasWithState costs ~1 ms per key "
-            "per batch and state grows O(keys) under NoTimeout — bound the "
-            "key domain before groupBy, add a timeout/expiry, or pass "
+            f"alone has seen {len(seen)} distinct keys, so global state is "
+            "at least that large.  applyInPandasWithState costs ~1 ms per "
+            "key per batch and state grows O(keys) under NoTimeout — bound "
+            "the key domain before groupBy, add a timeout/expiry, or pass "
             "max_keys=None to waive the guard deliberately."
         )
 
@@ -69,10 +75,10 @@ def _update_user(
     max_keys: int | None,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    _count_seen_key(guard_id, key, max_keys)
     if state.exists:
         cnt, total = state.get
     else:
-        _count_created_key(guard_id, max_keys)
         cnt, total = 0, 0.0
     for pdf in pdfs:
         cnt += len(pdf)
@@ -126,10 +132,10 @@ def _update_user_exact(
     max_keys: int | None,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
+    _count_seen_key(guard_id, key, max_keys)
     if state.exists:
         cnt, cents = state.get
     else:
-        _count_created_key(guard_id, max_keys)
         cnt, cents = 0, 0
     for pdf in pdfs:
         cnt += len(pdf)
@@ -216,10 +222,10 @@ class RunningTotalsProcessor(StatefulProcessor):
         self._state = handle.getValueState("totals", EXACT_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
+        _count_seen_key(self._guard_id, tuple(key), self._max_keys)
         if self._state.exists():
             cnt, cents = self._state.get()
         else:
-            _count_created_key(self._guard_id, self._max_keys)
             cnt, cents = 0, 0
         for pdf in rows:
             cnt += len(pdf)

@@ -126,6 +126,21 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
     synchronized int currentVersion() {
       return snapshots.size() - 1;
     }
+
+    // reads of the snapshot lists synchronize with the commit-side adds
+    // (ArrayList append can resize its backing array; an unsynchronized
+    // reader has no happens-before edge and can observe a torn array)
+    synchronized List<InternalRow> snapshotAt(int v) {
+      return snapshots.get(v);
+    }
+
+    synchronized int snapshotCount() {
+      return snapshots.size();
+    }
+
+    synchronized long snapshotMicrosAt(int i) {
+      return snapshotMicros.get(i);
+    }
   }
 
   private String name = "memcat";
@@ -180,7 +195,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
       throw new IllegalArgumentException(
           "memcat versions are integer commit ordinals, got: " + version);
     }
-    if (v < 0 || v >= st.snapshots.size()) {
+    if (v < 0 || v >= st.snapshotCount()) {
       throw new IllegalArgumentException(
           "no version " + v + " (table has versions 0.."
               + st.currentVersion() + ")");
@@ -197,8 +212,8 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
     }
     // latest snapshot committed at or before the timestamp
     int v = -1;
-    for (int i = 0; i < st.snapshotMicros.size(); i++) {
-      if (st.snapshotMicros.get(i) <= timestampMicros) {
+    for (int i = 0; i < st.snapshotCount(); i++) {
+      if (st.snapshotMicrosAt(i) <= timestampMicros) {
         v = i;
       }
     }
@@ -404,9 +419,9 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
       rejectWriteIfPinned();
       List<InternalRow> keep = new ArrayList<>();
       for (InternalRow row : state.rows) {
-        boolean match = true;
+        boolean match = true; // conjunction of filters must be TRUE
         for (Filter f : filters) {
-          if (!FilterEval.eval(f, row, state.schema)) {
+          if (!Boolean.TRUE.equals(FilterEval.eval3(f, row, state.schema))) {
             match = false;
             break;
           }
@@ -513,7 +528,7 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
       List<InternalRow> snapshot =
           st == null
               ? Collections.emptyList()
-              : (p.version >= 0 ? st.snapshots.get(p.version) : st.rows);
+              : (p.version >= 0 ? st.snapshotAt(p.version) : st.rows);
       boolean pos = withPos;
       return new PartitionReader<InternalRow>() {
         private int i = -1;
@@ -689,15 +704,30 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
           || f instanceof org.apache.spark.sql.sources.AlwaysFalse;
     }
 
-    static boolean eval(Filter f, InternalRow row, StructType schema) {
+    /** SQL three-valued logic: TRUE / FALSE / null (= UNKNOWN).  A row
+     * is deleted only when the predicate is definitively TRUE —
+     * Not(UNKNOWN) stays UNKNOWN, so NULL-bearing rows survive negated
+     * predicates exactly as they do in Spark's own rewrite path. */
+    static Boolean eval3(Filter f, InternalRow row, StructType schema) {
       if (f instanceof And a) {
-        return eval(a.left(), row, schema) && eval(a.right(), row, schema);
+        Boolean l = eval3(a.left(), row, schema);
+        Boolean r = eval3(a.right(), row, schema);
+        if (Boolean.FALSE.equals(l) || Boolean.FALSE.equals(r)) {
+          return false;
+        }
+        return (l == null || r == null) ? null : true;
       }
       if (f instanceof Or o) {
-        return eval(o.left(), row, schema) || eval(o.right(), row, schema);
+        Boolean l = eval3(o.left(), row, schema);
+        Boolean r = eval3(o.right(), row, schema);
+        if (Boolean.TRUE.equals(l) || Boolean.TRUE.equals(r)) {
+          return true;
+        }
+        return (l == null || r == null) ? null : false;
       }
       if (f instanceof Not n) {
-        return !eval(n.child(), row, schema);
+        Boolean c = eval3(n.child(), row, schema);
+        return c == null ? null : !c;
       }
       if (f instanceof org.apache.spark.sql.sources.AlwaysTrue) {
         return true;
@@ -712,35 +742,41 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
         return valueAt(row, schema, p.attribute()) != null;
       }
       if (f instanceof EqualTo p) {
-        return compare(valueAt(row, schema, p.attribute()), p.value(), schema, p.attribute()) == 0;
+        Integer c = compareNullable(row, schema, p.attribute(), p.value());
+        return c == null ? null : c == 0;
       }
       if (f instanceof GreaterThan p) {
         Integer c = compareNullable(row, schema, p.attribute(), p.value());
-        return c != null && c > 0;
+        return c == null ? null : c > 0;
       }
       if (f instanceof GreaterThanOrEqual p) {
         Integer c = compareNullable(row, schema, p.attribute(), p.value());
-        return c != null && c >= 0;
+        return c == null ? null : c >= 0;
       }
       if (f instanceof LessThan p) {
         Integer c = compareNullable(row, schema, p.attribute(), p.value());
-        return c != null && c < 0;
+        return c == null ? null : c < 0;
       }
       if (f instanceof LessThanOrEqual p) {
         Integer c = compareNullable(row, schema, p.attribute(), p.value());
-        return c != null && c <= 0;
+        return c == null ? null : c <= 0;
       }
       if (f instanceof In p) {
         Object v = valueAt(row, schema, p.attribute());
         if (v == null) {
-          return false;
+          return null; // NULL IN (...) is UNKNOWN
         }
+        boolean sawNull = false;
         for (Object candidate : p.values()) {
+          if (candidate == null) {
+            sawNull = true;
+            continue;
+          }
           if (compareValues(v, toCatalyst(candidate)) == 0) {
             return true;
           }
         }
-        return false;
+        return sawNull ? null : false; // x IN (..., NULL) without a match
       }
       throw new UnsupportedOperationException("unsupported delete filter: " + f);
     }
@@ -763,13 +799,6 @@ public class MemoryCatalog implements TableCatalog, SupportsNamespaces {
       Object v = valueAt(row, schema, attr);
       if (v == null || literal == null) {
         return null; // SQL null comparison semantics: unknown -> no match
-      }
-      return compareValues(v, toCatalyst(literal));
-    }
-
-    private static int compare(Object v, Object literal, StructType schema, String attr) {
-      if (v == null || literal == null) {
-        return Integer.MIN_VALUE; // never equal
       }
       return compareValues(v, toCatalyst(literal));
     }

@@ -42,8 +42,8 @@ def _ref_segment(word, merges):
 
 def test_train_is_deterministic(spark):
     docs = load_table(spark, SF, "documents")
-    m1 = train_bpe(docs, "text", num_merges=50, id_col="doc_id")
-    m2 = train_bpe(docs, "text", num_merges=50, id_col="doc_id")
+    m1 = train_bpe(docs, "text", "doc_id", num_merges=50)
+    m2 = train_bpe(docs, "text", "doc_id", num_merges=50)
     assert m1 == m2 and len(m1) == 50
     # merges actually compress: frequent pairs got merged into multi-char
     # symbols
@@ -52,7 +52,7 @@ def test_train_is_deterministic(spark):
 
 def test_apply_matches_sequential_reference(spark):
     docs = load_table(spark, SF, "documents")
-    merges = train_bpe(docs, "text", num_merges=80, id_col="doc_id")
+    merges = train_bpe(docs, "text", "doc_id", num_merges=80)
     got = {
         r.id: (r.n_bpe_tokens, list(r.tokens))
         for r in bpe_tokenize(
@@ -88,7 +88,7 @@ def test_bpe_counts_feed_budget_packing(spark):
     from flowbyte_spark.operators.split import pack_by_budget
 
     docs = load_table(spark, SF, "documents")
-    merges = train_bpe(docs, "text", num_merges=60, id_col="doc_id")
+    merges = train_bpe(docs, "text", "doc_id", num_merges=60)
     counts = bpe_tokenize(docs, "doc_id", "text", merges)
     packed = pack_by_budget(
         counts.withColumnRenamed("id", "doc_id"),

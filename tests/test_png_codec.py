@@ -194,3 +194,30 @@ def test_resize_media_real_png_pixels(spark):
         assert out[i].shape == (8, 8, 1)
         # nearest-neighbor upscale: the even grid IS the original image
         assert np.array_equal(out[i][::2, ::2], px)
+
+
+def test_fake_mode_survives_corrupt_png_signature(spark):
+    """Round-6 review finding: fake_decode=True must never raise — a
+    payload carrying the PNG signature but corrupt bytes falls back to
+    the deterministic stub instead of crashing the task."""
+    from flowbyte_spark.operators.multimodal import extract_features, resize_media
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"garbage-not-chunks"
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(corrupt))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = extract_features(df, fake_decode=True).collect()
+    assert len(rows) == 1 and len(rows[0].features) == 16
+    media = df.selectExpr(
+        "media_id", "kind", "payload",
+        "named_struct('mime', 'image/png', 'width', CAST(NULL AS BIGINT), "
+        "'height', CAST(NULL AS BIGINT), 'duration_ms', CAST(NULL AS BIGINT)) AS meta",
+    )
+    out = resize_media(media, 4, 4, fake_decode=True).collect()
+    assert len(out) == 1 and out[0].payload is not None
+    # strict mode still fails loud on the same payload
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ValueError|truncated|signature|zlib|PNG"):
+        extract_features(df, fake_decode=False).collect()

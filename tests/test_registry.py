@@ -73,8 +73,9 @@ def test_post_window_new_queries_carry_tier3_coverage():
     # of changed code.  The tier-3 contract: each must have a hash oracle
     # AND run through the in-suite differential harness
     # (tests/test_llm2_oracle.py executes the same Spark-vs-DuckDB
-    # comparison the driver does).  Round 6: POST_WINDOW_NEW is empty —
-    # the checks below are vacuous until the window saturates again.
+    # comparison the driver does).  Round 6: the window refilled to
+    # exactly 50 mid-round, so POST_WINDOW_NEW holds the post-saturation
+    # additions (v88, v90) — they must lead r7's window.
     from tests.test_llm2_oracle import LLM2
 
     for name in POST_WINDOW_NEW:

@@ -253,3 +253,25 @@ def test_memcat_time_travel(spark):
     # nonexistent version fails loud
     with pytest.raises(Exception, match="no version|INVALID|version"):
         spark.sql(f"SELECT * FROM {ident} VERSION AS OF 99").collect()
+
+
+def test_memcat_delete_null_three_valued_logic(spark):
+    """SQL 3VL on the DELETE pushdown path: a negated predicate over a
+    NULL column is UNKNOWN, so NULL-bearing rows must SURVIVE — the
+    two-valued evaluator deleted them (round-6 review finding)."""
+    ident = f"memcat.db.nvl_{_uuid.uuid4().hex[:10]}"
+    spark.sql(f"CREATE TABLE {ident} (id INT, s STRING)")
+    spark.sql(f"INSERT INTO {ident} VALUES (1,'a'), (2,'b'), (3, NULL)")
+    t = CatalogTable(spark, ident)
+    # s <> 'b' is UNKNOWN for the NULL row -> only id=1 deleted
+    assert t.delete_where("s <> 'b'") == 1
+    assert sorted((r.id, r.s) for r in t.read().collect()) == [
+        (2, "b"),
+        (3, None),
+    ]
+    # NOT (s = 'b') likewise keeps the NULL row
+    assert t.delete_where("NOT (s = 'b')") == 0
+    assert t.read().count() == 2
+    # IN over NULL is UNKNOWN too
+    assert t.delete_where("s IN ('x', 'y')") == 0
+    assert t.read().count() == 2
