@@ -32,6 +32,8 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
     {
         "v88_variant_json",
         "v90_q21_waiting_suppliers",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
     }
 )
 

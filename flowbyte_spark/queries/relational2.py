@@ -331,3 +331,107 @@ def v90_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(_Q21_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# V91 — correlated LATERAL join (Spark 4 SQL; round 6).
+# The per-row dependent subquery with ORDER BY + LIMIT — "top-n per key
+# via subquery" as users actually write it; Spark decorrelates it into a
+# join + per-key window rather than executing O(rows) subqueries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v91_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) l
+    WHERE c.c_custkey < 200
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def v91_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's two priciest orders through a correlated LATERAL
+    subquery with ORDER BY/LIMIT.  Registered as literal SQL on purpose:
+    the point is Spark's decorrelation of the dependent join (the plan
+    contains one join + one ranking window, not per-row subquery
+    execution), proven by the hash against DuckDB's native LATERAL."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v91_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v91_o")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               l.o_orderkey, l.o_totalprice
+        FROM v91_c c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM v91_o
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) l
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# V92 — recursive CTE (Spark 4.1 WITH RECURSIVE; round 6).
+# Iterative self-reference the DataFrame API cannot express in one
+# query: walk every customer up the implicit decimal tree
+# (parent = custkey div 10) to the root, accumulating depth and the
+# path's account-balance sum in integer cents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v92_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(c_custkey, cur, depth, path_cents) AS (
+        SELECT c_custkey, c_custkey, 0,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT w.c_custkey, p.c_custkey, w.depth + 1,
+               w.path_cents + CAST(ROUND(p.c_acctbal * 100) AS BIGINT)
+        FROM walk w JOIN customer p ON p.c_custkey = w.cur // 10
+        WHERE w.cur > 0)
+    SELECT c_custkey,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(MAX(path_cents) AS BIGINT) AS path_cents
+    FROM walk
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def v92_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-to-root walk over the implicit decimal customer tree via
+    WITH RECURSIVE: per customer, the number of ancestor hops to key 0
+    and the exact integer-cent balance sum along the path.  The oracle
+    runs DuckDB's native recursive CTE; iteration count, join-per-step
+    semantics, and the termination condition all gate the hash."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v92_c")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(c_custkey, cur, depth, path_cents) AS (
+            SELECT c_custkey, c_custkey, 0,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT)
+            FROM v92_c
+            UNION ALL
+            SELECT w.c_custkey, p.c_custkey, w.depth + 1,
+                   w.path_cents + CAST(ROUND(p.c_acctbal * 100) AS BIGINT)
+            FROM walk w JOIN v92_c p ON p.c_custkey = CAST(w.cur / 10 AS BIGINT)
+            WHERE w.cur > 0)
+        SELECT c_custkey,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(MAX(path_cents) AS BIGINT) AS path_cents
+        FROM walk
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+        """
+    )

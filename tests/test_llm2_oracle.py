@@ -17,6 +17,8 @@ LLM2 = [
     # differential until they lead r7's window.
     "v88_variant_json",
     "v90_q21_waiting_suppliers",
+    "v91_lateral_topk",
+    "v92_recursive_cte",
 ]
 
 
