@@ -34,6 +34,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v90_q21_waiting_suppliers",
         "v91_lateral_topk",
         "v92_recursive_cte",
+        "v93_xml_extract",
     }
 )
 

@@ -435,3 +435,76 @@ def v92_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# V93 — XML tier (Spark 4 built-in from_xml + xpath; round 6).
+# Both engines deterministically render each event's props into a nested
+# XML payload; Spark parses it ONCE with a declared schema (`from_xml`)
+# AND extracts one field via the schemaless `xpath_int` path — the two
+# ways users consume XML — while DuckDB recomputes every extraction
+# arithmetically from the same k.  A wrong parse, a mis-nested element
+# or a 1-vs-0-based xpath index all break the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v93_xml_extract",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL)
+    SELECT 't' || (k % 5) AS tag,
+           COUNT(*) AS cnt,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k % 3) AS BIGINT) AS sum_i2,
+           CAST(SUM(k % 7) AS BIGINT) AS sum_xp
+    FROM e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v93_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parse + typed extraction: schema-declared ``from_xml`` for the
+    nested struct/array and ``xpath_int`` for the schemaless path, both
+    over the same rendered payload, aggregated per tag."""
+    from flowbyte_spark.functions import ensure_parallelism
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    base = (
+        ensure_parallelism(events.select("props"))
+        .select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+    )
+    xml = F.format_string(
+        "<r><k>%d</k><tag>t%d</tag><arr><i>%d</i><i>%d</i></arr></r>",
+        F.col("k"), F.col("k") % 5, F.col("k") % 7, F.col("k") % 3,
+    )
+    parsed = base.select(
+        "k",
+        F.from_xml(
+            xml, "k INT, tag STRING, arr STRUCT<i: ARRAY<INT>>"
+        ).alias("p"),
+        F.expr(
+            "xpath_int(printf('<r><k>%d</k><tag>t%d</tag>"
+            "<arr><i>%d</i><i>%d</i></arr></r>', k, k % 5, k % 7, k % 3),"
+            " '/r/arr/i[1]')"
+        ).alias("xp"),
+    )
+    return (
+        parsed.select(
+            F.col("p.tag").alias("tag"),
+            F.col("p.k").alias("vk"),
+            F.col("p.arr.i")[1].alias("i2"),  # 0-based: second element
+            "xp",  # xpath [1] is 1-based: FIRST element = k % 7
+        )
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("vk").cast("long").alias("sum_k"),
+            F.sum("i2").cast("long").alias("sum_i2"),
+            F.sum("xp").cast("long").alias("sum_xp"),
+        )
+        .orderBy("tag")
+    )

@@ -19,6 +19,7 @@ LLM2 = [
     "v90_q21_waiting_suppliers",
     "v91_lateral_topk",
     "v92_recursive_cte",
+    "v93_xml_extract",
 ]
 
 
