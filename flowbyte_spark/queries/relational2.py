@@ -508,3 +508,87 @@ def v93_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# V94/V95 — the remaining skew-family operators under the hash gate
+# (round 6; v85/v86 covered the window/lag pair).  Both must equal the
+# plain unsalted form exactly — which is precisely what the oracle
+# computes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v94_salted_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey % 10 = 3
+    ORDER BY o_orderkey
+    """,
+)
+def v94_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient equi-join: the fact side is salted per row, the
+    dim side replicated per salt bucket, and the output must be row-for-
+    row the plain join (salt never leaks).  The filter concentrates one
+    residue class to make the big side genuinely skewed toward few
+    customers."""
+    from flowbyte_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 10 == 3
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        salted_join(
+            orders.withColumnRenamed("o_custkey", "custkey"),
+            customer.withColumnRenamed("c_custkey", "custkey"),
+            on=["custkey"],
+            buckets=8,
+            how="inner",
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "v95_two_phase_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def v95_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: phase 1 groups by (key, salt) so a hot key
+    splits across buckets, phase 2 merges partials — exact for the
+    associative trio (count as sum-of-counts, integer-cent sums, max of
+    maxes), proven by equality with the oracle's single-phase GROUP BY.
+    o_orderpriority has ~5 values over 15k orders: every key is hot,
+    the worst case for a single-phase per-key reduction."""
+    from flowbyte_spark.operators.skew import two_phase_agg
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    return two_phase_agg(
+        orders,
+        keys=["o_orderpriority"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("cents").alias("ps"),
+            F.max("o_orderkey").alias("pm"),
+        ],
+        final_aggs=[
+            F.sum("pc").cast("long").alias("n_orders"),
+            F.sum("ps").cast("long").alias("total_cents"),
+            F.max("pm").cast("long").alias("max_key"),
+        ],
+        buckets=8,
+    ).orderBy("o_orderpriority")

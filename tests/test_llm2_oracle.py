@@ -20,6 +20,8 @@ LLM2 = [
     "v91_lateral_topk",
     "v92_recursive_cte",
     "v93_xml_extract",
+    "v94_salted_join",
+    "v95_two_phase_agg",
 ]
 
 
