@@ -154,6 +154,9 @@ class SyntheticEventsDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "_StreamReader":
         return _StreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "_DirStreamWriter":
+        return _DirStreamWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session registration.
@@ -353,3 +356,118 @@ class _StreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # idempotent arithmetic backend: nothing to acknowledge
+
+
+# ---------------------------------------------------------------------------
+# Streaming write half (round 6): DataSourceStreamWriter — exactly-once
+# per-epoch sink, completing the connector matrix (batch read + pushdown,
+# 2PC batch write, checkpoint-exact stream read, and now epoch-committed
+# stream write).  Protocol: tasks stage one JSONL file per (epoch,
+# partition, attempt) under _staging/; the DRIVER's commit(batchId)
+# publishes exactly the staged files named in that epoch's messages and
+# appends one manifest entry per epoch — so a replayed epoch (restart
+# re-runs the last uncommitted batch) OVERWRITES its own entry instead of
+# duplicating rows, which is what makes the sink exactly-once on top of
+# Structured Streaming's at-least-once epoch replay.  abort(batchId)
+# drops only that epoch's staged files.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+
+class _DirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "flowbyte_synth stream writer requires .option('path', ...)"
+            )
+        self.path = path
+        import uuid as _uuid
+
+        self.job = _uuid.uuid4().hex[:12]
+
+    # -- executor side -------------------------------------------------------
+
+    def write(self, iterator) -> _FileCommit:
+        ctx = TaskContext.get()
+        # epoch id rides the task-local property Structured Streaming sets
+        epoch = ctx.getLocalProperty("streaming.sql.batchId") or "0"
+        fname = (
+            f"epoch-{int(epoch):08d}-{self.job}-"
+            f"{ctx.partitionId():05d}-a{ctx.attemptNumber()}.jsonl"
+        )
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        n = 0
+        with open(os.path.join(staging, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    # -- driver side -----------------------------------------------------------
+
+    def _manifest(self):
+        p = os.path.join(self.path, "_STREAM_MANIFEST")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _write_manifest(self, m) -> None:
+        tmp = os.path.join(self.path, f"_STREAM_MANIFEST.{self.job}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(m, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, "_STREAM_MANIFEST"))
+
+    def commit(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            published.append({"file": m.filename, "rows": m.rows})
+        manifest = self._manifest()
+        old = manifest.get(str(batchId))
+        if old:  # epoch replay: retract the previous attempt's files
+            for entry in old:
+                try:
+                    os.remove(os.path.join(self.path, entry["file"]))
+                except OSError:
+                    pass
+        manifest[str(batchId)] = sorted(published, key=lambda p: p["file"])
+        self._write_manifest(manifest)
+        # scoped zombie cleanup, same policy as the batch writer
+        try:
+            for leftover in os.listdir(staging):
+                if self.job in leftover and f"epoch-{int(batchId):08d}" in leftover:
+                    os.remove(os.path.join(staging, leftover))
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:
+        staging = os.path.join(self.path, "_staging")
+        try:
+            for leftover in os.listdir(staging):
+                if self.job in leftover and f"epoch-{int(batchId):08d}" in leftover:
+                    os.remove(os.path.join(staging, leftover))
+        except OSError:
+            pass
+
+
+def read_stream_manifest(spark, path: str):
+    """Committed rows only, across every committed epoch."""
+    with open(os.path.join(path, "_STREAM_MANIFEST")) as f:
+        manifest = json.load(f)
+    files = [
+        os.path.join(path, entry["file"])
+        for epoch in sorted(manifest, key=int)
+        for entry in manifest[epoch]
+    ]
+    return spark.read.json(files) if files else None

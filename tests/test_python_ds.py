@@ -311,3 +311,81 @@ def test_commit_stale_lock_times_out(tmp_path, monkeypatch):
     )
     with pytest.raises(TimeoutError, match="commit lock"):
         w.commit([])
+
+
+def test_stream_writer_commits_per_epoch(spark, tmp_path):
+    """DataSourceStreamWriter: each micro-batch publishes its staged
+    files under one manifest entry; the drained sink equals the full
+    synthetic table exactly (no dupes, no gaps)."""
+    import json
+    import os
+
+    python_ds.register(spark)
+    dest = str(tmp_path / "stream_sink")
+    os.makedirs(dest)
+    q = (
+        spark.readStream.format("flowbyte_synth")
+        .option("rows", 100)
+        .option("chunk_size", 25)
+        .option("rows_per_batch", 40)
+        .load()
+        .writeStream.format("flowbyte_synth")
+        .option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifest = json.load(open(os.path.join(dest, "_STREAM_MANIFEST")))
+    assert {k: sum(e["rows"] for e in v) for k, v in manifest.items()} == {
+        "0": 40, "1": 40, "2": 20,
+    }
+    back = python_ds.read_stream_manifest(spark, dest)
+    got = {r.event_id: (r.user_id, r.event_type, r.value) for r in back.collect()}
+    assert got == {i: python_ds._row(i)[1:] for i in range(100)}
+    # staged files all published, no leftovers
+    assert not os.listdir(os.path.join(dest, "_staging"))
+
+
+def test_stream_writer_epoch_replay_overwrites(tmp_path):
+    """Exactly-once on top of at-least-once epoch replay: committing the
+    SAME batchId again (restart re-runs the last uncommitted batch)
+    replaces that epoch's manifest entry and retracts its old files
+    instead of duplicating rows."""
+    import json
+    import os
+
+    from flowbyte_spark.sources.python_ds import (
+        _DirStreamWriter,
+        _FileCommit,
+        read_stream_manifest,
+    )
+
+    dest = str(tmp_path / "replay_sink")
+    staging = os.path.join(dest, "_staging")
+    os.makedirs(staging)
+
+    def stage(writer, name, ids):
+        with open(os.path.join(staging, name), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"event_id": i}) + "\n")
+        return _FileCommit(name, len(ids))
+
+    w1 = _DirStreamWriter({"path": dest})
+    m1 = stage(w1, f"epoch-00000007-{w1.job}-00000-a0.jsonl", [1, 2, 3])
+    w1.commit([m1], 7)
+    # replayed epoch 7 from a second attempt (fresh writer instance)
+    w2 = _DirStreamWriter({"path": dest})
+    m2 = stage(w2, f"epoch-00000007-{w2.job}-00000-a0.jsonl", [1, 2, 3, 4])
+    w2.commit([m2], 7)
+
+    manifest = json.load(open(os.path.join(dest, "_STREAM_MANIFEST")))
+    assert list(manifest) == ["7"]
+    assert [e["rows"] for e in manifest["7"]] == [4]
+    # the first attempt's published file is gone from disk
+    assert not os.path.exists(os.path.join(dest, m1.filename))
+    # abort drops only that epoch's staged files
+    w3 = _DirStreamWriter({"path": dest})
+    m3 = stage(w3, f"epoch-00000008-{w3.job}-00000-a0.jsonl", [9])
+    w3.abort([m3], 8)
+    assert not os.listdir(staging)
