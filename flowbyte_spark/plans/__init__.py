@@ -98,3 +98,20 @@ def shuffle_exchanges(df: DataFrame) -> int:
                         count += 1
                     break
     return count
+
+
+def observed(df, name: str, *metrics):
+    """Attach inline metrics to a DataFrame (Spark's Observation API):
+    the aggregates are computed DURING the action that consumes ``df`` —
+    no second pass over the data, which at 100 TB is the difference
+    between free accounting and doubling the job.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action ran.  The canonical pipeline use: rows-in/rows-kept counters
+    on a quality filter so kill rates ship with every run's metrics
+    rather than needing an audit query.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _READERS = ("parquet", "csv", "json", "orc", "text", "binaryFile")
@@ -57,3 +58,38 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_with_quarantine(
+    spark,
+    path: str,
+    fmt: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """Read CSV/JSON keeping malformed rows VISIBLE instead of silently
+    dropped: PERMISSIVE mode with an explicit corrupt-record column,
+    split into ``(clean, quarantined)`` DataFrames.
+
+    The ingestion contract a 100 TB crawl needs — FAILFAST dies on the
+    first bad page and DROPMALFORMED silently shrinks the corpus;
+    quarantining keeps the pipeline running AND the loss auditable
+    (count the quarantine, sample it, re-parse later).  The corrupt
+    column must be part of the declared schema (Spark only populates it
+    when declared), and caching before the split avoids the known
+    Spark behavior where a query selecting ONLY the corrupt column is
+    disallowed.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    df = (
+        spark.read.format(fmt)
+        .schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .options(**options)
+        .load(path)
+    ).cache()
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, quarantined

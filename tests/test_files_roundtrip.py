@@ -49,3 +49,34 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/nonexistent", fmt="avro")
+
+def test_read_with_quarantine_splits_malformed(spark, tmp_path):
+    """Malformed CSV/JSON rows land in the quarantine, clean rows parse —
+    nothing dropped silently, nothing kills the job."""
+    import os
+
+    from flowbyte_spark.sources.files import read_with_quarantine
+
+    jpath = str(tmp_path / "q.jsonl")
+    with open(jpath, "w") as f:
+        f.write('{"id": 1, "v": "a"}\n')
+        f.write('{"id": 2, "v": "b"}\n')
+        f.write('{oops not json\n')
+        f.write('{"id": "NaNope", "v": 3}\n')  # type mismatch -> corrupt
+    clean, quarantined = read_with_quarantine(
+        spark, jpath, "json", "id BIGINT, v STRING"
+    )
+    assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    q = [r._corrupt_record for r in quarantined.collect()]
+    assert len(q) == 2 and any("oops" in x for x in q)
+
+    cpath = str(tmp_path / "q.csv")
+    with open(cpath, "w") as f:
+        f.write("1,a\n")
+        f.write("2,b,EXTRA,COLUMNS,HERE\n")
+        f.write("notanint,c\n")
+    clean, quarantined = read_with_quarantine(
+        spark, cpath, "csv", "id BIGINT, v STRING"
+    )
+    assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a")]
+    assert quarantined.count() == 2

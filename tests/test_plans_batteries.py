@@ -90,3 +90,25 @@ def test_paragraph_dedup_no_occurrence_join_no_sort(spark, sf_dir):
     assert plan.lower().count("sortmergejoin") <= 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plans.shuffle_exchanges(df) <= 3, plan
+
+
+def test_observed_metrics_single_pass(spark):
+    """Observation metrics arrive with the consuming action — no second
+    scan — and report the filter's kill accounting exactly."""
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark import plans
+    from flowbyte_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    observed_df, obs = plans.observed(
+        li,
+        "scan_metrics",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("l_quantity") > 25).cast("long")).alias("rows_big"),
+    )
+    kept = observed_df.where(F.col("l_quantity") > 25)
+    n_kept = kept.count()
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert m["rows_big"] == n_kept
