@@ -47,12 +47,32 @@ def _parquet_file_count(path: str) -> int:
     )
 
 
+def _partition_dirs(path: str) -> list[str]:
+    return [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+
+
 def compact(table: ParquetTable, target_file_mb: int = 128) -> tuple[int, int]:
     """Rewrite the table into ~``target_file_mb`` files (Delta/Iceberg
     OPTIMIZE): streaming appends leave hundreds of small files whose
     per-file open/footer cost dominates scans long before data size
     does.  Returns (files_before, files_after).  One full rewrite
-    through the atomic swap — crash-safe like every other mutation."""
+    through the atomic swap — crash-safe like every other mutation.
+
+    Refuses hive-partitioned layouts (key=value directories): a flat
+    rewrite would silently demote partition columns to data columns and
+    destroy directory pruning — compact within partitions instead.
+    """
+    parts = _partition_dirs(table.path)
+    if parts:
+        raise ValueError(
+            f"{table.path} is hive-partitioned ({parts[:3]}...); a flat "
+            "compaction would destroy the partition layout — compact "
+            "each partition directory separately"
+        )
     before = _parquet_file_count(table.path)
     n_parts = max(
         1, -(-_table_bytes(table.path) // (target_file_mb * 1024 * 1024))
@@ -69,6 +89,13 @@ def zorder_key(cols: Sequence[str], bits: int = 12) -> Column:
     ranges first (see :func:`zorder_by`) — raw interleave lets the
     widest-range column own the high bits and degenerates to a
     single-column sort."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"z-key needs {bits * len(cols)} bits but a signed long holds "
+            "63 — lower bits or cluster fewer columns (the dropped bits "
+            "would be the MOST significant, silently destroying the "
+            "coarse ordering)"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):  # MSB first
         for c in cols:
@@ -86,8 +113,16 @@ def zorder_by(
     """Rewrite the table range-partitioned + sorted by the z-curve key of
     ``cols`` so file-level min/max stats prune on every clustered
     column.  Equi-width normalization per column from one bounded
-    (min, max) aggregate; NULLs normalize to bucket 0."""
+    (min, max) aggregate; NULLs normalize to bucket 0 explicitly
+    (``F.least`` SKIPS nulls, so an un-guarded least/coalesce chain
+    would send them to the TOP bucket instead — round-6 review
+    finding)."""
+    import uuid as _uuid
+
     df = table.read()
+    nonce = _uuid.uuid4().hex[:8]  # collision-proof temp names
+    zcol = f"__z_{nonce}__"
+    ncol = lambda i: f"__zn_{nonce}_{i}__"  # noqa: E731
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
@@ -97,25 +132,23 @@ def zorder_by(
     for i, c in enumerate(cols):
         mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
         span = ((mx - mn) if mn is not None and mx is not None else 0.0) or 1.0
+        bucket = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - (mn or 0.0)) / span * top + 0.5),
+        )
         normed.append(
-            F.coalesce(
-                F.least(
-                    F.lit(top),
-                    F.floor(
-                        (F.col(c).cast("double") - (mn or 0.0)) / span * top
-                        + 0.5
-                    ),
-                ),
-                F.lit(0),
-            ).cast("long").alias(f"__zn{i}__")
+            F.when(F.col(c).isNull(), F.lit(0))
+            .otherwise(bucket)
+            .cast("long")
+            .alias(ncol(i))
         )
     keyed = df.select("*", *normed).withColumn(
-        "__z__", zorder_key([f"__zn{i}__" for i in range(len(cols))], bits)
+        zcol, zorder_key([ncol(i) for i in range(len(cols))], bits)
     )
     clustered = (
-        keyed.repartitionByRange(num_files, "__z__")
-        .sortWithinPartitions("__z__")
-        .drop("__z__", *[f"__zn{i}__" for i in range(len(cols))])
+        keyed.repartitionByRange(num_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol, *[ncol(i) for i in range(len(cols))])
     )
     table._swap_in(clustered)
     log.success(f"z-ordered {table.path} by {list(cols)}")

@@ -403,7 +403,7 @@ def v91_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE w.cur > 0)
     SELECT c_custkey,
            CAST(MAX(depth) AS BIGINT) AS depth_to_root,
-           CAST(MAX(path_cents) AS BIGINT) AS path_cents
+           CAST(arg_max(path_cents, depth) AS BIGINT) AS path_cents
     FROM walk
     GROUP BY c_custkey
     ORDER BY c_custkey
@@ -412,8 +412,11 @@ def v91_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v92_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path-to-root walk over the implicit decimal customer tree via
     WITH RECURSIVE: per customer, the number of ancestor hops to key 0
-    and the exact integer-cent balance sum along the path.  The oracle
-    runs DuckDB's native recursive CTE; iteration count, join-per-step
+    and the exact integer-cent balance sum along the FULL path —
+    selected at max depth via max_by, NOT MAX over the running prefixes
+    (TPC-H generates ~9% negative balances, where the largest prefix is
+    not the complete path — round-6 review finding).  The oracle runs
+    DuckDB's native recursive CTE; iteration count, join-per-step
     semantics, and the termination condition all gate the hash."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("v92_c")
     return spark.sql(
@@ -429,7 +432,7 @@ def v92_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE w.cur > 0)
         SELECT c_custkey,
                CAST(MAX(depth) AS BIGINT) AS depth_to_root,
-               CAST(MAX(path_cents) AS BIGINT) AS path_cents
+               CAST(max_by(path_cents, depth) AS BIGINT) AS path_cents
         FROM walk
         GROUP BY c_custkey
         ORDER BY c_custkey
@@ -477,20 +480,19 @@ def v93_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(k.alias("k"))
         .where(F.col("k").isNotNull())
     )
-    xml = F.format_string(
-        "<r><k>%d</k><tag>t%d</tag><arr><i>%d</i><i>%d</i></arr></r>",
-        F.col("k"), F.col("k") % 5, F.col("k") % 7, F.col("k") % 3,
+    rendered = base.withColumn(
+        "xml",
+        F.format_string(
+            "<r><k>%d</k><tag>t%d</tag><arr><i>%d</i><i>%d</i></arr></r>",
+            F.col("k"), F.col("k") % 5, F.col("k") % 7, F.col("k") % 3,
+        ),
     )
-    parsed = base.select(
+    parsed = rendered.select(
         "k",
         F.from_xml(
-            xml, "k INT, tag STRING, arr STRUCT<i: ARRAY<INT>>"
+            "xml", "k INT, tag STRING, arr STRUCT<i: ARRAY<INT>>"
         ).alias("p"),
-        F.expr(
-            "xpath_int(printf('<r><k>%d</k><tag>t%d</tag>"
-            "<arr><i>%d</i><i>%d</i></arr></r>', k, k % 5, k % 7, k % 3),"
-            " '/r/arr/i[1]')"
-        ).alias("xp"),
+        F.expr("xpath_int(xml, '/r/arr/i[1]')").alias("xp"),
     )
     return (
         parsed.select(

@@ -75,3 +75,70 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     # small boxes on each dimension touch < all files
     assert files_touched(F.col("user_id") < 5) < total_files
     assert files_touched(F.col("cents") < 500) < total_files
+
+
+def test_zorder_nulls_go_to_bucket_zero(spark, tmp_path):
+    """Review finding: F.least skips NULLs — they must land in bucket 0
+    (with the minimums), not the top bucket."""
+    path = str(tmp_path / "znull")
+    spark.createDataFrame(
+        [(i, None if i % 10 == 0 else i) for i in range(200)],
+        "id long, k long",
+    ).repartition(4).write.parquet(path)
+    t = ParquetTable(spark, path)
+    zorder_by(t, ["k", "id"], num_files=4, bits=8)
+    f_null = {
+        r.f
+        for r in t.read()
+        .where(F.col("k").isNull())
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    f_low = {
+        r.f
+        for r in t.read()
+        .where(F.col("k") < 20)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    f_high = {
+        r.f
+        for r in t.read()
+        .where(F.col("k") > 180)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert f_null & f_low, "NULLs not co-located with the low bucket"
+    assert not (f_null & f_high), "NULLs leaked into the top bucket files"
+
+
+def test_zorder_key_overflow_and_collision_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d", "e", "f"], bits=12)
+    # a user column literally named like an old temp col survives
+    path = str(tmp_path / "zcoll")
+    spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(50)],
+        "id long, k long, __z__ string",
+    ).write.parquet(path)
+    t = ParquetTable(spark, path)
+    zorder_by(t, ["k"], num_files=2, bits=8)
+    assert "__z__" in t.read().columns
+    assert t.read().count() == 50
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "parts")
+    load_table(spark, SF, "orders").withColumn(
+        "pri", F.col("o_orderpriority")
+    ).write.partitionBy("pri").parquet(path)
+    t = ParquetTable(spark, path)
+    with _pytest.raises(ValueError, match="partitioned"):
+        compact(t)
