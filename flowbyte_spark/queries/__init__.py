@@ -23,22 +23,13 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 6: r5's four tier-3 queries (v79-v82)
-# lead the r6 window; the head list then refilled the window exactly
-# (4 tier-3 + 28 no-r5-row + 11 changed-in-round + 5 new = 48 named +
-# 2 from the sorted remainder = 50), so v88/v90 — added after
-# saturation — carry tier-3 coverage and lead r7.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {
-        "v88_variant_json",
-        "v90_q21_waiting_suppliers",
-        "v91_lateral_topk",
-        "v92_recursive_cte",
-        "v93_xml_extract",
-        "v94_salted_join",
-        "v95_two_phase_agg",
-    }
-)
+# must lead with these names.  Round 8: r6's seven tier-3 queries
+# (v88_variant_json, v90_q21_waiting_suppliers, v91_lateral_topk,
+# v92_recursive_cte, v93_xml_extract, v94_salted_join, v95_two_phase_agg)
+# moved INTO the window head (they lead the r8 rotation below), so the
+# post-saturation set is currently empty.  Any query registered after the
+# r8 window saturates must be added here in the same commit.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None):
@@ -90,72 +81,65 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-7 REBUILD RECIPE: replace this list with (a) any
-    # POST_WINDOW_NEW names (tier-3, never driver-verified — must lead),
-    # (b) every query with no row in CORRECTNESS_r06.json, (c) every
-    # query _coverage marks narrow-changed in round 7.  Update
-    # test_driver_window_plus_prior_files_cover_everything to also read
-    # the r6 file.
+    # ROUND-8 WINDOW (r7 shipped no commits, so this executes the rotation
+    # r7 was mandated to run): (a) the seven r6 tier-3 queries that have
+    # NEVER had a driver row lead; (b) every query whose last driver row
+    # is CORRECTNESS_r05.json (rotated out of the r6/r7 window) refills;
+    # (c) queries whose code changes in round 8 close the list.  44+2
+    # named + 4 from the sorted remainder = 50-slot window.
     first = [
-        # r5's tier-3 additions: NEVER driver-verified (no row in any
-        # CORRECTNESS file) — they lead, per r5 VERDICT mandate #1.
-        "v79_c4_quality_filter",
-        "v80_exact_substrings",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
-        # no round-5 driver row (rotated out of r5's 50-query window;
-        # all green in CORRECTNESS_r04.json or earlier).
-        "v01_scan",
-        "v02_project_filter",
-        "v03_agg_q1",
-        "v04_join_agg",
-        "v05_q3_top10",
-        "v06_left_join_coalesce",
-        "v07_semi_anti",
-        "v08_theta_join",
-        "v09_rollup",
-        "v10_window_rank",
-        "v11_window_frames",
-        "v12_set_ops",
-        "v14_json_extract",
-        "v15_time_bucket",
-        "v16_count_distinct",
-        "v33_asof_join",
-        "v35_pivot",
-        "v37_approx_distinct",
-        "v38_tfidf",
-        "v39_map_struct_json",
-        "v40_math_funcs",
-        "v41_session_window",
-        "v43_percentiles_stats",
-        "v44_string_funcs",
-        "v45_date_funcs",
-        "v61_approx_percentiles",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
-        # changed in round 6 (forced in-window by the _coverage policy
-        # test): DSIR one-scan rework, stateful key-guard lift, ADVICE
-        # fixes (simhash empty-doc join-back, sep regex-escape in
-        # paragraph/substr/c4, gopher boolean rule guards).
-        "v71_dsir_importance",  # importance.py one-scan rework
-        "v75_stateful_totals",  # stateful.py max_keys guard lift
-        "v24_simhash",  # dedup.py simhash empty-doc zero-signature
-        "v78_paragraph_dedup",  # paragraphs.py sep escape
-        "v65_repetition_signals",  # text.py gopher rule-column guard
-        "v31_multimodal_features",  # multimodal.py real PNG kernel dispatch
-        "v20_cosine_topk",  # similarity.py gained the PQ tier (module residue)
-        "v25_ann_ivf",  # same
-        "v26_embedding_neardup",  # same
-        "v70_semantic_dedup",  # same
-        "v77_q18_large_orders",  # relational2.py gained v85/v86 (residue)
-        # new in round 6: no prior driver row exists at all.  (Names are
-        # appended here in the same commit that registers each query —
-        # test_rotation_head_names_all_exist fails otherwise.)
-        "v83_jdbc_roundtrip",
-        "v84_media_decode",
-        "v85_salted_window",
-        "v86_salted_lag",
-        "v87_pq_ann",
+        # (a) r6's post-saturation additions: NEVER driver-verified (no
+        # row in any CORRECTNESS file) — they lead, per r7 VERDICT #1.
+        "v88_variant_json",
+        "v90_q21_waiting_suppliers",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
+        "v95_two_phase_agg",
+        # (b) no r6/r7 driver row (last green in CORRECTNESS_r05.json).
+        "v18_insert_delete",
+        "v19_dedup_exact",
+        "v21_dedup_content_hash",
+        "v22_minhash_lsh",
+        "v23_jaccard_pairs",
+        "v27_text_quality",
+        "v28_lang_id",
+        "v29_token_count",
+        "v30_fingerprint",
+        "v32_streaming_window",
+        "v34_range_join",
+        "v36_grouping_sets",
+        "v42_cube",
+        "v46_array_funcs",
+        "v47_null_conditional",
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+        "v53_hash_split",
+        "v54_pack_by_budget",
+        "v55_stratified_sample",
+        "v56_interleave",
+        "v57_corpus_prep",
+        "v58_cross_join",
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v64_neardup_clusters",
+        "v66_scd2_merge",
+        "v67_cluster_corpus_prep",
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        "v72_global_shuffle",
+        "v73_stream_dedup",
+        "v74_domain_cap",
+        "v76_stream_upsert",
+        # (c) changed in round 8 (forced in-window by the _coverage
+        # policy test): C4 filter single-pass fuse; Python DS stream
+        # writer manifest-before-delete crash-window fix.
+        "v79_c4_quality_filter",  # quality_filter.py fused line pass
+        "v82_python_datasource",  # python_ds.py commit-order fix
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

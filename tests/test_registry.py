@@ -34,37 +34,45 @@ def test_driver_window_plus_prior_files_cover_everything():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
-    for fname in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+    for fname in (
+        "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
+    ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4∪r5∪r6: {uncovered}"
+    assert not uncovered, f"queries with no driver row in r4-r7∪r8: {uncovered}"
 
 
 def test_never_driver_verified_queries_lead_the_window():
-    # r5 VERDICT mandate #1: queries that have NEVER had a driver row
-    # (r5's tier-3 set) must occupy the head of the r6 window so nothing
-    # can evict them if the sweep is cut short.
+    # r7 VERDICT mandate #1: queries that have NEVER had a driver row
+    # (r6's tier-3 set, v88/v90-v95) must occupy the head of the r8
+    # window so nothing can evict them if the sweep is cut short.
+    import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
-    for fname in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
-        prior |= set(json.load(open(os.path.join(repo, fname))))
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        prior |= set(json.load(open(path)))
     never = [q for q in QUERIES if q not in prior and q not in POST_WINDOW_NEW]
-    head = list(QUERIES)[: len(never)]
-    assert set(head) == set(never) or all(
+    assert all(
         list(QUERIES).index(q) < 50 for q in never
     ), f"never-verified queries not all inside the window: {never}"
-    # the four r5 tier-3 names specifically lead (positions 0-3)
-    r5_tier3 = [
-        "v79_c4_quality_filter",
-        "v80_exact_substrings",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
+    # the seven r6 tier-3 names specifically lead (positions 0-6)
+    r6_tier3 = [
+        "v88_variant_json",
+        "v90_q21_waiting_suppliers",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
+        "v95_two_phase_agg",
     ]
-    assert list(QUERIES)[:4] == r5_tier3
+    assert list(QUERIES)[:7] == r6_tier3
 
 
 def test_post_window_new_queries_carry_tier3_coverage():
