@@ -435,14 +435,23 @@ class _DirStreamWriter(DataSourceStreamWriter):
             published.append({"file": m.filename, "rows": m.rows})
         manifest = self._manifest()
         old = manifest.get(str(batchId))
+        manifest[str(batchId)] = sorted(published, key=lambda p: p["file"])
+        # Publish the manifest BEFORE retracting the replaced attempt's
+        # files: the atomic manifest swap is the commit point.  A crash
+        # after it leaves the old attempt's files as harmless orphans;
+        # the previous order (delete, then write) could crash in between
+        # and leave _STREAM_MANIFEST referencing deleted files — silently
+        # losing a committed epoch.
+        self._write_manifest(manifest)
         if old:  # epoch replay: retract the previous attempt's files
+            keep = {p["file"] for p in manifest[str(batchId)]}
             for entry in old:
+                if entry["file"] in keep:
+                    continue
                 try:
                     os.remove(os.path.join(self.path, entry["file"]))
                 except OSError:
                     pass
-        manifest[str(batchId)] = sorted(published, key=lambda p: p["file"])
-        self._write_manifest(manifest)
         # scoped zombie cleanup, same policy as the batch writer
         try:
             for leftover in os.listdir(staging):

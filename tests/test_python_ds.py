@@ -389,3 +389,65 @@ def test_stream_writer_epoch_replay_overwrites(tmp_path):
     m3 = stage(w3, f"epoch-00000008-{w3.job}-00000-a0.jsonl", [9])
     w3.abort([m3], 8)
     assert not os.listdir(staging)
+
+
+def test_stream_writer_replay_crash_between_manifest_and_retract(
+    tmp_path, monkeypatch, spark
+):
+    """Crash-injection for the commit ordering contract (ADVICE r6): the
+    manifest must be published BEFORE the replaced epoch's files are
+    deleted, so a crash in between leaves orphan files — never a manifest
+    entry pointing at deleted data."""
+    import json
+    import os
+
+    from flowbyte_spark.sources import python_ds
+    from flowbyte_spark.sources.python_ds import (
+        _DirStreamWriter,
+        _FileCommit,
+        read_stream_manifest,
+    )
+
+    dest = str(tmp_path / "crash_sink")
+    staging = os.path.join(dest, "_staging")
+    os.makedirs(staging)
+
+    def stage(name, ids):
+        with open(os.path.join(staging, name), "w") as f:
+            for i in ids:
+                f.write(json.dumps({"event_id": i}) + "\n")
+        return _FileCommit(name, len(ids))
+
+    w1 = _DirStreamWriter({"path": dest})
+    m1 = stage(f"epoch-00000003-{w1.job}-00000-a0.jsonl", [1, 2])
+    w1.commit([m1], 3)
+
+    # Replay epoch 3; kill the process (simulated) on the FIRST retract
+    # os.remove — i.e. after the manifest swap, before cleanup finishes.
+    real_remove = os.remove
+
+    def dying_remove(path, *a, **k):
+        if os.path.basename(path).startswith("epoch-"):
+            raise RuntimeError("simulated crash mid-retract")
+        return real_remove(path, *a, **k)
+
+    w2 = _DirStreamWriter({"path": dest})
+    m2 = stage(f"epoch-00000003-{w2.job}-00000-a0.jsonl", [1, 2, 9])
+    monkeypatch.setattr(python_ds.os, "remove", dying_remove)
+    try:
+        w2.commit([m2], 3)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(python_ds.os, "remove", real_remove)
+
+    # Every manifest-referenced file must exist; the committed epoch is
+    # fully readable (the old attempt's file is a harmless orphan).
+    manifest = json.load(open(os.path.join(dest, "_STREAM_MANIFEST")))
+    for epoch, entries in manifest.items():
+        for e in entries:
+            assert os.path.exists(os.path.join(dest, e["file"])), (
+                epoch,
+                e,
+            )
+    back = read_stream_manifest(spark, dest)
+    assert sorted(r.event_id for r in back.collect()) == [1, 2, 9]
