@@ -83,6 +83,25 @@ def _memcat_conf() -> dict[str, str]:
     }
 
 
+def _build_conf(extra_conf: dict[str, str] | None) -> dict[str, str]:
+    """Layer ENGINE_CONF < memcat catalog < caller overrides — except
+    ``spark.jars``, a comma-separated LIST conf: a caller supplying their
+    own jars must not clobber the memcat jar (the catalog key would stay
+    set but the class be unloadable at first use), so jar lists union."""
+    memcat = _memcat_conf()
+    conf = {**ENGINE_CONF, **memcat, **(extra_conf or {})}
+    jar_lists = [
+        d["spark.jars"] for d in (memcat, extra_conf or {}) if d.get("spark.jars")
+    ]
+    if jar_lists:
+        seen: list[str] = []
+        for j in ",".join(jar_lists).split(","):
+            if j and j not in seen:
+                seen.append(j)
+        conf["spark.jars"] = ",".join(seen)
+    return conf
+
+
 def get_spark(
     app_name: str = "flowbyte-spark",
     master: str | None = None,
@@ -100,7 +119,7 @@ def get_spark(
         master = f"local[{cpus}]"
 
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**ENGINE_CONF, **_memcat_conf(), **(extra_conf or {})}.items():
+    for k, v in _build_conf(extra_conf).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # Apply runtime-settable confs even when an existing session was reused

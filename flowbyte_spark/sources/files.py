@@ -81,15 +81,17 @@ def read_with_quarantine(
     Spark behavior where a query selecting ONLY the corrupt column is
     disallowed.
     """
+    from flowbyte_spark.operators.cache import persist_tracked
+
     full_schema = f"{schema}, {corrupt_col} STRING"
-    df = (
+    df = persist_tracked(
         spark.read.format(fmt)
         .schema(full_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .options(**options)
         .load(path)
-    ).cache()
+    )
     clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantined = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, quarantined

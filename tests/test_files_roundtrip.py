@@ -80,3 +80,22 @@ def test_read_with_quarantine_splits_malformed(spark, tmp_path):
     )
     assert sorted((r.id, r.v) for r in clean.collect()) == [(1, "a")]
     assert quarantined.count() == 2
+
+
+def test_read_with_quarantine_cache_is_tracked(spark, tmp_path):
+    """The split's backing cache registers with the repo's tracked-cache
+    accounting (ADVICE r6: a raw .cache() leaked one persisted DF per
+    call in long-lived sessions) — release_persisted() frees it."""
+    from flowbyte_spark.operators import cache as cache_mod
+    from flowbyte_spark.sources.files import read_with_quarantine
+
+    jpath = str(tmp_path / "t.jsonl")
+    with open(jpath, "w") as f:
+        f.write('{"id": 1, "v": "a"}\n')
+        f.write("{bad\n")
+    cache_mod.release_persisted()  # clean slate
+    clean, quarantined = read_with_quarantine(
+        spark, jpath, "json", "id BIGINT, v STRING"
+    )
+    assert clean.count() == 1 and quarantined.count() == 1
+    assert cache_mod.release_persisted() >= 1
