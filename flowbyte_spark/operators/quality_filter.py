@@ -9,31 +9,32 @@ such capability (charter extension; `src/flowbyte/sql.py` delegates all
 row logic to SQL Server) — this is the standard first pass of a
 training-data pipeline, so it gets a first-class operator.
 
-Scale shape — one reassembly shuffle, everything else codegen map work
-(plus a fan-out repartition only when the input is under-parallel,
-never on real multi-split inputs):
+Scale shape — MAP-ONLY (round-8 rework; the previous
+explode→filter→groupBy reassembly spent a keyed shuffle and an
+aggregation to rebuild line order that the array representation never
+loses).  The line rules evaluate inside ``F.filter`` over the split
+array and survivors rejoin with ``array_join``, so a document never
+leaves its partition:
 
 1. document-level blocklist: on already-parallel inputs, a scan-side
-   ``contains`` filter — blocked pages never produce line rows.  When a
-   fan-out repartition is inserted (or the caller's plan has one below
-   an expensive text derivation — ``early_page_filter=False``), the
-   page verdict rides as a column to the post-aggregation filter
-   instead: predicate pushdown crosses repartition exchanges and would
-   otherwise inline the text derivation into a serial pre-exchange
-   filter (measured 1.6x whole-query cost, BASELINE.md round-5).
-2. ``posexplode`` the split text, then the line rules (word count via
-   ``regexp_count``, terminal punctuation via one anchored regex, line
-   blocklist via ``contains``) — all whole-stage-codegen, no UDFs, so
-   the per-line pass scales linearly with executors.
-3. reassembly: one ``groupBy(id)`` over surviving lines; order restored
-   by ``array_sort`` of (pos, line) structs with ``.getField`` (not a
-   ``transform`` lambda — keeps the rebuild inside codegen, see
-   BASELINE.md round-5 finding 1).  ``n_lines`` rides the group as
-   ``first()`` (functionally dependent on id), so no join back.
+   ``contains`` filter — blocked pages never reach the line pass.  When
+   a fan-out repartition is inserted (or the caller's plan has one
+   below an expensive text derivation — ``early_page_filter=False``),
+   the page verdict rides as a column to the final filter instead:
+   predicate pushdown crosses repartition exchanges and would otherwise
+   inline the text derivation into a serial pre-exchange filter
+   (measured 1.6x whole-query cost, BASELINE.md round-5).
+2. line rules (word count via ``regexp_count``, terminal punctuation
+   via one anchored regex, line blocklist via ``contains``) run as a
+   higher-order ``F.filter`` lambda — JVM-side per-element eval, no
+   UDFs, no per-line row blowup, and the per-line pass still scales
+   linearly with executors.
+3. reassembly is ``array_join`` on the filtered array — order is free.
 
-Shuffle volume is O(surviving lines) — strictly less than the corpus.
-Dropped pages simply produce no output row, matching C4's semantics of
-discarding the page.
+The only exchange the operator can introduce is the under-parallel
+fan-out (never triggered on real multi-split inputs).  Shuffle volume
+is zero in the already-parallel regime.  Dropped pages simply produce
+no output row, matching C4's semantics of discarding the page.
 """
 
 from __future__ import annotations
@@ -59,6 +60,25 @@ def _contains_any(c: Column, needles: Sequence[str]) -> Column:
     for w in needles:
         hit = hit | F.contains(c, F.lit(w))
     return hit
+
+
+def _pin_above_exchange(cond: Column) -> Column:
+    """Return ``cond`` wrapped so Catalyst cannot push it down the plan.
+
+    Catalyst only pushes deterministic predicates; the WHEN fuses the
+    real condition with a never-true nondeterministic guard
+    (``monotonically_increasing_id() < -1``, ids are non-negative) so
+    conjunct-splitting cannot separate them.  Row semantics are exactly
+    ``where(cond)`` — null condition drops the row.  Used when the final
+    survivor filter sits above a fan-out exchange: pushed below it, the
+    filter inlines the whole line pass (split + lambda + upstream text
+    derivation) into the serial pre-exchange stage and the projections
+    recompute it above — measured 1.6x whole-query cost (BASELINE.md
+    round-5) and visible as a duplicated ``lambdafunction`` in the plan.
+    """
+    return F.when(cond, F.lit(True)).otherwise(
+        F.monotonically_increasing_id() < F.lit(-1)
+    )
 
 
 def c4_quality_filter(
@@ -134,6 +154,19 @@ def c4_quality_filter(
             src = df.repartition(sc.defaultParallelism, F.col(id_col))
     if early_page_filter:
         src, doc_ok = src.where(doc_ok), F.lit(True)
+
+    def _line_ok(line: Column) -> Column:
+        keep = F.regexp_count(line, F.lit(r"\S+")) >= min_words
+        if terminal_punct is not None:
+            keep = keep & line.rlike(terminal_punct + r"\s*$")
+        if line_blocklist:
+            keep = keep & ~_contains_any(F.lower(line), line_blocklist)
+        return keep
+
+    # The split array is referenced twice (size + filter); keeping it in
+    # its own projection lets CollapseProject's duplicate-expensive-expr
+    # guard preserve single evaluation of the split (the fused form the
+    # round-5/7 plans paid twice for).
     base = src.select(
         F.col(id_col).alias("id"),
         # F.split takes a regex but reassembly re-inserts sep literally —
@@ -143,24 +176,24 @@ def c4_quality_filter(
     ).select(
         "id",
         F.size("arr").cast("long").alias("n_lines"),
+        F.filter("arr", _line_ok).alias("kept"),
         "doc_ok",
-        F.posexplode("arr").alias("pos", "line"),
     )
-    line = F.col("line")
-    keep = F.regexp_count(line, F.lit(r"\S+")) >= min_words
-    if terminal_punct is not None:
-        keep = keep & line.rlike(terminal_punct + r"\s*$")
-    if line_blocklist:
-        keep = keep & ~_contains_any(F.lower(line), line_blocklist)
+    # The survivor predicate is evaluated as a PINNED COLUMN, not a bare
+    # where(): substituted through the projections by predicate pushdown,
+    # it re-inlines the whole line pass (split + lambda) into a second
+    # evaluation — and, below a fan-out exchange, a serial one.  A
+    # nondeterministic projection field blocks the substitution, so the
+    # split and the higher-order filter each appear exactly once in the
+    # physical plan (asserted in tests/test_quality_filter.py).
+    survive = F.col("doc_ok") & (F.size("kept") >= min_kept_lines)
     return (
-        base.where(keep)
-        .groupBy("id")
-        .agg(
-            reassemble_in_order("pos", "line", sep).alias("text_clean"),
-            F.first("n_lines").alias("n_lines"),
-            F.first("doc_ok").alias("doc_ok"),
-            F.count("*").alias("n_kept"),
+        base.withColumn("survive", _pin_above_exchange(survive))
+        .where("survive")
+        .select(
+            "id",
+            F.array_join("kept", sep).alias("text_clean"),
+            "n_lines",
+            F.size("kept").cast("long").alias("n_kept"),
         )
-        .where(F.col("doc_ok") & (F.col("n_kept") >= min_kept_lines))
-        .select("id", "text_clean", "n_lines", F.col("n_kept").cast("long").alias("n_kept"))
     )

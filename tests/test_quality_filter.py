@@ -186,21 +186,29 @@ def test_page_filter_modes_agree(spark):
 def test_plan_shape(spark):
     from flowbyte_spark import plans
 
-    # exactly one keyed shuffle in both regimes.  Under-parallel input:
-    # the fan-out hashes on the doc key so the SAME exchange feeds the
-    # reassembly groupBy (no second exchange, no round-robin anywhere).
+    # MAP-ONLY contract (round-8 rework): the line pass runs array-side
+    # (higher-order filter + array_join), so the operator introduces no
+    # aggregate, no explode, and no shuffle beyond the under-parallel
+    # fan-out — and the split/lambda each appear EXACTLY once (predicate
+    # pushdown used to substitute the survivor filter through the
+    # projections, evaluating the whole line pass twice).
     df = c4_quality_filter(load_table(spark, SF, "documents"), "doc_id", "text")
     plan = plans.physical_plan(df)
-    assert plans.shuffle_exchanges(df) == 1, plan
+    assert plans.shuffle_exchanges(df) == 1, plan  # keyed fan-out only
     assert "RoundRobinPartitioning" not in plan, plan
-    # already-parallel input: no operator fan-out; the one keyed
-    # exchange is the reassembly agg's
+    assert "Aggregate" not in plan and "Generate" not in plan, plan
+    assert plan.count("lambdafunction") == 1, plan
+    assert plan.count("split(") == 1, plan
+    # already-parallel input: the operator adds NO exchange at all (the
+    # round-robin below is the input's own repartition)
     wide = c4_quality_filter(
         load_table(spark, SF, "documents").repartition(64), "doc_id", "text"
     )
     wide_plan = plans.physical_plan(wide)
-    assert plans.shuffle_exchanges(wide) == 1, wide_plan
+    assert plans.shuffle_exchanges(wide) == 0, wide_plan
     assert wide_plan.count("RoundRobinPartitioning") == 1, wide_plan
+    assert "Aggregate" not in wide_plan and "Generate" not in wide_plan
+    assert wide_plan.count("lambdafunction") == 1, wide_plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
