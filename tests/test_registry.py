@@ -134,3 +134,20 @@ def test_in_round_changed_queries_sit_inside_driver_window():
         "infra-affected queries outside the window lack an oracle row "
         f"in the suite: {unguarded}"
     )
+
+
+def test_readme_counts_match_registry():
+    # The README's registry claims have drifted twice (r6, r7); pin them
+    # to the live registry so they cannot drift silently again.
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"V01-V(\d+): every verification query", readme)
+    assert m, "README registry range line missing"
+    assert f"v{m.group(1)}_" in " ".join(QUERIES), m.group(0)
+    m = re.search(r"(\d+) of (\d+) queries have full value-hash oracles", readme)
+    assert m, "README oracle-count line missing"
+    assert int(m.group(2)) == len(QUERIES), (m.group(0), len(QUERIES))
+    assert int(m.group(1)) == len(ORACLE), (m.group(0), len(ORACLE))
