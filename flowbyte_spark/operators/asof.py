@@ -19,6 +19,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Shared union-sort tagging: key/time/side plus the left row as a
+    struct and each right value as a nullable carrier column.  Left rows
+    get ``__side__ = 1`` so they sort AFTER right rows at equal time —
+    the "trade picks up the quote at the same instant" ASOF convention.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__k__"),
+        F.col(left_time).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.struct(*lcols).alias("__l__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}__")
+          for c in right_values],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k__"),
+        F.col(right_time).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        F.lit(None).cast(
+            tagged_left.schema["__l__"].dataType
+        ).alias("__l__"),
+        *[F.col(c).alias(f"__rv_{c}__") for c in right_values],
+    )
+    return tagged_left.unionByName(tagged_right)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -42,24 +76,7 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     lcols = left.columns
-    tagged_left = left.select(
-        F.col(on).alias("__k__"),
-        F.col(left_time).alias("__t__"),
-        F.lit(1).alias("__side__"),  # left sorts after right at equal ts
-        F.struct(*lcols).alias("__l__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}__")
-          for c in right_values],
-    )
-    tagged_right = right.select(
-        F.col(on).alias("__k__"),
-        F.col(right_time).alias("__t__"),
-        F.lit(0).alias("__side__"),
-        F.lit(None).cast(
-            tagged_left.schema["__l__"].dataType
-        ).alias("__l__"),
-        *[F.col(c).alias(f"__rv_{c}__") for c in right_values],
-    )
-    unioned = tagged_left.unionByName(tagged_right)
+    unioned = _tag_union(left, right, on, left_time, right_time, right_values)
 
     if direction == "backward":
         w = (
@@ -164,3 +181,109 @@ def range_join(
         )
         out = cand if out is None else out.unionByName(cand)
     return out.where(cond).drop("__lb__", "__rb__", "__lus__", "__rus__")
+
+
+def salted_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    direction: str = "backward",
+    suffix: str = "_matched",
+    bucket_width_seconds: int = 3600,
+) -> DataFrame:
+    """:func:`asof_join` that survives one hot key.
+
+    ``Window.partitionBy(key)`` puts a key's entire history in ONE task —
+    AQE cannot split windows, so at 100 TB a power-law key (one symbol,
+    one user) stalls the stage.  Same two-phase carry merge as
+    ``skew.salted_window_agg``:
+
+    1. the union-sort carry runs within ``(key, contiguous time bucket)``
+       — the hot key spreads across its time range;
+    2. a per-(key, bucket) boundary table (each bucket's nearest non-null
+       carrier per value column, one row per key x bucket — tiny) rolls
+       across buckets with a second ignorenulls carry, filling left rows
+       whose match lives in an earlier (backward) / later (forward)
+       bucket.
+
+    Row-identical to :func:`asof_join` (property-tested in
+    tests/test_property_asof.py): a right row whose value column is NULL
+    is invisible to the unsalted ignorenulls carry, so
+    ``coalesce(within-bucket, cross-bucket)`` is exact — "no carrier in
+    bucket" and "carrier with NULL value" coincide in both plans.
+
+    ``bucket_width_seconds`` buckets ``left_time``/``right_time`` (any
+    type castable to timestamp; ties never straddle buckets because equal
+    time implies equal bucket).  Pick it so the hottest key's densest
+    bucket fits a task (~10-100 M rows).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    from flowbyte_spark.operators.skew import _time_bucket
+
+    lcols = left.columns
+    unioned = _tag_union(left, right, on, left_time, right_time, right_values)
+    b = unioned.withColumn("__b__", _time_bucket("__t__", bucket_width_seconds))
+
+    asc = direction == "backward"
+    t_order = [F.col("__t__").asc() if asc else F.col("__t__").desc(),
+               F.col("__side__").asc()]
+    w_in = (
+        Window.partitionBy("__k__", "__b__")
+        .orderBy(*t_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = [
+        F.last(f"__rv_{c}__", ignorenulls=True).over(w_in).alias(f"__w_{c}__")
+        for c in right_values
+    ]
+
+    # Boundary: the bucket's nearest carrier per value column.  max_by /
+    # min_by skip rows whose ordering expression is NULL, so masking the
+    # ordering with the value's null-ness yields the last (backward) /
+    # first (forward) NON-NULL carrier — matching the ignorenulls carry.
+    nearest = F.max_by if asc else F.min_by
+    order_struct = F.struct("__t__", "__side__")
+    bounds = b.groupBy("__k__", "__b__").agg(
+        *[
+            nearest(
+                F.col(f"__rv_{c}__"),
+                F.when(F.col(f"__rv_{c}__").isNotNull(), order_struct),
+            ).alias(f"__bl_{c}__")
+            for c in right_values
+        ]
+    )
+    w_prev = (
+        Window.partitionBy("__k__")
+        .orderBy(F.col("__b__").asc() if asc else F.col("__b__").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bounds.select(
+        "__k__",
+        "__b__",
+        *[
+            F.last(f"__bl_{c}__", ignorenulls=True)
+            .over(w_prev)
+            .alias(f"__o_{c}__")
+            for c in right_values
+        ],
+    )
+
+    carried = b.select("__k__", "__b__", "__side__", "__l__", *within).join(
+        offsets, ["__k__", "__b__"]
+    )
+    return (
+        carried.where(F.col("__side__") == 1)
+        .select(
+            *[F.col(f"__l__.{c}").alias(c) for c in lcols],
+            *[
+                F.coalesce(F.col(f"__w_{c}__"), F.col(f"__o_{c}__")).alias(
+                    f"{c}{suffix}"
+                )
+                for c in right_values
+            ],
+        )
+    )

@@ -137,9 +137,12 @@ def _reorder() -> None:
         "v76_stream_upsert",
         # (c) changed in round 8 (forced in-window by the _coverage
         # policy test): C4 filter single-pass fuse; Python DS stream
-        # writer manifest-before-delete crash-window fix.
+        # writer manifest-before-delete crash-window fix; asof.py tagging
+        # refactor (v33) + the new salted ASOF operator (v96).
         "v79_c4_quality_filter",  # quality_filter.py fused line pass
         "v82_python_datasource",  # python_ds.py commit-order fix
+        "v33_asof_join",  # asof.py _tag_union refactor
+        "v96_salted_asof",  # new in round 8: skew-resistant ASOF join
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -594,3 +594,68 @@ def v95_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         buckets=8,
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V96 — salted (skew-resistant) ASOF join (round 8).  The hot key
+# (one-third of users collapsed into hk = -1) is exactly the shape that
+# stalls Window.partitionBy(key): the salted two-phase carry must still
+# equal DuckDB's native ASOF JOIN row-for-row.  1-day buckets over the
+# 30-day fixture force ~30 buckets per key, so cross-bucket carrier
+# fills (the part plain asof_join never exercises) are live in the gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v96_salted_asof",
+    oracle="""
+    WITH e AS (
+        SELECT *, CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END AS hk
+        FROM events)
+    SELECT c.event_id, c.hk, p.event_id AS purchase_event_id,
+           ROUND(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM e WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      ON c.hk = p.hk AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def v96_salted_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click picks up the hot-keyed user's latest at-or-before
+    purchase via salted_asof_join (operators/asof.py): the carry runs
+    within (key, day bucket), a per-bucket boundary table rolls the
+    carrier across buckets, and the result must be row-identical to the
+    unsalted ASOF semantics DuckDB computes natively."""
+    from flowbyte_spark.operators.asof import salted_asof_join
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "hk",
+        F.when(F.col("user_id") % 3 == 0, F.lit(-1).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "hk", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "hk",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = salted_asof_join(
+        clicks,
+        purchases,
+        on="hk",
+        left_time="ts",
+        right_time="ts",
+        right_values=["p_event_id", "p_value"],
+        direction="backward",
+        bucket_width_seconds=86400,
+    )
+    return joined.select(
+        "event_id",
+        "hk",
+        F.col("p_event_id_matched").alias("purchase_event_id"),
+        F.round(F.col("p_value_matched"), 2).alias("purchase_value"),
+    ).orderBy("event_id")

@@ -89,3 +89,77 @@ def test_asof_matches_bruteforce(spark, direction, left_rows, right_rows):
             j_got = int(got[lv] - 100)
             assert right_rows[j_got][0] == right_rows[j_ref][0]  # same key
             assert right_rows[j_got][1] == right_rows[j_ref][1]  # same instant
+
+
+# --- salted (skew-resistant) variant --------------------------------------
+
+from flowbyte_spark.operators.asof import salted_asof_join  # noqa: E402
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("width", [60, 300])  # every-instant buckets / 2 buckets
+@given(left_rows=rows_strategy, right_rows=rows_strategy)
+@SETTINGS
+def test_salted_asof_matches_bruteforce(
+    spark, direction, width, left_rows, right_rows
+):
+    """salted_asof_join must satisfy the SAME brute-force contract as
+    asof_join for bucket widths that force cross-bucket carries (60 s =
+    one bucket per instant) and straddles (300 s)."""
+    left = _df(spark, left_rows, 0)
+    right = _df(spark, right_rows, 100)
+    got = {
+        r["v"]: r["v_matched"]
+        for r in salted_asof_join(
+            left, right, "k", "ts", "ts", right_values=["v"],
+            direction=direction, bucket_width_seconds=width,
+        ).collect()
+    }
+    ref = _reference(left_rows, right_rows, direction)
+    assert set(got) == set(ref)
+    for lv, rv in ref.items():
+        if rv is None:
+            assert got[lv] is None
+        else:
+            j_ref = int(rv - 100)
+            j_got = int(got[lv] - 100)
+            assert right_rows[j_got][0] == right_rows[j_ref][0]
+            assert right_rows[j_got][1] == right_rows[j_ref][1]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_salted_asof_hot_key_row_identical(spark, direction):
+    """One key holding 90% of both sides — the shape the salt exists for —
+    plus NULL carrier values (invisible to the ignorenulls carry in BOTH
+    plans): salted output must be row-identical to the unsalted join."""
+    import random
+
+    rnd = random.Random(7)
+    # right timestamps unique per key so equal-time right-side ties (the
+    # one legitimately ambiguous case) cannot occur
+    right_ts = {k: rnd.sample(range(0, 7200), 120) for k in (0, 1, 2)}
+    right_rows = [
+        (k, s, None if i % 3 == 0 else float(k * 10000 + s))
+        for k in right_ts
+        for i, s in enumerate(right_ts[k])
+    ]
+    left_rows = [
+        (0 if i % 10 else 1 + i % 2, rnd.randint(0, 7200), float(i))
+        for i in range(500)
+    ]
+    left = spark.createDataFrame(
+        [(k, T0 + timedelta(seconds=s), v) for k, s, v in left_rows],
+        "k INT, ts TIMESTAMP, lv DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [(k, T0 + timedelta(seconds=s), v) for k, s, v in right_rows],
+        "k INT, ts TIMESTAMP, v DOUBLE",
+    )
+    kw = dict(direction=direction)
+    plain = asof_join(left, right, "k", "ts", "ts", ["v"], **kw).collect()
+    salted = salted_asof_join(
+        left, right, "k", "ts", "ts", ["v"], bucket_width_seconds=600, **kw
+    ).collect()
+    key = lambda r: (r.k, r.ts, r.lv, r.v_matched)
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+    assert len(plain) == 500
