@@ -5,11 +5,13 @@ Charter scope.  Images/audio/video travel as ``binary`` columns with a
 feature-extract) run as Arrow-batched ``mapInPandas`` stages so payload
 bytes move executor-side in columnar batches, never through the driver.
 
-Kernels: the IMAGE path is REAL for PNG payloads — decode, pixel
-featurization, and nearest-neighbor resize run on the stdlib-only codec
-in ``functions/png.py`` (all five PNG scanline filters, verified against
-an independent reference encoder in tests) with no external library.
-Audio/video and non-PNG image formats remain fail-loud stubs behind
+Kernels: the IMAGE path is REAL for PNG and baseline JPEG payloads —
+decode, pixel featurization, and nearest-neighbor resize run on the
+stdlib-only codecs in ``functions/png.py`` (all five PNG scanline
+filters, verified against an independent reference encoder in tests)
+and ``functions/jpeg.py`` (baseline SOF0, Annex-K tables, verified
+against the spec's direct cosine-sum formula) with no external library.
+Audio/video and other image formats remain fail-loud stubs behind
 ``fake_decode`` — the runtime has no torchaudio/codec libraries — which
 either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake (test mode).  Everything Spark-side (schemas, batch
@@ -101,13 +103,14 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     container has no audio/video/JPEG libraries — explicit beats
     silently wrong).
     """
-    from flowbyte_spark.functions import png
+    from flowbyte_spark.functions import jpeg, png
 
-    if kind == "image" and png.is_png(payload):
+    if kind == "image" and (png.is_png(payload) or jpeg.is_jpeg(payload)):
         try:
-            return _png_features(png.decode_png(payload))
+            codec = png.decode_png if png.is_png(payload) else jpeg.decode_jpeg
+            return _png_features(codec(payload))
         except ValueError:
-            # corrupt-but-PNG-signature payload: fake mode keeps its
+            # corrupt-but-signature-matching payload: fake mode keeps its
             # never-raises contract (deterministic stub below); strict
             # mode fails loud on the malformed image.
             if not fake:
@@ -115,8 +118,8 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     if not fake:
         raise NotImplementedError(
             f"decode of kind={kind!r} requires a media library not present "
-            "in this environment (only PNG images decode natively); pass "
-            "fake_decode=True for the deterministic stub"
+            "in this environment (only PNG and baseline JPEG images decode "
+            "natively); pass fake_decode=True for the deterministic stub"
         )
     digest = hashlib.sha256(kind.encode() + (payload or b"")).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
@@ -209,7 +212,7 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
     a deterministic pseudo-payload from a sha256 of (payload, dims) —
     stable across runs/engines and dependent on every input, so a dropped
     or reordered row is visible; ``fake=False`` raises."""
-    from flowbyte_spark.functions import png
+    from flowbyte_spark.functions import jpeg, png
 
     if png.is_png(payload):
         try:
@@ -219,10 +222,18 @@ def _resize_kernel(payload: bytes, width: int, height: int, fake: bool) -> bytes
         except ValueError:
             if not fake:  # corrupt PNG: fake mode falls through to stub
                 raise
+    elif jpeg.is_jpeg(payload):
+        try:
+            return jpeg.encode_jpeg(
+                png.resize_nearest(jpeg.decode_jpeg(payload), width, height)
+            )
+        except ValueError:
+            if not fake:  # corrupt JPEG: fake mode falls through to stub
+                raise
     if not fake:
         raise NotImplementedError(
-            "resize of non-PNG images requires a media library not present "
-            "in this environment; pass fake_decode=True for the "
+            "resize of non-PNG/JPEG images requires a media library not "
+            "present in this environment; pass fake_decode=True for the "
             "deterministic stub"
         )
     seed = (payload or b"") + f"|{width}x{height}".encode()

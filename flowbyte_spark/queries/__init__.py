@@ -26,10 +26,11 @@ ORACLE: dict[str, str] = {}
 # must lead with these names.  Round 8: r6's seven tier-3 queries
 # (v88_variant_json, v90_q21_waiting_suppliers, v91_lateral_topk,
 # v92_recursive_cte, v93_xml_extract, v94_salted_join, v95_two_phase_agg)
-# moved INTO the window head (they lead the r8 rotation below), so the
-# post-saturation set is currently empty.  Any query registered after the
-# r8 window saturates must be added here in the same commit.
-POST_WINDOW_NEW: frozenset[str] = frozenset()
+# moved INTO the window head (they lead the r8 rotation below), which
+# then refilled to exactly 50 named slots mid-round — so the one query
+# registered after saturation, v97_jpeg_decode (real JPEG kernel under
+# the hash gate), carries tier-3 coverage and must lead r9's window.
+POST_WINDOW_NEW: frozenset[str] = frozenset({"v97_jpeg_decode"})
 
 
 def register(name: str, oracle: str | None = None):
@@ -143,6 +144,8 @@ def _reorder() -> None:
         "v82_python_datasource",  # python_ds.py commit-order fix
         "v33_asof_join",  # asof.py _tag_union refactor
         "v96_salted_asof",  # new in round 8: skew-resistant ASOF join
+        "v31_multimodal_features",  # multimodal.py JPEG kernel dispatch
+        "v84_media_decode",  # same
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -455,3 +455,76 @@ def v87_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_PQ_M * _PQ_DS,
         codes=_PQ_CODES,
     )
+
+
+# ---------------------------------------------------------------------------
+# V97 — baseline JPEG decode under the hash gate (round 8).  JPEG is
+# lossy, so the oracle trick that lets DuckDB recompute decoded pixels
+# needs a DC-exact corpus: an 8x8 CONSTANT image with an EVEN value v
+# quantizes losslessly at quality 50 (DC = 8*(v-128), q0 = 16, so
+# round(DC/q0)*q0/8 + 128 == v exactly and every AC term is zero) —
+# the full marker/Huffman/DC-prediction/IDCT path runs for real while
+# DuckDB derives the expected stats straight from the md5 bytes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v97_jpeg_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               2 * (CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 128)
+                   AS v
+        FROM documents WHERE doc_id < 200)
+    SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(64 * v AS BIGINT) AS px_sum,
+           CAST(v AS BIGINT) AS px_min,
+           CAST(v AS BIGINT) AS px_max
+    FROM px
+    ORDER BY media_id
+    """,
+)
+def v97_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8x8 constant grayscale JPEGs (value = 2*(first md5 byte % 128),
+    even => DC-exact at quality 50), decoded by the REAL baseline JPEG
+    kernel (functions/jpeg.py, fake_decode=False); pixel stats
+    hash-checked against the md5 bytes DuckDB derives directly."""
+    from flowbyte_spark.operators import multimodal as M
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def jpeg_of_md5(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from flowbyte_spark.functions.jpeg import encode_jpeg
+
+        def make(t: str) -> bytes:
+            v = 2 * (hashlib.md5(t.encode()).digest()[0] % 128)
+            return encode_jpeg(
+                np.full((8, 8), v, dtype=np.uint8), quality=50
+            )
+
+        return text.map(make)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_of_md5("text").alias("payload"),
+    )
+    feats = M.extract_features(media, batch_size=64, fake_decode=False)
+    f = lambda i: F.element_at("features", i).cast("long")  # noqa: E731
+    return feats.select(
+        "media_id",
+        f(1).alias("width"),
+        f(2).alias("height"),
+        f(3).alias("channels"),
+        f(5).alias("px_sum"),
+        f(6).alias("px_min"),
+        f(7).alias("px_max"),
+    ).orderBy("media_id")
