@@ -139,16 +139,42 @@ def quality_scores(
     model, df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """``(id, learned_quality)`` — the student's P(pass) per document.
-    Map-only: feature extraction + model.transform, no shuffle."""
-    from pyspark.ml.functions import vector_to_array
 
+    Map-only and PURE CATALYST: the fitted pipeline's scaler stds and LR
+    weights (a dozen scalars) are extracted driver-side and the sigmoid
+    is computed in whole-stage codegen — no ScalaUDF, no shuffle, and no
+    model object in any task closure.
+
+    Why not ``model.transform``: the transform UDF captures the
+    ``LogisticRegressionModel`` INCLUDING its non-transient
+    ``trainingSummary``, whose ``predictions`` DataFrame drags the whole
+    ``SparkSession`` into the task closure.  That serializes only while
+    the session's lazy ``ObservationManager`` field is still
+    unmaterialized; after ANY ``Observation`` use on the session
+    (``plans.observed``), every scoring task dies with ``Task not
+    serializable: ObservationManager`` — root-caused in round 8 as the
+    suite's order-dependent flake (tests/test_signals.py keeps a
+    regression test composing the two).  Computing the score from
+    extracted weights removes the model from the closure entirely — and
+    is faster: sigmoid in codegen instead of a black-box UDF per row.
+    """
     from flowbyte_spark.operators.text import quality_features
 
-    feats = quality_features(df, text_col).select(
-        F.col(id_col),
-        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
-    ).na.fill(0.0, list(FEATURE_COLS))
-    return model.transform(feats).select(
-        F.col(id_col),
-        F.round(vector_to_array("probability")[1], 6).alias("learned_quality"),
+    scaler = model.stages[1]
+    lr = model.stages[2]
+    stds = scaler.std.toArray().tolist()
+    coefs = lr.coefficients.toArray().tolist()
+    intercept = float(lr.intercept)
+
+    feats = quality_features(df, text_col)
+    # mirror the training prep exactly: cast + na.fill(0.0), then the
+    # scaler's x/std (std==0 scales to 0.0, matching StandardScalerModel)
+    z = F.lit(intercept)
+    for name, std, w in zip(FEATURE_COLS, stds, coefs):
+        x = F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+        scaled = F.when(F.lit(std) != 0.0, x / F.lit(std)).otherwise(F.lit(0.0))
+        z = z + F.lit(w) * scaled
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col(id_col), F.round(prob, 6).alias("learned_quality")
     )

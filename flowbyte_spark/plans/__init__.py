@@ -110,6 +110,18 @@ def observed(df, name: str, *metrics):
     action ran.  The canonical pipeline use: rows-in/rows-kept counters
     on a quality filter so kill rates ship with every run's metrics
     rather than needing an audit query.
+
+    Session-lifetime side effect (root-caused round 8): the first
+    Observation on a session materializes SparkSession's lazy,
+    NON-SERIALIZABLE ``ObservationManager`` field.  From then on, any
+    task closure that (usually unintentionally) captures the
+    SparkSession — e.g. Spark ML's ``model.transform`` UDF via the
+    model's non-transient ``trainingSummary`` — fails with ``Task not
+    serializable: ObservationManager``.  That failure is a symptom of a
+    closure dragging the whole session toward executors, which was never
+    healthy; keep sessions out of closures (see
+    ``operators/signals.quality_scores`` for the pattern) rather than
+    avoiding this API.
     """
     from pyspark.sql import Observation
 

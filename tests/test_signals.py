@@ -87,3 +87,71 @@ def test_learned_quality_classifier_agrees_with_teacher(spark):
         for r in quality_scores(model2, docs, "doc_id").collect()
     }
     assert all(abs(scores[k] - scores2[k]) < 1e-4 for k in scores)
+
+
+def test_catalyst_scores_equal_model_transform(spark):
+    """The extracted-weights Catalyst scorer must reproduce Spark ML's
+    own model.transform probabilities (checked on a FRESH SparkSession
+    whose ObservationManager is unmaterialized, where the transform UDF
+    closure still serializes)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.operators.signals import (
+        FEATURE_COLS,
+        quality_scores,
+        train_quality_classifier,
+    )
+    from flowbyte_spark.operators.text import quality_features
+
+    # Everything runs on a FRESH session: the model trained on the shared
+    # session would pin it via its trainingSummary, and a prior test may
+    # already have materialized that session's ObservationManager (the
+    # round-8 flake) — which would make model.transform unserializable
+    # here regardless of which session executes it.
+    fresh = spark.newSession()
+    docs = load_table(fresh, SF, "documents")
+    model = train_quality_classifier(docs, "doc_id")
+    got = {
+        r.doc_id: r.learned_quality
+        for r in quality_scores(model, docs, "doc_id").collect()
+    }
+    feats = quality_features(docs, "text").select(
+        F.col("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
+    ).na.fill(0.0, list(FEATURE_COLS))
+    want = {
+        r.doc_id: round(float(r.p), 6)
+        for r in model.transform(feats).select(
+            "doc_id", vector_to_array("probability")[1].alias("p")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) <= 1e-6 for k in got)
+
+
+def test_scoring_survives_observation_manager_materialization(spark):
+    """Round-8 root cause of the order-dependent suite flake: ANY
+    Observation use materializes SparkSession's lazy (non-serializable)
+    ObservationManager, after which a task closure that captures the
+    session — as model.transform's UDF did via the model's non-transient
+    trainingSummary — dies with 'Task not serializable'.  The Catalyst
+    scorer must keep working on a session in that state."""
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark import plans
+    from flowbyte_spark.operators.signals import (
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    observed_df, obs = plans.observed(
+        li, "poison_probe", F.count(F.lit(1)).alias("n")
+    )
+    observed_df.count()
+    assert obs.get["n"] > 0  # ObservationManager now materialized
+    docs = load_table(spark, SF, "documents")
+    model = train_quality_classifier(docs, "doc_id")
+    scores = quality_scores(model, docs, "doc_id").collect()
+    assert len(scores) == docs.count()
