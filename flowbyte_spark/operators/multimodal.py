@@ -5,13 +5,15 @@ Charter scope.  Images/audio/video travel as ``binary`` columns with a
 feature-extract) run as Arrow-batched ``mapInPandas`` stages so payload
 bytes move executor-side in columnar batches, never through the driver.
 
-Kernels: the IMAGE path is REAL for PNG and baseline JPEG payloads —
+Kernels: the IMAGE path is REAL for PNG and baseline JPEG payloads and
+the AUDIO path for PCM WAV (``functions/wav.py`` — RIFF parse, 8/16-bit,
+lossless so the decode sits under the hash gate) —
 decode, pixel featurization, and nearest-neighbor resize run on the
 stdlib-only codecs in ``functions/png.py`` (all five PNG scanline
 filters, verified against an independent reference encoder in tests)
 and ``functions/jpeg.py`` (baseline SOF0, Annex-K tables, verified
 against the spec's direct cosine-sum formula) with no external library.
-Audio/video and other image formats remain fail-loud stubs behind
+Video and other image/audio formats remain fail-loud stubs behind
 ``fake_decode`` — the runtime has no torchaudio/codec libraries — which
 either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake (test mode).  Everything Spark-side (schemas, batch
@@ -96,6 +98,33 @@ def _png_features(arr) -> list[float]:
     ]
 
 
+def _wav_features(samples, rate: int) -> list[float]:
+    """Deterministic sample statistics for decoded (n, channels) int16
+    PCM.  Every entry is an exactly-representable integer-valued float
+    (counts, int64 sums, bin counts) so the vector is bit-identical
+    across engines — the property that puts the REAL audio decode under
+    the driver's hash gate (v98)::
+
+        [channels, rate, n_samples, duration_ms, sum, min, max,
+         hist8[0..7], 0]
+    """
+    import numpy as np
+
+    n, channels = samples.shape
+    flat = samples.reshape(-1).astype(np.int64)
+    hist = np.bincount((flat + 32768) >> 13, minlength=8)  # 8 bins
+    return [
+        float(v)
+        for v in (
+            channels, rate, n, n * 1000 // rate if rate else 0,
+            int(flat.sum()), int(flat.min()) if n else 0,
+            int(flat.max()) if n else 0,
+            *(int(x) for x in hist),
+            0,
+        )
+    ]
+
+
 def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     """Decode+featurize: REAL for PNG images (stdlib codec — see
     ``functions/png.py``), deterministic fake or fail-loud
@@ -103,8 +132,14 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     container has no audio/video/JPEG libraries — explicit beats
     silently wrong).
     """
-    from flowbyte_spark.functions import jpeg, png
+    from flowbyte_spark.functions import jpeg, png, wav
 
+    if kind == "audio" and wav.is_wav(payload):
+        try:
+            return _wav_features(*wav.decode_wav(payload))
+        except ValueError:
+            if not fake:  # corrupt RIFF header: fail loud in strict mode
+                raise
     if kind == "image" and (png.is_png(payload) or jpeg.is_jpeg(payload)):
         try:
             codec = png.decode_png if png.is_png(payload) else jpeg.decode_jpeg
@@ -118,8 +153,9 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     if not fake:
         raise NotImplementedError(
             f"decode of kind={kind!r} requires a media library not present "
-            "in this environment (only PNG and baseline JPEG images decode "
-            "natively); pass fake_decode=True for the deterministic stub"
+            "in this environment (PNG/baseline-JPEG images and PCM WAV "
+            "audio decode natively); pass fake_decode=True for the "
+            "deterministic stub"
         )
     digest = hashlib.sha256(kind.encode() + (payload or b"")).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]

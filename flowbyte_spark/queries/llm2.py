@@ -528,3 +528,80 @@ def v97_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(6).alias("px_min"),
         f(7).alias("px_max"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# V98 — PCM WAV decode under the hash gate (round 8).  PCM is lossless,
+# so no DC-exactness trick is needed: 8 little-endian int16 samples per
+# doc come from the md5 bytes, ride through encode_wav -> the REAL RIFF
+# decode kernel, and DuckDB recomputes the exact sample stats from the
+# same hex digits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v98_wav_decode",
+    oracle="""
+    WITH smp AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 2 * i.n + 1, 2)) AS BIGINT)
+               + 256 * CAST(('0x' || substr(md5(text), 2 * i.n + 3, 2))
+                            AS BIGINT) AS u
+        FROM documents, (SELECT unnest(range(0, 16, 2)) AS n) AS i
+        WHERE doc_id < 200),
+    sx AS (SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+           FROM smp)
+    SELECT doc_id AS media_id,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(8 AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS s_sum,
+           CAST(MIN(v) AS BIGINT) AS s_min,
+           CAST(MAX(v) AS BIGINT) AS s_max
+    FROM sx
+    GROUP BY doc_id
+    ORDER BY media_id
+    """,
+)
+def v98_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-sample mono PCM WAVs built from md5(text) bytes (little-endian
+    int16), decoded by the REAL RIFF kernel (functions/wav.py,
+    fake_decode=False); sample stats hash-checked against the md5 hex
+    DuckDB reads directly — PCM is lossless, so the match is exact."""
+    from flowbyte_spark.operators import multimodal as M
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def wav_of_md5(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from flowbyte_spark.functions.wav import encode_wav
+
+        return text.map(
+            lambda t: encode_wav(
+                np.frombuffer(
+                    hashlib.md5(t.encode()).digest(), dtype="<i2"
+                ).astype(np.int16),
+                16000,
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_of_md5("text").alias("payload"),
+    )
+    feats = M.extract_features(media, batch_size=64, fake_decode=False)
+    f = lambda i: F.element_at("features", i).cast("long")  # noqa: E731
+    return feats.select(
+        "media_id",
+        f(1).alias("channels"),
+        f(2).alias("sample_rate"),
+        f(3).alias("n_samples"),
+        f(5).alias("s_sum"),
+        f(6).alias("s_min"),
+        f(7).alias("s_max"),
+    ).orderBy("media_id")

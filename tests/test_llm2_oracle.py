@@ -22,10 +22,11 @@ LLM2 = [
     "v93_xml_extract",
     "v94_salted_join",
     "v95_two_phase_agg",
-    # round-8 post-saturation addition (POST_WINDOW_NEW tier-3): the r8
-    # window refilled to exactly 50, so v97 carries the in-suite
-    # differential until it leads r9's window.
+    # round-8 post-saturation additions (POST_WINDOW_NEW tier-3): the r8
+    # window refilled to exactly 50, so these carry the in-suite
+    # differential until they lead r9's window.
     "v97_jpeg_decode",
+    "v98_wav_decode",
 ]
 
 
