@@ -5,15 +5,17 @@ Charter scope.  Images/audio/video travel as ``binary`` columns with a
 feature-extract) run as Arrow-batched ``mapInPandas`` stages so payload
 bytes move executor-side in columnar batches, never through the driver.
 
-Kernels: the IMAGE path is REAL for PNG and baseline JPEG payloads and
+Kernels: the IMAGE path is REAL for PNG and baseline JPEG payloads,
 the AUDIO path for PCM WAV (``functions/wav.py`` — RIFF parse, 8/16-bit,
-lossless so the decode sits under the hash gate) —
+lossless so the decode sits under the hash gate) and the VIDEO path for
+YUV4MPEG2 (``functions/y4m.py`` — uncompressed planar frames: real
+per-frame sampling and luma features) —
 decode, pixel featurization, and nearest-neighbor resize run on the
 stdlib-only codecs in ``functions/png.py`` (all five PNG scanline
 filters, verified against an independent reference encoder in tests)
 and ``functions/jpeg.py`` (baseline SOF0, Annex-K tables, verified
 against the spec's direct cosine-sum formula) with no external library.
-Video and other image/audio formats remain fail-loud stubs behind
+Other image/audio/video container formats remain fail-loud stubs behind
 ``fake_decode`` — the runtime has no torchaudio/codec libraries — which
 either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake (test mode).  Everything Spark-side (schemas, batch
@@ -125,6 +127,33 @@ def _wav_features(samples, rate: int) -> list[float]:
     ]
 
 
+def _y4m_features(frames, fps: tuple[int, int]) -> list[float]:
+    """Deterministic luma statistics for decoded (n, H, W) y4m frames —
+    integer-exact floats, same hash-gate property as the image/audio
+    kernels (v99)::
+
+        [width, height, n_frames, duration_ms, y_sum, y_min, y_max,
+         hist8[0..7], 0]
+    """
+    import numpy as np
+
+    n, h, w = frames.shape
+    flat = frames.reshape(-1)
+    hist = np.bincount(flat >> 5, minlength=8) if n else np.zeros(8, int)
+    num, den = fps
+    return [
+        float(v)
+        for v in (
+            w, h, n, n * 1000 * den // num if num else 0,
+            int(flat.sum(dtype=np.int64)),
+            int(flat.min()) if flat.size else 0,
+            int(flat.max()) if flat.size else 0,
+            *(int(x) for x in hist),
+            0,
+        )
+    ]
+
+
 def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     """Decode+featurize: REAL for PNG images (stdlib codec — see
     ``functions/png.py``), deterministic fake or fail-loud
@@ -132,8 +161,14 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     container has no audio/video/JPEG libraries — explicit beats
     silently wrong).
     """
-    from flowbyte_spark.functions import jpeg, png, wav
+    from flowbyte_spark.functions import jpeg, png, wav, y4m
 
+    if kind == "video" and y4m.is_y4m(payload):
+        try:
+            return _y4m_features(*y4m.decode_y4m(payload))
+        except ValueError:
+            if not fake:  # corrupt y4m: fail loud in strict mode
+                raise
     if kind == "audio" and wav.is_wav(payload):
         try:
             return _wav_features(*wav.decode_wav(payload))
@@ -153,9 +188,9 @@ def _decode_kernel(payload: bytes, kind: str, fake: bool) -> list[float]:
     if not fake:
         raise NotImplementedError(
             f"decode of kind={kind!r} requires a media library not present "
-            "in this environment (PNG/baseline-JPEG images and PCM WAV "
-            "audio decode natively); pass fake_decode=True for the "
-            "deterministic stub"
+            "in this environment (PNG/baseline-JPEG images, PCM WAV audio "
+            "and y4m video decode natively); pass fake_decode=True for "
+            "the deterministic stub"
         )
     digest = hashlib.sha256(kind.encode() + (payload or b"")).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
@@ -357,11 +392,35 @@ def sample_frames(
             ):
                 if k != "video":
                     continue
+                from flowbyte_spark.functions import y4m as _y4m
+
+                if _y4m.is_y4m(p):
+                    # REAL path: decode luma frames, emit the frame at
+                    # each every_ms instant (by the stream's own fps) as
+                    # a grayscale PNG so downstream per-frame
+                    # featurization reuses the image kernel unchanged.
+                    from flowbyte_spark.functions.png import encode_png
+
+                    frames, (num, den) = _y4m.decode_y4m(p)
+                    count = 0
+                    while count < max_frames:
+                        t_ms = count * every_ms
+                        idx = t_ms * num // (1000 * den)
+                        if idx >= frames.shape[0]:
+                            break
+                        ids.append(mid)
+                        idxs.append(idx)
+                        tss.append(t_ms)
+                        payloads.append(
+                            encode_png(frames[idx][:, :, None])
+                        )
+                        count += 1
+                    continue
                 if not fake_decode:
                     raise NotImplementedError(
-                        "video frame extraction requires a codec library not "
-                        "present in this environment; pass fake_decode=True "
-                        "for the deterministic stub"
+                        "frame extraction for non-y4m video requires a codec "
+                        "library not present in this environment; pass "
+                        "fake_decode=True for the deterministic stub"
                     )
                 dur = (m or {}).get("duration_ms")
                 n = min(max_frames, max(1, int(dur) // every_ms)) if dur else 1

@@ -605,3 +605,79 @@ def v98_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(6).alias("s_min"),
         f(7).alias("s_max"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# V99 — y4m video decode under the hash gate (round 8).  YUV4MPEG2 is
+# uncompressed, so like WAV the match is exact: two 4x2 mono frames per
+# doc from the md5 bytes ride through encode_y4m -> the REAL parser,
+# and DuckDB recomputes the luma stats from the same hex digits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v99_y4m_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text), 2 * i.n + 1, 2)) AS BIGINT)
+                   AS v
+        FROM documents, (SELECT unnest(range(16)) AS n) AS i
+        WHERE doc_id < 200)
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(2 AS BIGINT) AS height,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(250 AS BIGINT) AS duration_ms,
+           CAST(SUM(v) AS BIGINT) AS y_sum,
+           CAST(MIN(v) AS BIGINT) AS y_min,
+           CAST(MAX(v) AS BIGINT) AS y_max
+    FROM px
+    GROUP BY doc_id
+    ORDER BY media_id
+    """,
+)
+def v99_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 4x2 mono y4m frames per doc from md5(text) bytes at F8:1
+    (duration 2/8 s = 250 ms), decoded by the REAL YUV4MPEG2 parser
+    (functions/y4m.py, fake_decode=False); luma stats hash-checked
+    against the md5 hex DuckDB reads directly — uncompressed, so the
+    match is exact."""
+    from flowbyte_spark.operators import multimodal as M
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def y4m_of_md5(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from flowbyte_spark.functions.y4m import encode_y4m
+
+        return text.map(
+            lambda t: encode_y4m(
+                np.frombuffer(
+                    hashlib.md5(t.encode()).digest(), dtype=np.uint8
+                ).reshape(2, 2, 4),
+                fps=(8, 1),
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        y4m_of_md5("text").alias("payload"),
+    )
+    feats = M.extract_features(media, batch_size=64, fake_decode=False)
+    f = lambda i: F.element_at("features", i).cast("long")  # noqa: E731
+    return feats.select(
+        "media_id",
+        f(1).alias("width"),
+        f(2).alias("height"),
+        f(3).alias("n_frames"),
+        f(4).alias("duration_ms"),
+        f(5).alias("y_sum"),
+        f(6).alias("y_min"),
+        f(7).alias("y_max"),
+    ).orderBy("media_id")

@@ -27,6 +27,7 @@ LLM2 = [
     # differential until they lead r9's window.
     "v97_jpeg_decode",
     "v98_wav_decode",
+    "v99_y4m_decode",
 ]
 
 
