@@ -2,11 +2,12 @@
 
 Widens the multimodal tier's REAL image path beyond PNG
 (``functions/png.py``) in an environment with no Pillow/libjpeg:
-baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4 YCbCr —
-the shape this module's own encoder emits — with the quantization and
-Huffman tables of ISO/IEC 10918-1 Annex K (public specification data).
-Progressive (SOF2), arithmetic coding, subsampled chroma and restart
-intervals raise ``ValueError`` — fail-loud, never a best-effort image.
+baseline sequential DCT (SOF0), 8-bit, grayscale, 4:4:4 and 4:2:0
+YCbCr (the web default), with restart intervals (DRI/RSTn) and the
+quantization/Huffman tables of ISO/IEC 10918-1 Annex K (public
+specification data).  Progressive (SOF2), arithmetic coding and other
+sampling layouts raise ``ValueError`` — fail-loud, never a best-effort
+image.
 
 Verification strategy (tests/test_jpeg_codec.py): the bitstream layer
 (markers, Huffman, zigzag, DC prediction, byte stuffing) round-trips
@@ -211,6 +212,12 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
+    def restart(self, m: int) -> None:
+        """Pad to a byte boundary and emit RSTm (markers are not stuffed)."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.n:
             self.write(0x7F, 8 - self.n)  # pad with 1s
@@ -254,6 +261,19 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
+
+    def expect_restart(self, m: int) -> None:
+        """Discard pad bits and consume the RSTm marker at a restart
+        boundary (restart markers sit on byte boundaries, unstuffed)."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(f"expected restart marker RST{m & 7}")
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -323,30 +343,68 @@ def _decode_block(r: _BitReader, pred: int, dc: dict, ac: dict) -> tuple[np.ndar
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def subsample_box(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (the canonical 4:2:0 downsample); even dims."""
+    return (
+        plane[0::2, 0::2] + plane[0::2, 1::2]
+        + plane[1::2, 0::2] + plane[1::2, 1::2]
+    ) / 4.0
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % mult), (0, -w % mult)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """uint8 array of shape (H, W), (H, W, 1) or (H, W, 3) -> baseline
-    JFIF bytes (grayscale or 4:4:4 — no chroma subsampling, so the
-    decode differential is exact per plane)."""
+    JFIF bytes.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling — the decode
+    differential is exact per plane) or ``"420"`` (2x2 box-averaged
+    chroma, the web default).  ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker after every N MCUs (what camera/libjpeg
+    output commonly carries for error resilience)."""
     if pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
     if pixels.ndim == 2:
         pixels = pixels[..., None]
     if pixels.ndim != 3 or pixels.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg expects (H, W[, 1|3]) pixels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w, nchan = pixels.shape
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("image dimensions out of JPEG range")
     qy, qc = quant_tables(quality)
+    sub420 = nchan == 3 and subsampling == "420"
 
     if nchan == 3:
         ycc = _rgb_to_ycbcr(pixels)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if sub420:
+            # pad the full-res planes to 16 so Y blocks and the 2x2
+            # box-averaged chroma blocks share one exact MCU grid
+            y = _pad_edge(ycc[..., 0], 16)
+            planes = [
+                y,
+                subsample_box(_pad_edge(ycc[..., 1], 16)),
+                subsample_box(_pad_edge(ycc[..., 2], 16)),
+            ]
+        else:
+            planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         qtabs = [qy, qc, qc]
         tsel = [0, 1, 1]  # huffman/quant table selector per component
+        samp = [0x22, 0x11, 0x11] if sub420 else [0x11, 0x11, 0x11]
     else:
         planes = [pixels[..., 0].astype(np.float64)]
         qtabs = [qy]
         tsel = [0]
+        samp = [0x11]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -356,7 +414,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, nchan)
     for i in range(nchan):
-        sof += bytes([i + 1, 0x11, tsel[i]])  # 1x1 sampling, quant table id
+        sof += bytes([i + 1, samp[i], tsel[i]])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     # DHT
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
@@ -365,6 +423,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     for tid, (bits, vals) in tables:
         body = bytes([tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([nchan])
     for i in range(nchan):
@@ -378,13 +438,36 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
     wtr = _BitWriter()
     preds = [0] * nchan
-    n_blocks = coefs[0].shape[0]
-    for b in range(n_blocks):  # 1x1 sampling: one block per component per MCU
-        for ci in range(nchan):
-            preds[ci] = _encode_block(
-                wtr, coefs[ci][b], preds[ci],
-                dc_codes[tsel[ci]], ac_codes[tsel[ci]],
-            )
+
+    def put(ci: int, block_index: int) -> None:
+        preds[ci] = _encode_block(
+            wtr, coefs[ci][block_index], preds[ci],
+            dc_codes[tsel[ci]], ac_codes[tsel[ci]],
+        )
+
+    if sub420:
+        mcu_y, mcu_x = -(-h // 16), -(-w // 16)
+        ybx = mcu_x * 2  # Y block-grid width (fdct_quant is row-major)
+    else:
+        mcu_y, mcu_x = -(-h // 8), -(-w // 8)
+
+    rst = 0
+    for i in range(mcu_y * mcu_x):
+        r, c = divmod(i, mcu_x)
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.restart(rst)
+            rst = (rst + 1) & 7
+            preds[:] = [0] * nchan
+        if sub420:
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    put(0, (2 * r + dy) * ybx + (2 * c + dx))
+            chroma_idx = r * mcu_x + c
+            put(1, chroma_idx)
+            put(2, chroma_idx)
+        else:
+            for ci in range(nchan):
+                put(ci, i)
     out += wtr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -398,9 +481,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 array of shape (H, W, channels).
 
-    Supports SOF0, 8-bit, 1 or 3 components, 1x1 sampling (4:4:4), no
-    restart intervals.  Raises ``ValueError`` on anything else —
-    progressive, arithmetic, subsampled — naming the unsupported piece.
+    Supports SOF0, 8-bit, 1 or 3 components, 4:4:4 (all-1x1) and 4:2:0
+    (luma 2x2 + chroma 1x1 — the web default) sampling, and restart
+    intervals (DRI/RSTn).  Chroma upsampling is nearest-neighbor
+    (pixel-replicate); a smooth-upsampling decoder like libjpeg's will
+    differ by a few LSBs at chroma edges, which is within what any two
+    conforming decoders may disagree by.  Raises ``ValueError`` on
+    anything else — progressive, arithmetic, other samplings — naming
+    the unsupported piece.
     """
     if not is_jpeg(payload):
         raise ValueError("not a JPEG: SOI marker missing")
@@ -409,6 +497,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -452,18 +541,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        "subsampled chroma (sampling != 1x1) unsupported"
-                    )
-                comps.append((cid, qid))
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            samps = [(ch, cv) for _, ch, cv, _ in comps]
+            if not (
+                all(sv == (1, 1) for sv in samps)
+                or (len(samps) == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    f"sampling factors {samps} unsupported "
+                    "(4:4:4, grayscale and 4:2:0 only)"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
             raise ValueError(f"non-baseline JPEG ({kind}) unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             nc = body[0]
             sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(nc)}
@@ -474,27 +568,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0 or SOS")
     h, w, comps = frame
     sel, data_pos = scan
-    by, bx = -(-h // 8), -(-w // 8)
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    mcu_x, mcu_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    tables = []
+    for cid, ch, cv, _qid in comps:
+        dcac = sel.get(cid)
+        if dcac is None:
+            raise ValueError(f"component {cid} missing from SOS")
+        dc = huff.get((0, dcac >> 4))
+        ac = huff.get((1, dcac & 0x0F))
+        if dc is None or ac is None:
+            raise ValueError("SOS references undefined Huffman table")
+        tables.append((dc, ac))
 
     rdr = _BitReader(payload[data_pos:])
     preds = [0] * len(comps)
-    coefs = [np.zeros((by * bx, 64), dtype=np.int64) for _ in comps]
-    for b in range(by * bx):
-        for ci, (cid, _qid) in enumerate(comps):
-            dcac = sel.get(cid)
-            if dcac is None:
-                raise ValueError(f"component {cid} missing from SOS")
-            dc = huff.get((0, dcac >> 4))
-            ac = huff.get((1, dcac & 0x0F))
-            if dc is None or ac is None:
-                raise ValueError("SOS references undefined Huffman table")
-            coefs[ci][b], preds[ci] = _decode_block(rdr, preds[ci], dc, ac)
+    # per component: block grid (mcu_y * cv, mcu_x * ch)
+    coefs = [
+        np.zeros((mcu_y * cv * mcu_x * ch, 64), dtype=np.int64)
+        for _, ch, cv, _ in comps
+    ]
+    rst = 0
+    for i in range(mcu_y * mcu_x):
+        if restart_interval and i and i % restart_interval == 0:
+            rdr.expect_restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+        r, c = divmod(i, mcu_x)
+        for ci, (_cid, ch, cv, _qid) in enumerate(comps):
+            gw = mcu_x * ch  # component block-grid width
+            for dy in range(cv):
+                for dx in range(ch):
+                    b = (r * cv + dy) * gw + (c * ch + dx)
+                    coefs[ci][b], preds[ci] = _decode_block(
+                        rdr, preds[ci], *tables[ci]
+                    )
 
     planes = []
-    for ci, (_cid, qid) in enumerate(comps):
+    for ci, (_cid, ch, cv, qid) in enumerate(comps):
         if qid not in qtabs:
             raise ValueError("frame references undefined quant table")
-        planes.append(dequant_idct(coefs[ci], qtabs[qid], by, bx, h, w))
+        gy, gx = mcu_y * cv, mcu_x * ch
+        plane = dequant_idct(coefs[ci], qtabs[qid], gy, gx, gy * 8, gx * 8)
+        if ch != hmax or cv != vmax:  # nearest-neighbor chroma upsample
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = planes[0][..., None]
     else:

@@ -150,13 +150,13 @@ def test_fail_loud_on_unsupported_variants():
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated|marker"):
         jpeg.decode_jpeg(good[:-8])
-    # subsampled chroma declared in SOF
+    # unsupported sampling layout declared in SOF (4:1:1-ish)
     rgb = jpeg.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8))
     sof = rgb.index(b"\xff\xc0")
     # comp 1 sampling byte sits at sof+2(marker)+2(len)+6(prec,h,w,nc)+1(cid)
     sub = bytearray(rgb)
-    sub[sof + 11] = 0x22
-    with pytest.raises(ValueError, match="subsampled|sampling"):
+    sub[sof + 11] = 0x41
+    with pytest.raises(ValueError, match="sampling"):
         jpeg.decode_jpeg(bytes(sub))
 
 
@@ -235,3 +235,81 @@ def test_strict_mode_still_fails_loud_on_corrupt_jpeg(spark):
     # fake mode keeps its never-raises contract
     rows = extract_features(df, fake_decode=True).collect()
     assert len(rows) == 1 and len(rows[0].features) > 0
+
+
+# --- 4:2:0 subsampling + restart intervals (round-8 widening) -------------
+
+def _ref_codec_plane(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Direct-formula FDCT->quant->dequant->IDCT over an 8-multiple plane."""
+    q = qtab.reshape(8, 8).astype(np.float64)
+    out = np.zeros_like(plane)
+    for i in range(0, plane.shape[0], 8):
+        for j in range(0, plane.shape[1], 8):
+            coef = _ref_fdct(plane[i : i + 8, j : j + 8] - 128.0)
+            out[i : i + 8, j : j + 8] = _ref_idct(np.round(coef / q) * q) + 128.0
+    return out
+
+
+def test_420_matches_direct_formula_reference():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(20, 26, 3), dtype=np.uint8)  # pads to 32x32
+    got = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=85, subsampling="420")
+    ).astype(np.float64)
+    # reference: spec color formulas + per-plane direct-formula codec with
+    # 2x2 box-averaged chroma and nearest-neighbor (replicate) upsampling
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qy, qc = jpeg.quant_tables(85)
+
+    def pad16(p):
+        return np.pad(p, ((0, -p.shape[0] % 16), (0, -p.shape[1] % 16)),
+                      mode="edge")
+
+    def box(p):
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4
+
+    yr = _ref_codec_plane(pad16(y), qy)
+    cbr = np.repeat(np.repeat(_ref_codec_plane(box(pad16(cb)), qc), 2, 0), 2, 1)
+    crr = np.repeat(np.repeat(_ref_codec_plane(box(pad16(cr)), qc), 2, 0), 2, 1)
+    h, w = img.shape[:2]
+    ref = np.stack([
+        yr + 1.402 * (crr - 128.0),
+        yr - 0.344136 * (cbr - 128.0) - 0.714136 * (crr - 128.0),
+        yr + 1.772 * (cbr - 128.0),
+    ], axis=-1)[:h, :w]
+    ref = np.clip(np.round(ref), 0, 255)
+    assert np.abs(got - ref).max() <= 1
+
+
+def test_restart_intervals_roundtrip_and_matter():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(40, 72, 3), dtype=np.uint8)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    with_rst = jpeg.encode_jpeg(img, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in with_rst  # DRI present
+    assert any(bytes([0xFF, 0xD0 + m]) in with_rst for m in range(8))
+    assert np.array_equal(jpeg.decode_jpeg(with_rst), plain)
+    # 4:2:0 + restarts compose
+    w420 = jpeg.encode_jpeg(img, quality=90, subsampling="420",
+                            restart_interval=2)
+    p420 = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90,
+                                             subsampling="420"))
+    assert np.array_equal(jpeg.decode_jpeg(w420), p420)
+    # corrupting a restart marker fails loud, not silently wrong
+    broken = bytearray(with_rst)
+    i = broken.index(bytes([0xFF, 0xD0]))
+    broken[i + 1] = 0xD7  # wrong sequence number
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode_jpeg(bytes(broken))
+
+
+def test_420_roundtrip_quality():
+    x = np.linspace(0, 255, 64, dtype=np.uint8)
+    img = np.stack([np.tile(x, (48, 1))] * 3, axis=-1)
+    back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95, subsampling="420"))
+    assert back.shape == img.shape
+    mse = np.mean((back.astype(float) - img.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) >= 32
