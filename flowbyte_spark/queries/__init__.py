@@ -28,11 +28,13 @@ ORACLE: dict[str, str] = {}
 # v92_recursive_cte, v93_xml_extract, v94_salted_join, v95_two_phase_agg)
 # moved INTO the window head (they lead the r8 rotation below), which
 # then refilled to exactly 50 named slots mid-round — so the queries
-# registered after saturation — v97_jpeg_decode, v98_wav_decode and
-# v99_y4m_decode (the real JPEG/WAV/y4m kernels under the hash gate) —
-# carry tier-3 coverage and must lead r9's window.
+# registered after saturation — v97_jpeg_decode, v98_wav_decode,
+# v99_y4m_decode (the real JPEG/WAV/y4m kernels under the hash gate)
+# and v89_asof_forward (forward-direction ASOF vs DuckDB's native
+# forward ASOF) — carry tier-3 coverage and must lead r9's window.
 POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {"v97_jpeg_decode", "v98_wav_decode", "v99_y4m_decode"}
+    {"v97_jpeg_decode", "v98_wav_decode", "v99_y4m_decode",
+     "v89_asof_forward"}
 )
 
 

@@ -681,3 +681,56 @@ def v99_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f(6).alias("y_min"),
         f(7).alias("y_max"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# V89 — forward-direction ASOF join (round 8).  v33/v96 drive the
+# backward carry; the forward path (earliest right row at-or-AFTER,
+# desc-ordered union-sort with the mirrored tie rule) had property
+# coverage only.  DuckDB's native ASOF with `p.ts >= c.ts` is the
+# oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v89_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, p.event_id AS next_purchase_id,
+           ROUND(p.value, 2) AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def v89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click picks up the user's EARLIEST at-or-after purchase via
+    asof_join(direction='forward') — the descending union-sort carry —
+    hash-checked against DuckDB's native forward ASOF."""
+    from flowbyte_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_values=["p_event_id", "p_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("p_event_id_matched").alias("next_purchase_id"),
+        F.round(F.col("p_value_matched"), 2).alias("next_purchase_value"),
+    ).orderBy("event_id")

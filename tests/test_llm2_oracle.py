@@ -28,6 +28,7 @@ LLM2 = [
     "v97_jpeg_decode",
     "v98_wav_decode",
     "v99_y4m_decode",
+    "v89_asof_forward",
 ]
 
 

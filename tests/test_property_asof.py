@@ -163,3 +163,26 @@ def test_salted_asof_hot_key_row_identical(spark, direction):
     key = lambda r: (r.k, r.ts, r.lv, r.v_matched)
     assert sorted(map(key, salted)) == sorted(map(key, plain))
     assert len(plain) == 500
+
+
+def test_salted_asof_plan_shape(spark):
+    """No nested-loop/cartesian anywhere (the rewrite's whole point) and
+    a bounded exchange count: union-sort carry + boundary rollup + merge
+    join must stay a handful of keyed shuffles, independent of data."""
+    from datetime import datetime
+
+    from flowbyte_spark import plans
+
+    left = spark.createDataFrame(
+        [(1, T0, 1.0)], "k INT, ts TIMESTAMP, lv DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [(1, T0, 2.0)], "k INT, ts TIMESTAMP, v DOUBLE"
+    )
+    df = salted_asof_join(
+        left, right, "k", "ts", "ts", ["v"], bucket_width_seconds=3600
+    )
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plans.shuffle_exchanges(df) <= 4, plan
