@@ -734,3 +734,73 @@ def v89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_event_id_matched").alias("next_purchase_id"),
         F.round(F.col("p_value_matched"), 2).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# V100 — SRP (signed-random-projection) LSH near-dup over embeddings
+# (round 8).  Integer-exact by construction: quantized vectors dotted
+# with md5-derived integer hyperplanes, so DuckDB recomputes the exact
+# signatures, the exact banded candidate set and the exact hamming
+# distances in SQL.  4-bit bands because the fixture's nearest pairs
+# sit at cos ~0.45 (operators/srp.py documents the regime math).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v100_srp_neardup",
+    oracle="""
+    WITH planes AS (
+        SELECT i.i, j.j,
+               (CAST(('0x' || substr(md5('srp_' || i.i || '_' || j.j), 1, 4))
+                     AS BIGINT) % 1001) - 500 AS p
+        FROM range(64) i(i), range(64) j(j)),
+    qv AS (
+        SELECT vec_id, j.j,
+               CAST(round(CAST(embedding[j.j + 1] AS DOUBLE) * 1000)
+                    AS BIGINT) AS v
+        FROM embeddings, range(64) j(j)),
+    dots AS (SELECT vec_id, i, SUM(v * p) AS dot
+             FROM qv JOIN planes ON qv.j = planes.j GROUP BY 1, 2),
+    bits AS (SELECT vec_id, i, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS b
+             FROM dots),
+    sigs AS (SELECT vec_id, i // 4 AS band,
+                    string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS key
+             FROM bits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM sigs a JOIN sigs b
+               ON a.band = b.band AND a.key = b.key
+              AND a.vec_id < b.vec_id),
+    fullsig AS (SELECT vec_id,
+                       string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS s
+                FROM bits GROUP BY 1)
+    SELECT id_a, id_b,
+           CAST((SELECT count(*) FROM range(64) k(k)
+                 WHERE substr(fa.s, k.k + 1, 1) <> substr(fb.s, k.k + 1, 1))
+                AS BIGINT) AS hamming
+    FROM cand
+    JOIN fullsig fa ON fa.vec_id = id_a
+    JOIN fullsig fb ON fb.vec_id = id_b
+    WHERE (SELECT count(*) FROM range(64) k(k)
+           WHERE substr(fa.s, k.k + 1, 1) <> substr(fb.s, k.k + 1, 1)) <= 22
+    ORDER BY id_a, id_b
+    """,
+)
+def v100_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SRP near-dup candidates with exact integer hamming filter
+    (operators/srp.py): quantized embedding x md5-derived integer
+    hyperplanes -> 64 sign bits -> 4-bit band buckets -> candidate
+    equi-join -> hamming <= 22.  Signature, candidate set and distances
+    are all integer-exact, so the full pair table hash-matches DuckDB's
+    SQL recomputation."""
+    from flowbyte_spark.operators.srp import srp_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        n_planes=64,
+        band_bits=4,
+        max_hamming=22,
+        quant=1000,
+    ).orderBy("id_a", "id_b")

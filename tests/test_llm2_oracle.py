@@ -29,6 +29,7 @@ LLM2 = [
     "v98_wav_decode",
     "v99_y4m_decode",
     "v89_asof_forward",
+    "v100_srp_neardup",
 ]
 
 
