@@ -758,7 +758,8 @@ def v89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, j.j,
                CAST(round(CAST(embedding[j.j + 1] AS DOUBLE) * 1000)
                     AS BIGINT) AS v
-        FROM embeddings, range(64) j(j)),
+        FROM embeddings, range(64) j(j)
+        WHERE vec_id < 1000),
     dots AS (SELECT vec_id, i, SUM(v * p) AS dot
              FROM qv JOIN planes ON qv.j = planes.j GROUP BY 1, 2),
     bits AS (SELECT vec_id, i, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS b
@@ -794,7 +795,14 @@ def v100_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL recomputation."""
     from flowbyte_spark.operators.srp import srp_neardup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the gate runs the fixture-calibrated 4-bit bands (cos ~0.45
+    # regime), where candidates grow ~n^2 x 0.4 — fine for a
+    # correctness gate, wrong for a benchmark corpus; cap the slice so
+    # the bench cost stays bounded at larger sf.  Production near-dup
+    # at cos >= 0.8 uses 12-16-bit bands, where candidates stay sparse.
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 1000
+    )
     return srp_neardup_pairs(
         emb,
         "vec_id",
