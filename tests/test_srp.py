@@ -98,3 +98,27 @@ def test_band_bits_must_divide(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="divide"):
         srp_neardup_pairs(emb, "vec_id", "embedding", n_planes=64, band_bits=5)
+
+
+def test_catalyst_signature_form_equals_arrow_kernel(spark):
+    """srp_signature (pure-Catalyst reference form) and the operator's
+    Arrow matmul kernel must produce identical sign bits — including the
+    rounding convention (both half-away-from-zero, matching DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.operators.srp import srp_signature
+
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    planes = srp_planes(64, 64)
+    catalyst = {
+        r.vec_id: list(r.sig)
+        for r in emb.select(
+            "vec_id", srp_signature(F.col("embedding"), planes, 1000).alias("sig")
+        ).collect()
+    }
+    P = np.array(planes, dtype=np.int64)
+    for r in emb.select("vec_id", "embedding").collect():
+        scaled = np.asarray(r.embedding, dtype=np.float64) * 1000
+        q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        kernel_bits = (P @ q >= 0).astype(int).tolist()
+        assert catalyst[r.vec_id] == kernel_bits, r.vec_id
