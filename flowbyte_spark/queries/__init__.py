@@ -34,7 +34,7 @@ ORACLE: dict[str, str] = {}
 # forward ASOF) — carry tier-3 coverage and must lead r9's window.
 POST_WINDOW_NEW: frozenset[str] = frozenset(
     {"v97_jpeg_decode", "v98_wav_decode", "v99_y4m_decode",
-     "v89_asof_forward", "v100_srp_neardup"}
+     "v89_asof_forward", "v100_srp_neardup", "v101_url_dedup"}
 )
 
 

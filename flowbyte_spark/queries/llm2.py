@@ -812,3 +812,130 @@ def v100_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=22,
         quant=1000,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# V101 — canonical-URL dedup (round 8).  The fixture has no URL column,
+# so both engines derive the SAME messy URL per doc from doc_id + md5
+# bits (scheme/WWW./default-port/trailing-slash/param-order/utm/fragment
+# noise over a small key space so real duplicates exist), then the
+# oracle recomputes the operator's documented canonical form in SQL —
+# the full (canonical_url, keeper_id, n_fetches) table is hash-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v101_url_dedup",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, md5(text) AS h FROM documents),
+    raw AS (
+        SELECT doc_id,
+               (CASE CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 4
+                    WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+                    WHEN 2 THEN 'https' ELSE 'HTTPS' END)
+               || '://'
+               || (CASE WHEN CAST(('0x' || substr(h, 3, 2)) AS BIGINT) % 2 = 1
+                        THEN 'WWW.' ELSE '' END)
+               || 'Site' || CAST(doc_id % 13 AS VARCHAR) || '.Example.COM'
+               || (CASE WHEN CAST(('0x' || substr(h, 5, 2)) AS BIGINT) % 2 = 1
+                        THEN (CASE WHEN CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 4 < 2
+                                   THEN ':80' ELSE ':443' END)
+                        ELSE '' END)
+               || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+               || (CASE WHEN CAST(('0x' || substr(h, 7, 2)) AS BIGINT) % 2 = 1
+                        THEN '/' ELSE '' END)
+               || '?'
+               || (CASE WHEN CAST(('0x' || substr(h, 9, 2)) AS BIGINT) % 2 = 1
+                        THEN 'id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&ref=abc'
+                        ELSE 'ref=abc&id=' || CAST(doc_id % 5 AS VARCHAR) END)
+               || (CASE WHEN CAST(('0x' || substr(h, 11, 2)) AS BIGINT) % 2 = 1
+                        THEN '#frag' ELSE '' END) AS url
+        FROM b),
+    parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 1)) AS scheme,
+               lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 2)) AS hostport,
+               regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 3) AS path0,
+               regexp_replace(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 4), '^\\?', '') AS qs
+        FROM raw),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://'
+               || (CASE WHEN scheme = 'http'
+                        THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                        ELSE regexp_replace(hostport, '^www\\.', '') END)
+               || (CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                        THEN '/' ELSE regexp_replace(path0, '/+$', '') END)
+               || (CASE WHEN array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                             p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)'))), '&') <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                             p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid=|gclid=)'))), '&')
+                        ELSE '' END) AS canonical_url
+        FROM parsed)
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def v101_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL keep-first dedup (operators/urls.py) over synthetic
+    messy URLs: scheme/host case, www., default ports, trailing slashes,
+    param order, utm noise and fragments all canonicalize away, so docs
+    sharing (scheme class, doc_id mod 13/7/5) collapse to one canonical
+    row.  The full result table is hash-checked against DuckDB's SQL
+    recomputation of the same canonical form."""
+    from flowbyte_spark.operators.urls import dedup_by_canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+
+    def hb(k: int) -> F.Column:  # k-th md5 byte as int (1-indexed hex)
+        return F.conv(F.substring(h, 2 * k - 1, 2), 16, 10).cast("long")
+
+    scheme = (
+        F.when(hb(1) % 4 == 0, F.lit("http"))
+        .when(hb(1) % 4 == 1, F.lit("HTTP"))
+        .when(hb(1) % 4 == 2, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    port = F.when(
+        hb(3) % 2 == 1,
+        F.when(hb(1) % 4 < 2, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    qs = F.when(
+        hb(5) % 2 == 1,
+        F.concat(
+            F.lit("id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&utm_source=feed&ref=abc"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("ref=abc&id="), (F.col("doc_id") % 5).cast("string")
+        )
+    )
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(hb(2) % 2 == 1, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        F.lit("/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(hb(4) % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        qs,
+        F.when(hb(6) % 2 == 1, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    fetches = docs.select("doc_id", url.alias("url"))
+    return dedup_by_canonical_url(fetches, "doc_id", "url").orderBy(
+        "canonical_url"
+    )

@@ -30,6 +30,7 @@ LLM2 = [
     "v99_y4m_decode",
     "v89_asof_forward",
     "v100_srp_neardup",
+    "v101_url_dedup",
 ]
 
 
