@@ -87,12 +87,20 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
+    # ROUND-9 REBUILD RECIPE: replace this list with (a) the six
+    # POST_WINDOW_NEW names (v89, v97-v101 — tier-3, never
+    # driver-verified — they MUST lead), (b) every query with no row in
+    # CORRECTNESS_r08.json or CORRECTNESS_r05.json-or-later per the
+    # union-coverage policy, (c) every query _coverage marks
+    # narrow-changed in round 9.  Update test_registry.py's prior-files
+    # list to include r08 and refresh the README counts.
+    #
     # ROUND-8 WINDOW (r7 shipped no commits, so this executes the rotation
     # r7 was mandated to run): (a) the seven r6 tier-3 queries that have
     # NEVER had a driver row lead; (b) every query whose last driver row
     # is CORRECTNESS_r05.json (rotated out of the r6/r7 window) refills;
-    # (c) queries whose code changes in round 8 close the list.  44+2
-    # named + 4 from the sorted remainder = 50-slot window.
+    # (c) queries whose code changes in round 8 close the list.  44+6
+    # named = the full 50-slot window.
     first = [
         # (a) r6's post-saturation additions: NEVER driver-verified (no
         # row in any CORRECTNESS file) — they lead, per r7 VERDICT #1.
