@@ -23,19 +23,12 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 8: r6's seven tier-3 queries
-# (v88_variant_json, v90_q21_waiting_suppliers, v91_lateral_topk,
-# v92_recursive_cte, v93_xml_extract, v94_salted_join, v95_two_phase_agg)
-# moved INTO the window head (they lead the r8 rotation below), which
-# then refilled to exactly 50 named slots mid-round — so the queries
-# registered after saturation — v97_jpeg_decode, v98_wav_decode,
-# v99_y4m_decode (the real JPEG/WAV/y4m kernels under the hash gate)
-# and v89_asof_forward (forward-direction ASOF vs DuckDB's native
-# forward ASOF) — carry tier-3 coverage and must lead r9's window.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {"v97_jpeg_decode", "v98_wav_decode", "v99_y4m_decode",
-     "v89_asof_forward", "v100_srp_neardup", "v101_url_dedup"}
-)
+# must lead with these names.  Round 9: r8's six post-saturation
+# additions (v89_asof_forward, v97_jpeg_decode, v98_wav_decode,
+# v99_y4m_decode, v100_srp_neardup, v101_url_dedup) moved INTO the
+# window head per the pinned recipe (they lead the r9 rotation below),
+# so the set is empty until the r9 window saturates again.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None):
@@ -87,78 +80,68 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-9 REBUILD RECIPE: replace this list with (a) the six
-    # POST_WINDOW_NEW names (v89, v97-v101 — tier-3, never
-    # driver-verified — they MUST lead), (b) every query with no row in
-    # CORRECTNESS_r08.json or CORRECTNESS_r05.json-or-later per the
-    # union-coverage policy, (c) every query _coverage marks
-    # narrow-changed in round 9.  Update test_registry.py's prior-files
-    # list to include r08 and refresh the README counts.
-    #
-    # ROUND-8 WINDOW (r7 shipped no commits, so this executes the rotation
-    # r7 was mandated to run): (a) the seven r6 tier-3 queries that have
-    # NEVER had a driver row lead; (b) every query whose last driver row
-    # is CORRECTNESS_r05.json (rotated out of the r6/r7 window) refills;
-    # (c) queries whose code changes in round 8 close the list.  44+6
-    # named = the full 50-slot window.
+    # ROUND-9 WINDOW (executes the recipe pinned at r8 close):
+    # (a) r8's six post-saturation additions — NEVER driver-verified
+    # (no row in any CORRECTNESS file) — lead, per r8 VERDICT #1;
+    # (b) refill with every query whose last driver row is
+    # CORRECTNESS_r07.json so nothing ages past two rounds (45 such
+    # queries exist; 37 fit — the 8 deferred to r10 are the stable
+    # pure-function batteries v13/v15/v39/v40/v44/v45 plus the
+    # rows-only-by-design v37/v61, all unchanged since r5);
+    # (c) queries whose code changes in round 9 (ADVICE fixes touch
+    # jpeg/wav/y4m/multimodal/srp → v31, v84; asof auto-bucket → v33,
+    # v96) plus the round's new registrations close the list to 50.
     first = [
-        # (a) r6's post-saturation additions: NEVER driver-verified (no
-        # row in any CORRECTNESS file) — they lead, per r7 VERDICT #1.
-        "v88_variant_json",
-        "v90_q21_waiting_suppliers",
-        "v91_lateral_topk",
-        "v92_recursive_cte",
-        "v93_xml_extract",
-        "v94_salted_join",
-        "v95_two_phase_agg",
-        # (b) no r6/r7 driver row (last green in CORRECTNESS_r05.json).
-        "v18_insert_delete",
-        "v19_dedup_exact",
-        "v21_dedup_content_hash",
-        "v22_minhash_lsh",
-        "v23_jaccard_pairs",
-        "v27_text_quality",
-        "v28_lang_id",
-        "v29_token_count",
-        "v30_fingerprint",
-        "v32_streaming_window",
-        "v34_range_join",
-        "v36_grouping_sets",
-        "v42_cube",
-        "v46_array_funcs",
-        "v47_null_conditional",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v50_window_battery",
-        "v51_unpivot",
-        "v52_string_agg",
-        "v53_hash_split",
-        "v54_pack_by_budget",
-        "v55_stratified_sample",
-        "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        "v64_neardup_clusters",
-        "v66_scd2_merge",
-        "v67_cluster_corpus_prep",
-        "v68_pii_scrub",
-        "v69_decontaminate",
-        "v72_global_shuffle",
-        "v73_stream_dedup",
-        "v74_domain_cap",
-        "v76_stream_upsert",
-        # (c) changed in round 8 (forced in-window by the _coverage
-        # policy test): C4 filter single-pass fuse; Python DS stream
-        # writer manifest-before-delete crash-window fix; asof.py tagging
-        # refactor (v33) + the new salted ASOF operator (v96).
-        "v79_c4_quality_filter",  # quality_filter.py fused line pass
-        "v82_python_datasource",  # python_ds.py commit-order fix
-        "v33_asof_join",  # asof.py _tag_union refactor
-        "v96_salted_asof",  # new in round 8: skew-resistant ASOF join
-        "v31_multimodal_features",  # multimodal.py JPEG kernel dispatch
-        "v84_media_decode",  # same
+        # (a) never driver-verified: tier-3 in r8, must lead.
+        "v89_asof_forward",
+        "v97_jpeg_decode",
+        "v98_wav_decode",
+        "v99_y4m_decode",
+        "v100_srp_neardup",
+        "v101_url_dedup",
+        # (c) changed in round 9 (ADVICE fixes / asof heuristic).
+        "v31_multimodal_features",
+        "v84_media_decode",
+        "v33_asof_join",
+        "v96_salted_asof",
+        # (b) last driver row is r7 — refill so they don't go stale.
+        "v01_scan",
+        "v02_project_filter",
+        "v03_agg_q1",
+        "v04_join_agg",
+        "v05_q3_top10",
+        "v06_left_join_coalesce",
+        "v07_semi_anti",
+        "v08_theta_join",
+        "v09_rollup",
+        "v10_window_rank",
+        "v11_window_frames",
+        "v12_set_ops",
+        "v14_json_extract",
+        "v16_count_distinct",
+        "v17_update_by_keys",
+        "v20_cosine_topk",
+        "v24_simhash",
+        "v25_ann_ivf",
+        "v26_embedding_neardup",
+        "v35_pivot",
+        "v38_tfidf",
+        "v41_session_window",
+        "v43_percentiles_stats",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
+        "v65_repetition_signals",
+        "v70_semantic_dedup",
+        "v71_dsir_importance",
+        "v75_stateful_totals",
+        "v77_q18_large_orders",
+        "v78_paragraph_dedup",
+        "v80_exact_substrings",
+        "v81_stream_stream_join",
+        "v83_jdbc_roundtrip",
+        "v85_salted_window",
+        "v86_salted_lag",
+        "v87_pq_ann",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

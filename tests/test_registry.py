@@ -14,7 +14,7 @@ def test_rotation_head_names_all_exist():
     import inspect
 
     src = inspect.getsource(_reorder)
-    listed = re.findall(r'"(v\d\d_\w+)"', src)
+    listed = re.findall(r'"(v\d{2,}_\w+)"', src)
     assert listed, "rotation head list is empty?"
     missing = [n for n in listed if n not in QUERIES]
     assert not missing, f"rotation names not in registry: {missing}"
@@ -39,6 +39,7 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
@@ -47,8 +48,8 @@ def test_driver_window_plus_prior_files_cover_everything():
 
 
 def test_never_driver_verified_queries_lead_the_window():
-    # r7 VERDICT mandate #1: queries that have NEVER had a driver row
-    # (r6's tier-3 set, v88/v90-v95) must occupy the head of the r8
+    # r8 VERDICT mandate #1: queries that have NEVER had a driver row
+    # (r8's tier-3 set, v89/v97-v101) must occupy the head of the r9
     # window so nothing can evict them if the sweep is cut short.
     import glob
     import json
@@ -62,17 +63,16 @@ def test_never_driver_verified_queries_lead_the_window():
     assert all(
         list(QUERIES).index(q) < 50 for q in never
     ), f"never-verified queries not all inside the window: {never}"
-    # the seven r6 tier-3 names specifically lead (positions 0-6)
-    r6_tier3 = [
-        "v88_variant_json",
-        "v90_q21_waiting_suppliers",
-        "v91_lateral_topk",
-        "v92_recursive_cte",
-        "v93_xml_extract",
-        "v94_salted_join",
-        "v95_two_phase_agg",
+    # the six r8 tier-3 names specifically lead (positions 0-5)
+    r8_tier3 = [
+        "v89_asof_forward",
+        "v97_jpeg_decode",
+        "v98_wav_decode",
+        "v99_y4m_decode",
+        "v100_srp_neardup",
+        "v101_url_dedup",
     ]
-    assert list(QUERIES)[:7] == r6_tier3
+    assert list(QUERIES)[:6] == r8_tier3
 
 
 def test_post_window_new_queries_carry_tier3_coverage():
