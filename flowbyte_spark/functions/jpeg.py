@@ -501,6 +501,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # ITU-T T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before reading the marker byte.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI with no scan
             break

@@ -84,13 +84,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if channels < 1:
         raise ValueError("WAV declares zero channels")
     if bits == 16:
-        arr = np.frombuffer(data[: len(data) // (2 * channels) * 2 * channels],
-                            dtype="<i2")
+        frame = 2 * channels
     elif bits == 8:
-        arr = (
-            np.frombuffer(data[: len(data) // channels * channels],
-                          dtype=np.uint8).astype(np.int16) - 128
-        ) << 8
+        frame = channels
     else:
         raise ValueError(f"{bits}-bit PCM unsupported (8/16 only)")
+    if len(data) % frame:
+        raise ValueError(
+            f"WAV data chunk length {len(data)} is not a multiple of the "
+            f"{frame}-byte frame ({channels} ch x {bits}-bit) — truncated "
+            "or corrupt payload"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data, dtype="<i2")
+    else:
+        arr = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
     return arr.reshape(-1, channels).astype(np.int16), rate

@@ -63,8 +63,10 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         elif p.startswith("H"):
             height = int(p[1:])
         elif p.startswith("F"):
-            num, den = p[1:].split(":")
-            fps = (int(num), int(den))
+            num, den = (int(x) for x in p[1:].split(":"))
+            if num <= 0 or den <= 0:
+                raise ValueError(f"y4m frame rate {p!r} must be positive")
+            fps = (num, den)
         elif p.startswith("I"):
             if p not in ("Ip",):  # progressive only
                 raise ValueError(f"interlaced y4m ({p}) unsupported")

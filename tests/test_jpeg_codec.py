@@ -313,3 +313,19 @@ def test_420_roundtrip_quality():
     assert back.shape == img.shape
     mse = np.mean((back.astype(float) - img.astype(float)) ** 2)
     assert 10 * np.log10(255**2 / max(mse, 1e-12)) >= 32
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    # ITU-T T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    # marker; other conforming encoders emit them (r8 ADVICE).  Insert
+    # fill bytes before a header-loop marker and require identical decode.
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = jpeg.encode_jpeg(img)
+    want = jpeg.decode_jpeg(good)
+    dqt = good.index(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff\xff\xff" + good[dqt:]
+    assert np.array_equal(jpeg.decode_jpeg(padded), want)
+    # and before the SOS marker too
+    sos = good.index(b"\xff\xda")
+    padded = good[:sos] + b"\xff" + good[sos:]
+    assert np.array_equal(jpeg.decode_jpeg(padded), want)

@@ -122,3 +122,26 @@ def test_catalyst_signature_form_equals_arrow_kernel(spark):
         q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
         kernel_bits = (P @ q >= 0).astype(int).tolist()
         assert catalyst[r.vec_id] == kernel_bits, r.vec_id
+
+
+def test_mixed_width_and_null_vectors_fail_loud(spark):
+    # The dimension is probed from one arbitrary row at build time; any
+    # other row that is NULL or a different width must raise the named
+    # ValueError, not an opaque numpy stack/matmul error (r8 ADVICE).
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [2.0] * 8), (3, [3.0] * 4)],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(PythonException) as ei:
+        srp_neardup_pairs(df, "vec_id", "embedding", n_planes=8, band_bits=4).collect()
+    assert "all vectors must be non-null and equally sized" in str(ei.value)
+
+    df2 = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(PythonException) as ei:
+        srp_neardup_pairs(df2, "vec_id", "embedding", n_planes=8, band_bits=4).collect()
+    assert "NULL" in str(ei.value)

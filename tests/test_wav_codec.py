@@ -106,3 +106,21 @@ def test_strict_mode_fails_loud_on_corrupt_wav(spark):
         extract_features(df, fake_decode=False).collect()
     rows = extract_features(df, fake_decode=True).collect()
     assert len(rows) == 1
+
+
+def test_partial_trailing_frame_fails_loud():
+    # A data chunk whose length is not a multiple of the frame size is
+    # corrupt; decoding must raise, not silently drop the tail (r8 ADVICE).
+    s = np.arange(20, dtype=np.int16).reshape(10, 2)
+    good = wav.encode_wav(s, 8000)
+    data_off = good.index(b"data") + 8
+    # lop one byte off the data chunk and patch both RIFF and data sizes
+    bad = bytearray(good[:-1])
+    import struct
+
+    riff_len, = struct.unpack("<I", bad[4:8])
+    struct.pack_into("<I", bad, 4, riff_len - 1)
+    data_len, = struct.unpack_from("<I", bad, data_off - 4)
+    struct.pack_into("<I", bad, data_off - 4, data_len - 1)
+    with pytest.raises(ValueError, match="not a multiple"):
+        wav.decode_wav(bytes(bad))

@@ -125,3 +125,12 @@ def test_sample_frames_non_y4m_still_fails_loud(spark):
         sample_frames(df, fake_decode=False).collect()
     rows = sample_frames(df, every_ms=1000, fake_decode=True).collect()
     assert len(rows) == 2  # duration 2000 // 1000
+
+
+def test_zero_or_negative_fps_fails_loud():
+    # 'F8:0' used to decode fine and then ZeroDivisionError inside frame
+    # sampling on the executor (r8 ADVICE); reject at parse time instead.
+    with pytest.raises(ValueError, match="positive"):
+        y4m.decode_y4m(b"YUV4MPEG2 W4 H2 F8:0 Cmono\nFRAME\n" + bytes(8))
+    with pytest.raises(ValueError, match="positive"):
+        y4m.decode_y4m(b"YUV4MPEG2 W4 H2 F0:1 Cmono\nFRAME\n" + bytes(8))
