@@ -60,6 +60,7 @@ def _load_all() -> None:
         pipeline2,
         relational,
         relational2,
+        scale_q,
         streaming_q,
         tier_a,
     )
@@ -99,7 +100,10 @@ def _reorder() -> None:
         "v99_y4m_decode",
         "v100_srp_neardup",
         "v101_url_dedup",
-        # (c) changed in round 9 (ADVICE fixes / asof heuristic).
+        # (c) changed in round 9 (ADVICE fixes / asof heuristic) and new
+        # round-9 registrations (never verified — must be in-window).
+        "v102_partition_pruning",
+        "v103_dpp_star_join",
         "v31_multimodal_features",
         "v84_media_decode",
         "v33_asof_join",
