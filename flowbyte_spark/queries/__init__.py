@@ -104,10 +104,16 @@ def _reorder() -> None:
         # round-9 registrations (never verified — must be in-window).
         "v102_partition_pruning",
         "v103_dpp_star_join",
+        "v104_srp_cluster_dedup",
         "v31_multimodal_features",
         "v84_media_decode",
         "v33_asof_join",
         "v96_salted_asof",
+        # llm2.py gained a module-level shared-oracle constant, so the
+        # function-granular coverage conservatively marks every llm2
+        # query changed; v79/v82 are the two not already in the window.
+        "v79_c4_quality_filter",
+        "v82_python_datasource",
         # (b) last driver row is r7 — refill so they don't go stale.
         "v01_scan",
         "v02_project_filter",
@@ -120,7 +126,6 @@ def _reorder() -> None:
         "v09_rollup",
         "v10_window_rank",
         "v11_window_frames",
-        "v12_set_ops",
         "v14_json_extract",
         "v16_count_distinct",
         "v17_update_by_keys",
@@ -128,7 +133,6 @@ def _reorder() -> None:
         "v24_simhash",
         "v25_ann_ivf",
         "v26_embedding_neardup",
-        "v35_pivot",
         "v38_tfidf",
         "v41_session_window",
         "v43_percentiles_stats",

@@ -746,10 +746,10 @@ def v89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "v100_srp_neardup",
-    oracle="""
-    WITH planes AS (
+# Shared SRP recomputation: exact signatures -> banded candidates ->
+# hamming-filtered pairs.  Used by v100 (pair table) and v104 (pairs ->
+# connected components -> anti-join survivors).
+_SRP_PAIRS_CTES = """planes AS (
         SELECT i.i, j.j,
                (CAST(('0x' || substr(md5('srp_' || i.i || '_' || j.j), 1, 4))
                      AS BIGINT) % 1001) - 500 AS p
@@ -773,16 +773,25 @@ def v89_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND a.vec_id < b.vec_id),
     fullsig AS (SELECT vec_id,
                        string_agg(CAST(b AS VARCHAR), '' ORDER BY i) AS s
-                FROM bits GROUP BY 1)
-    SELECT id_a, id_b,
-           CAST((SELECT count(*) FROM range(64) k(k)
-                 WHERE substr(fa.s, k.k + 1, 1) <> substr(fb.s, k.k + 1, 1))
-                AS BIGINT) AS hamming
-    FROM cand
-    JOIN fullsig fa ON fa.vec_id = id_a
-    JOIN fullsig fb ON fb.vec_id = id_b
-    WHERE (SELECT count(*) FROM range(64) k(k)
-           WHERE substr(fa.s, k.k + 1, 1) <> substr(fb.s, k.k + 1, 1)) <= 22
+                FROM bits GROUP BY 1),
+    pairs AS (
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b,
+                   CAST((SELECT count(*) FROM range(64) k(k)
+                         WHERE substr(fa.s, k.k + 1, 1)
+                            <> substr(fb.s, k.k + 1, 1)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN fullsig fa ON fa.vec_id = id_a
+            JOIN fullsig fb ON fb.vec_id = id_b) h
+        WHERE hamming <= 22)"""
+
+
+@register(
+    "v100_srp_neardup",
+    oracle=f"""
+    WITH {_SRP_PAIRS_CTES}
+    SELECT id_a, id_b, hamming
+    FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -812,6 +821,78 @@ def v100_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=22,
         quant=1000,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# V104 — embedding-side cluster dedup (round 9, r8 VERDICT #5): the SRP
+# candidate pairs feed the SAME two-phase connected-components tier the
+# MinHash text pairs use (v64/v67), closing the 100 TB embedding-dedup
+# path: SRP pairs -> CC (min-label survivor) -> anti-join losers out of
+# the corpus -> bucketed survivor rollup.  Everything is integer-exact
+# (SRP pairs by construction, CC labels are min-ids, the rollup sums
+# ids), so DuckDB recomputes the full pipeline: the same pair CTEs, a
+# recursive reachability CC, and the same anti-join + rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v104_srp_cluster_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SRP_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst AS id, re.r FROM reach re JOIN edges e ON e.src = re.id),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> comp),
+    survivors AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id < 1000
+          AND vec_id NOT IN (SELECT id FROM losers))
+    SELECT CAST(vec_id % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM survivors
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v104_srp_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP LSH pairs -> connected components -> survivor corpus.
+
+    The embedding dual of v67's text pipeline: transitive near-dups
+    (A~B, B~C) keep exactly ONE representative (the min vec_id of each
+    component), enforced by an anti-join of the non-canonical cluster
+    members against the corpus.  Vectors in no pair never enter the CC
+    input and pass through untouched.  One banded shuffle for pairs,
+    log-diameter rounds of small label joins for CC, one anti-join, one
+    partial-aggregatable rollup — no all-pairs stage anywhere."""
+    from flowbyte_spark.operators.components import neardup_clusters
+    from flowbyte_spark.operators.srp import srp_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    pairs = srp_neardup_pairs(
+        emb, "vec_id", "embedding",
+        n_planes=64, band_bits=4, max_hamming=22, quant=1000,
+    )
+    losers = (
+        neardup_clusters(pairs)
+        .where(F.col("is_canonical") == 0)
+        .select(F.col("id").alias("vec_id"))
+    )
+    survivors = emb.join(losers, "vec_id", "left_anti")
+    return (
+        survivors.groupBy((F.col("vec_id") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("bucket")
+    )
 
 
 # ---------------------------------------------------------------------------

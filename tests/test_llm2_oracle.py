@@ -31,6 +31,9 @@ LLM2 = [
     "v89_asof_forward",
     "v100_srp_neardup",
     "v101_url_dedup",
+    # round 9: SRP pairs composed into the CC cluster tier (in-window,
+    # driver-gated; listed here so the differential also runs in-suite).
+    "v104_srp_cluster_dedup",
 ]
 
 
