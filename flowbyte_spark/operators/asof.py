@@ -183,6 +183,57 @@ def range_join(
     return out.where(cond).drop("__lb__", "__rb__", "__lus__", "__rus__")
 
 
+def auto_bucket_width(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    target_rows_per_bucket: int = 5_000_000,
+) -> int:
+    """Derive ``bucket_width_seconds`` for :func:`salted_asof_join`.
+
+    The one parameter that decides whether a hot key serializes: too
+    wide and the hottest key's densest bucket lands in one task; too
+    narrow and the boundary roll-up grows for nothing.  Heuristic, under
+    the CONSERVATIVE worst case that a single key owns every row spread
+    uniformly over the time span:
+
+        width = span_seconds * target_rows_per_bucket / total_rows
+
+    so even that key's per-(key, bucket) task holds at most
+    ``target_rows_per_bucket`` rows (default 5M ~ a few hundred MB — a
+    healthy task).  Skew WITHIN time (all rows in one burst second)
+    still bounds the bucket by the burst size, which no time bucketing
+    can split further.
+
+    Cost: one count/min/max aggregate per side — two small driver jobs
+    at PLAN-CONSTRUCTION time (map-side partial agg over one column,
+    same bounded-probe contract as srp_neardup_pairs' dimension probe).
+    Empty inputs or constant timestamps fall back to 3600 s.
+    """
+    n_total = 0
+    lo: float | None = None
+    hi: float | None = None
+    for df, t in ((left, left_time), (right, right_time)):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(t).cast("timestamp").cast("double")).alias("lo"),
+            F.max(F.col(t).cast("timestamp").cast("double")).alias("hi"),
+        ).collect()[0]
+        n_total += row["n"]
+        for bound, val in (("lo", row["lo"]), ("hi", row["hi"])):
+            if val is None:
+                continue
+            if bound == "lo":
+                lo = val if lo is None else min(lo, val)
+            else:
+                hi = val if hi is None else max(hi, val)
+    if not n_total or lo is None or hi is None or hi <= lo:
+        return 3600
+    span = hi - lo
+    return max(1, int(span * target_rows_per_bucket / n_total))
+
+
 def salted_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -192,7 +243,8 @@ def salted_asof_join(
     right_values: list[str],
     direction: str = "backward",
     suffix: str = "_matched",
-    bucket_width_seconds: int = 3600,
+    bucket_width_seconds: int | str = 3600,
+    target_rows_per_bucket: int = 5_000_000,
 ) -> DataFrame:
     """:func:`asof_join` that survives one hot key.
 
@@ -218,10 +270,21 @@ def salted_asof_join(
     ``bucket_width_seconds`` buckets ``left_time``/``right_time`` (any
     type castable to timestamp; ties never straddle buckets because equal
     time implies equal bucket).  Pick it so the hottest key's densest
-    bucket fits a task (~10-100 M rows).
+    bucket fits a task (~10-100 M rows), or pass ``"auto"`` to derive it
+    from the inputs' row count and time span (:func:`auto_bucket_width`,
+    worst-case-hot-key sizing toward ``target_rows_per_bucket``).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    if bucket_width_seconds == "auto":
+        bucket_width_seconds = auto_bucket_width(
+            left, right, left_time, right_time, target_rows_per_bucket
+        )
+    elif not isinstance(bucket_width_seconds, int) or bucket_width_seconds < 1:
+        raise ValueError(
+            "bucket_width_seconds must be a positive int or 'auto', got "
+            f"{bucket_width_seconds!r}"
+        )
     from flowbyte_spark.operators.skew import _time_bucket
 
     lcols = left.columns

@@ -186,3 +186,78 @@ def test_salted_asof_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plans.shuffle_exchanges(df) <= 4, plan
+
+
+# --- auto bucket-width heuristic (r8 VERDICT #6) ---------------------------
+
+from flowbyte_spark.operators.asof import auto_bucket_width  # noqa: E402
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@given(left_rows=rows_strategy, right_rows=rows_strategy)
+@SETTINGS
+def test_salted_asof_auto_matches_manual(spark, direction, left_rows, right_rows):
+    """bucket_width_seconds='auto' must be row-identical to a manual
+    width (both satisfy the asof_join contract); a tiny
+    target_rows_per_bucket forces multiple buckets so the auto path
+    exercises the cross-bucket roll, not just the single-bucket case."""
+    left = _df(spark, left_rows, 0)
+    right = _df(spark, right_rows, 100)
+    auto = salted_asof_join(
+        left, right, "k", "ts", "ts", right_values=["v"],
+        direction=direction, bucket_width_seconds="auto",
+        target_rows_per_bucket=2,
+    )
+    manual = salted_asof_join(
+        left, right, "k", "ts", "ts", right_values=["v"],
+        direction=direction, bucket_width_seconds=60,
+    )
+    got_a = {r["v"]: r["v_matched"] for r in auto.collect()}
+    got_m = {r["v"]: r["v_matched"] for r in manual.collect()}
+    ref = _reference(left_rows, right_rows, direction)
+    for got in (got_a, got_m):
+        assert set(got) == set(ref)
+        for lv, rv in ref.items():
+            if rv is None:
+                assert got[lv] is None
+            else:
+                j_ref = int(rv - 100)
+                j_got = int(got[lv] - 100)
+                assert right_rows[j_got][0] == right_rows[j_ref][0]
+                assert right_rows[j_got][1] == right_rows[j_ref][1]
+
+
+def test_auto_bucket_width_shapes(spark):
+    # dense data -> narrow buckets; sparse -> wide; empty/degenerate -> 3600
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    dense = spark.createDataFrame(
+        [(i % 3, base + dt.timedelta(seconds=i // 100), float(i)) for i in range(1000)],
+        "k int, ts timestamp, v double",
+    )
+    w_dense = auto_bucket_width(dense, dense, "ts", "ts", target_rows_per_bucket=100)
+    # span ~10 s, 2000 rows, target 100 -> width ~ 0.5 s -> clamped to 1
+    assert w_dense == 1
+    sparse = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=i), float(i)) for i in range(10)],
+        "k int, ts timestamp, v double",
+    )
+    w_sparse = auto_bucket_width(sparse, sparse, "ts", "ts", target_rows_per_bucket=100)
+    # span 9 days, 20 rows, target 100 -> width = span*5 (single bucket)
+    assert w_sparse >= 9 * 86400
+    empty = dense.where("k > 99")
+    assert auto_bucket_width(empty, empty, "ts", "ts") == 3600
+    const = spark.createDataFrame([(1, base, 1.0)] * 5, "k int, ts timestamp, v double")
+    assert auto_bucket_width(const, const, "ts", "ts") == 3600
+
+
+def test_salted_asof_rejects_bad_width(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, base, 1.0)], "k int, ts timestamp, v double")
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        salted_asof_join(df, df, "k", "ts", "ts", ["v"], bucket_width_seconds=0)
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        salted_asof_join(df, df, "k", "ts", "ts", ["v"], bucket_width_seconds="foo")
