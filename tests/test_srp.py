@@ -128,20 +128,20 @@ def test_mixed_width_and_null_vectors_fail_loud(spark):
     # The dimension is probed from one arbitrary row at build time; any
     # other row that is NULL or a different width must raise the named
     # ValueError, not an opaque numpy stack/matmul error (r8 ADVICE).
+    # The named ValueError surfaces wrapped (PythonException on a fresh
+    # session, raw Py4JJavaError in a long-lived suite session) — assert
+    # on the message, not the wrapper type.
     import pytest
-    from pyspark.errors.exceptions.captured import PythonException
 
     df = spark.createDataFrame(
         [(1, [1.0] * 8), (2, [2.0] * 8), (3, [3.0] * 4)],
         "vec_id int, embedding array<double>",
     )
-    with pytest.raises(PythonException) as ei:
+    with pytest.raises(Exception, match="all vectors must be non-null"):
         srp_neardup_pairs(df, "vec_id", "embedding", n_planes=8, band_bits=4).collect()
-    assert "all vectors must be non-null and equally sized" in str(ei.value)
 
     df2 = spark.createDataFrame(
         [(1, [1.0] * 8), (2, None)], "vec_id int, embedding array<double>"
     )
-    with pytest.raises(PythonException) as ei:
+    with pytest.raises(Exception, match="NULL"):
         srp_neardup_pairs(df2, "vec_id", "embedding", n_planes=8, band_bits=4).collect()
-    assert "NULL" in str(ei.value)
