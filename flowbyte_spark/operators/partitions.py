@@ -120,6 +120,42 @@ def file_scan_stats(df: DataFrame) -> list[dict]:
     return stats
 
 
+def shuffle_stats(df: DataFrame) -> list[dict]:
+    """Execution stats for every shuffle exchange in ``df``'s plan.
+
+    Same post-action contract as :func:`file_scan_stats`.  One dict per
+    exchange: ``records_written``, ``bytes_written``, ``data_size``.
+    The audit dual of SCALE.md's "minimize shuffles" rule — what a
+    query actually moved, not what the plan suggests.  AQE materializes
+    each exchange both as a stage and inside its parent tree; nodes are
+    deduplicated by plan id.
+    """
+    root = df._jdf.queryExecution().executedPlan()
+    seen: set[int] = set()
+    stats = []
+    for n in _walk_physical(root):
+        if "ShuffleExchange" not in n.getClass().getSimpleName():
+            continue
+        nid = n.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        metrics = n.metrics()
+        vals: dict[str, int] = {}
+        it = metrics.iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        stats.append(
+            {
+                "records_written": vals.get("shuffleRecordsWritten"),
+                "bytes_written": vals.get("shuffleBytesWritten"),
+                "data_size": vals.get("dataSize"),
+            }
+        )
+    return stats
+
+
 def plan_has_dynamic_pruning(df: DataFrame) -> bool:
     """True when the (pre-execution) plan carries a DPP expression for
     some partitioned scan — the shape assertion for star joins."""

@@ -114,6 +114,9 @@ def _reorder() -> None:
         # query changed; v79/v82 are the two not already in the window.
         "v79_c4_quality_filter",
         "v82_python_datasource",
+        "v105_runtime_filter_join",
+        "v37_approx_distinct",
+        "v61_approx_percentiles",
         # (b) last driver row is r7 — refill so they don't go stale.
         "v01_scan",
         "v02_project_filter",
@@ -127,10 +130,7 @@ def _reorder() -> None:
         "v10_window_rank",
         "v11_window_frames",
         "v14_json_extract",
-        "v16_count_distinct",
         "v17_update_by_keys",
-        "v20_cosine_topk",
-        "v24_simhash",
         "v25_ann_ivf",
         "v26_embedding_neardup",
         "v38_tfidf",

@@ -114,11 +114,29 @@ def v44_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # V61 — approx percentiles: the 100 TB twin of V43.  Exact F.percentile
 # buffers every group value in the aggregation buffer (per-group memory
 # grows with data); approx_percentile keeps a bounded KLL-style sketch per
-# group, so partial-aggregate state is O(accuracy), not O(rows).  Rows-only
-# driver check (DuckDB's approx algorithm differs); accuracy is pinned to
-# the exact V43 result by a tolerance test (test_batteries_oracle).
+# group, so partial-aggregate state is O(accuracy), not O(rows).
+#
+# HASH-GATED error CONTRACT (round 9; rows-only before): the returned
+# VALUES are engine-specific, but the guarantee isn't — with
+# accuracy=10000 the rank error is <= 1e-4, so the fraction of group
+# rows <= each returned percentile must sit within 0.5% of its target
+# quantile (50x the guarantee; measured <= 0.01% at sf0.1 —
+# l_extendedprice is near-continuous, so tie inflation is negligible).
+# A second pass over lineitem computes the actual rank of each returned
+# value; DuckDB's oracle emits the exact group counts with all three
+# flags TRUE, so a drifting sketch flips the driver row red.
 # ---------------------------------------------------------------------------
-@register("v61_approx_percentiles")
+@register(
+    "v61_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def v61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.approx_percentile(
@@ -126,15 +144,32 @@ def v61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
         F.lit(10000),
     )
+    sketches = li.groupBy("l_returnflag").agg(
+        pct.alias("pcts"), F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = li.join(sketches, "l_returnflag")
+    targets = (0.5, 0.9, 0.99)
+    fracs = [
+        (
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("pcts")[i]).cast("long")
+            )
+            / F.first("cnt")
+        ).alias(f"frac{i}")
+        for i in range(3)
+    ]
     return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("pcts"), F.count(F.lit(1)).alias("cnt"))
+        ranked.groupBy("l_returnflag")
+        .agg(F.first("cnt").alias("cnt"), *fracs)
         .select(
             "l_returnflag",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
             "cnt",
+            *[
+                (F.abs(F.col(f"frac{i}") - targets[i]) <= 0.005).alias(
+                    f"p{int(targets[i] * 100)}_ok"
+                )
+                for i in range(3)
+            ],
         )
         .orderBy("l_returnflag")
     )

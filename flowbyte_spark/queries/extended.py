@@ -166,10 +166,26 @@ def v36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# V37 — approx_count_distinct (no oracle: estimator is engine-specific;
-# rows-only driver check + tolerance assertion in pytest)
+# V37 — approx_count_distinct under a HASH-GATED error CONTRACT (round 9;
+# rows-only before).  The ESTIMATE is engine-specific and can never hash-
+# match DuckDB — but the estimator's documented guarantee can: the query
+# emits the exact count plus a within_bound flag (relative error <= 5x the
+# requested rsd — HLL++'s rsd is one sigma, so 5 sigma never trips on a
+# healthy estimator; measured 0.4% vs the 10% bound at sf0.1).  DuckDB's
+# oracle computes the exact count and expects the flag TRUE, so a broken
+# sketch now flips the driver row red instead of hiding behind rows-only.
 # ---------------------------------------------------------------------------
-@register("v37_approx_distinct")
+@register(
+    "v37_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def v37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
@@ -177,6 +193,14 @@ def v37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 5 * 0.02 * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )

@@ -96,3 +96,42 @@ def v103_dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice", "sum_price"))
         .orderBy("o_year")
     )
+
+
+@register(
+    "v105_runtime_filter_join",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {_DSUM.format(x="l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 2
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def v105_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime filter (operators/runtime_filter.py): the ~5%-
+    selective part dim pre-filters lineitem with a broadcast semi-join
+    on the DISTINCT matching partkeys, so the fact's join shuffle moves
+    only matchable rows (~20x fewer records; shuffle_stats-asserted in
+    tests/test_runtime_filter.py).  Identity rewrite for an inner
+    equi-join — the oracle is the plain join."""
+    from flowbyte_spark.operators.runtime_filter import reduced_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 2)
+    return (
+        reduced_join(li, part, "p_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )

