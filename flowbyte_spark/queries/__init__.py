@@ -58,6 +58,7 @@ def _load_all() -> None:
         llm2,
         pipeline_q,
         pipeline2,
+        quality_q,
         relational,
         relational2,
         scale_q,
@@ -115,6 +116,9 @@ def _reorder() -> None:
         "v79_c4_quality_filter",
         "v82_python_datasource",
         "v105_runtime_filter_join",
+        "v106_data_expectations",
+        "v107_snapshot_diff",
+        "v108_table_profile",
         "v37_approx_distinct",
         "v61_approx_percentiles",
         # (b) last driver row is r7 — refill so they don't go stale.
@@ -131,9 +135,6 @@ def _reorder() -> None:
         "v11_window_frames",
         "v14_json_extract",
         "v17_update_by_keys",
-        "v25_ann_ivf",
-        "v26_embedding_neardup",
-        "v38_tfidf",
         "v41_session_window",
         "v43_percentiles_stats",
         "v62_full_outer_join",

@@ -1,0 +1,198 @@
+"""V106-V108: data-quality tier — expectations battery, snapshot diff,
+column profiling (round 9).
+
+The reference's surface mutates warehouse tables (insert/update/delete,
+sql.py:174-332) but offers nothing to VALIDATE the result; these are
+the checks its users run by hand, as single-pass Spark operators, each
+hash-gated against a DuckDB recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# V106 — expectations battery over orders: two passing rules and two
+# deliberately violated ones (FK against a filtered parent simulates the
+# missing-dimension load failure; a tight range bound flags outliers),
+# so the gate checks nonzero violation COUNTS, not just zeros.
+# ---------------------------------------------------------------------------
+@register(
+    "v106_data_expectations",
+    oracle="""
+    SELECT "check", n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'foreign_key(o_custkey)' AS "check",
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (
+                           SELECT c_custkey FROM customer
+                           WHERE c_acctbal > 0)) AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'not_null(o_custkey)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'range(o_totalprice,0.0,300000.0)',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_totalprice < 0.0 OR o_totalprice > 300000.0)
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(COALESCE((SELECT SUM(n) FROM (
+                   SELECT COUNT(*) AS n FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
+    ) t
+    ORDER BY "check"
+    """,
+)
+def v106_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery = one map-side aggregate per not-null/range rule, one
+    key groupBy for uniqueness, one anti-join for the FK — unioned into
+    a (check, n_violations, passed) report (operators/expectations.py)."""
+    from flowbyte_spark.operators import expectations as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = [
+        E.check_unique(orders, ["o_orderkey"]),
+        E.check_not_null(orders, "o_custkey"),
+        E.check_range(orders, "o_totalprice", 0.0, 300000.0),
+        E.check_foreign_key(
+            orders,
+            customer.where(F.col("c_acctbal") > 0),
+            "o_custkey",
+            "c_custkey",
+        ),
+    ]
+    return E.run_expectations(checks)
+
+
+# ---------------------------------------------------------------------------
+# V107 — snapshot diff: recover a CDC delta from two full extracts.
+# "new" is customer with a deterministic churn applied (delete keys
+# %13=0, bump balances on %10=0, append re-keyed copies of %17=0), so
+# both engines derive the same snapshots and the per-change-type counts
+# and key checksums hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "v107_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 100000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0),
+    d AS (
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
+               CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+                    WHEN n.c_custkey IS NULL THEN 'deleted'
+                    WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                      OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                    THEN 'updated'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+)
+def v107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-outer join on the key + null-safe struct compare
+    (operators/diff.py), rolled up per change type with a key checksum
+    so the gate pins WHICH rows changed, not just how many."""
+    from flowbyte_spark.operators.diff import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.where(F.col("c_custkey") % 13 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 17 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 100000
+        )
+    )
+    return (
+        snapshot_diff(cust, new, ["c_custkey"])
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V108 — one-pass column profile of orders (exact distincts for the
+# gate; operators/profile.py documents the approx swap for 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "v108_table_profile",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS "column",
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+    ) t
+    ORDER BY "column"
+    """,
+)
+def v108_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+        exact=True,
+    )
