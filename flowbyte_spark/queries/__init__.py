@@ -61,6 +61,7 @@ def _load_all() -> None:
         quality_q,
         relational,
         relational2,
+        relational3,
         scale_q,
         streaming_q,
         tier_a,
@@ -119,6 +120,9 @@ def _reorder() -> None:
         "v106_data_expectations",
         "v107_snapshot_diff",
         "v108_table_profile",
+        "v109_q7_volume_shipping",
+        "v110_q8_market_share",
+        "v111_stream_static_join",
         "v37_approx_distinct",
         "v61_approx_percentiles",
         # (b) last driver row is r7 — refill so they don't go stale.
@@ -135,10 +139,7 @@ def _reorder() -> None:
         "v11_window_frames",
         "v14_json_extract",
         "v17_update_by_keys",
-        "v41_session_window",
         "v43_percentiles_stats",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
         "v65_repetition_signals",
         "v70_semantic_dedup",
         "v71_dsir_importance",

@@ -533,3 +533,78 @@ def v81_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out).orderBy("view_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# V111 — stream-static join (round 9): enrich a real micro-batched event
+# stream with a broadcast static dimension.  Stateless (no watermark, no
+# state store): every micro-batch joins against the static side
+# independently, so the appended union is batch-split-invariant and the
+# oracle is the identical batch join.  The static side re-broadcasts per
+# micro-batch — at 100 TB keep it dim-sized or pre-filter it.
+# ---------------------------------------------------------------------------
+@register(
+    "v111_stream_static_join",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CASE CAST(e.user_id % 3 AS INT) WHEN 0 THEN 'basic'
+                WHEN 1 THEN 'plus' ELSE 'pro' END AS tier,
+           e.event_type,
+           ROUND(CAST(e.value AS DOUBLE), 4) AS value
+    FROM events e
+    WHERE e.event_type IN ('view', 'click')
+    ORDER BY e.event_id
+    """,
+)
+def v111_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    src = _memo_source(
+        "v32_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(2)
+        .write.parquet(p),
+    )
+    ckpt = _scratch_dir("v111_ckpt")
+
+    # static user-tier dim, derived deterministically so DuckDB can
+    # reproduce the enrichment with a CASE
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.element_at(
+                F.array(F.lit("basic"), F.lit("plus"), F.lit("pro")),
+                (F.col("user_id") % 3).cast("int") + 1,
+            ).alias("tier"),
+        )
+    )
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type").isin("view", "click")
+    )
+    enriched = stream.join(F.broadcast(users), "user_id").select(
+        "event_id",
+        "user_id",
+        "tier",
+        "event_type",
+        F.round(F.col("value").cast("double"), 4).alias("value"),
+    )
+
+    out = _scratch_dir("v111_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(enriched, write, checkpoint=ckpt, output_mode="append")
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).orderBy("event_id")
