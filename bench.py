@@ -100,7 +100,12 @@ def main() -> None:
     full["warmups"] = warmups
     full["contended_queries"] = noisy
     full["contended"] = len(noisy) > max(3, len(ok) // 10)
-    with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as fh:
+    # A SPARK_GRAFT_BENCH_ONLY subset run must NOT clobber the full-suite
+    # record (ADVICE r9: a 2-query spot run replaced the 111-query
+    # artifact).  Subset runs go to BENCH_ONLY.json; only a full-suite
+    # run rewrites BENCH_FULL.json.
+    out_name = "BENCH_ONLY.json" if only else "BENCH_FULL.json"
+    with open(os.path.join(_REPO, out_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     # THE one stdout JSON line (driver contract) — compact separators so
     # a bounded capture window clips as little as possible.

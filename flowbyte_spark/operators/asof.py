@@ -280,7 +280,11 @@ def salted_asof_join(
         bucket_width_seconds = auto_bucket_width(
             left, right, left_time, right_time, target_rows_per_bucket
         )
-    elif not isinstance(bucket_width_seconds, int) or bucket_width_seconds < 1:
+    elif (
+        not isinstance(bucket_width_seconds, int)
+        or isinstance(bucket_width_seconds, bool)  # True would pass as 1
+        or bucket_width_seconds < 1
+    ):
         raise ValueError(
             "bucket_width_seconds must be a positive int or 'auto', got "
             f"{bucket_width_seconds!r}"

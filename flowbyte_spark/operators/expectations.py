@@ -30,9 +30,16 @@ def _summary(df: DataFrame, check: str, n: Column) -> DataFrame:
 
 
 def check_not_null(df: DataFrame, col: str) -> DataFrame:
-    """One row ``(check, n_violations)`` counting NULLs in ``col``."""
+    """One row ``(check, n_violations)`` counting NULLs in ``col``.
+
+    Vacuously passes on an empty table: SUM over zero rows is NULL, so
+    coalesce to 0 to match check_unique/check_foreign_key — a NULL count
+    would surface as ``passed = NULL`` downstream.
+    """
     return _summary(
-        df, f"not_null({col})", F.sum(F.col(col).isNull().cast("long"))
+        df,
+        f"not_null({col})",
+        F.coalesce(F.sum(F.col(col).isNull().cast("long")), F.lit(0)),
     )
 
 
@@ -49,7 +56,9 @@ def check_range(
     if hi is not None:
         cond = cond | (F.col(col) > hi)
     label = f"range({col},{lo},{hi})"
-    return _summary(df, label, F.sum(cond.cast("long")))
+    return _summary(
+        df, label, F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+    )
 
 
 def check_unique(df: DataFrame, keys: list[str]) -> DataFrame:

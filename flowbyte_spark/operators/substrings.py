@@ -18,20 +18,24 @@ match length".  The reference has no such capability (charter extension;
 
 Scale shape — linear shuffles only, no all-pairs anywhere:
 
-1. token stream: keyed fan-out on the doc id when under-parallel (the
-   same exchange then serves every per-doc stage below — BASELINE.md
-   round-5 finding 7), ``posexplode`` of the split text.
+1. token stream: tokenize once, pinned below a keyed fan-out on the doc
+   id when under-parallel — ONE scan + ONE exchange serve every per-doc
+   stage below through ReusedExchange (BASELINE.md round-5 finding 7;
+   re-fused round 10 after branch-specific pushdown had split it into
+   three scans).
 2. windows: md5 of the space-joined k-token ``slice`` of the carried
    token array — sort-free whole-stage codegen (content-keyed, not a
-   lossy 32-bit hash, so no false merges); both consumers of the window
-   stream share the fan-out through one ReusedExchange.
-3. duplicated-window table: ``groupBy(window).agg(min(struct(id, pos)),
-   count)`` — partial-aggregatable, so a boilerplate window repeated
-   10**9 times collapses to one candidate per map partition (v78's
-   keep-first shape); only windows with count > 1 survive, which is the
-   table the full window stream joins against — at realistic dup rates
-   it is orders of magnitude smaller than the corpus and AQE broadcasts
-   it.
+   lossy 32-bit hash, so no false merges).
+3. duplicated-window table: two stacked long-only HashAggregates —
+   per (window, id) earliest position + count, then per window the
+   lexicographic (id, pos) first occurrence via ``min``/``min_by`` —
+   partial-aggregatable, so a boilerplate window repeated 10**9 times
+   collapses to one candidate per map partition (v78's keep-first
+   shape), and hash-mutable, so no sort of the window stream (the
+   round-9 ``min(struct)`` form planned a SortAggregate).  Only windows
+   with count > 1 survive, which is the table the full window stream
+   joins against — at realistic dup rates it is orders of magnitude
+   smaller than the corpus and AQE broadcasts it.
 4. covered tokens: duplicate occurrences explode to their k covered
    positions (k-times blowup of DUPLICATED regions only) and aggregate
    to one position-set per doc — a small table that broadcasts back
@@ -79,17 +83,40 @@ def exact_substring_dedup(
     if k < 2:
         raise ValueError("k must be >= 2 (a 1-token window dedups words)")
     sc = df.sparkSession.sparkContext
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # NULL ids are dropped up front (a doc id is the dedup identity; a
+    # NULL one is undefined).  Also load-bearing for the plan: the dup
+    # join infers isnotnull(id) on ONE branch of the shared corpus
+    # subtree — filtering explicitly keeps all three branches' pushed
+    # filter sets identical so their fan-out exchange is reused instead
+    # of re-scanned (see below).
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).where(
+        F.col("id").isNotNull()
+    )
     # fan_out=None probes the plan (one plan->RDD conversion, ~0.2 s of
     # planning — BASELINE.md round-5 finding 6); callers that can read
     # scan metadata (scan_partitions) pass the decision in directly.
     if fan_out is None:
         fan_out = src.rdd.getNumPartitions() < sc.defaultParallelism
+    # Tokenize ONCE, below the fan-out exchange, and PIN the split so
+    # every downstream branch shares one scan + one exchange.  Unpinned,
+    # each branch's inferred filters (posexplode's size(arr) > 0, the
+    # wh join's isnotnull) substitute through the projection and push
+    # below the exchange, specializing the three subtrees — round 9
+    # planned THREE parquet scans and three fan-out exchanges of the
+    # same corpus (r9 VERDICT #2).  The nondeterministic guard (same
+    # trick as quality_filter._pin_above_exchange) blocks both the
+    # substitution and the pushdown, so scan → split → exchange is
+    # canonically identical across branches and physical planning folds
+    # them into one Exchange + two ReusedExchange nodes.  F.split takes
+    # a regex but array_join re-inserts sep literally — quote it so
+    # metacharacter separators split/rejoin consistently.
+    arr_pinned = F.when(
+        F.monotonically_increasing_id() >= 0,  # always true: ids are >= 0
+        F.split("t", F.lit(regex_literal(sep))),
+    ).alias("arr")
+    base = src.select("id", arr_pinned)
     if fan_out:
-        src = src.repartition(sc.defaultParallelism, "id")
-    # F.split takes a regex but array_join re-inserts sep literally —
-    # quote it so metacharacter separators split/rejoin consistently.
-    base = src.select("id", F.split("t", F.lit(regex_literal(sep))).alias("arr"))
+        base = base.repartition(sc.defaultParallelism, "id")
     toks = base.select(
         "id",
         F.size("arr").cast("long").alias("n_tokens"),
@@ -100,32 +127,53 @@ def exact_substring_dedup(
     # ``lead`` expressions over a Window: the analytic form plans a sort
     # per branch (Window.partitionBy(id).orderBy(pos)) and its id
     # exchange prunes differently per consumer, defeating exchange
-    # reuse; the slice form is sort-free whole-stage codegen and both
-    # consumers below share one ReusedExchange (measured 1.26 -> ~0.9 s
-    # at sf0.1, 5 -> 3 keyed exchanges).
+    # reuse; the slice form is sort-free whole-stage codegen (measured
+    # 1.26 -> ~0.9 s at sf0.1, 5 -> 3 keyed exchanges in round 5).
+    # The window key is pinned too: the dup equi-join infers
+    # isnotnull(wh), and unpinned that predicate substitutes the md5
+    # expression into a Filter below the Project — the slice + join +
+    # md5 (the operator's dominant CPU) then runs TWICE per branch.
+    # Pinned, the inferred filter stays an attribute test above the
+    # Project and each branch computes the key exactly once.
+    wh_pinned = F.when(
+        F.monotonically_increasing_id() >= 0,
+        F.md5(F.array_join(F.slice("arr", F.col("pos") + 1, k), sep)),
+    ).alias("wh")
     wins = base.select(
         "id",
         F.size("arr").alias("n"),
         F.posexplode("arr").alias("pos", "tok"),
         F.col("arr"),
-    ).where(F.col("pos") + k <= F.col("n")).select(
-        "id",
-        "pos",
-        F.md5(F.array_join(F.slice("arr", F.col("pos") + 1, k), sep)).alias("wh"),
-    )
+    ).where(F.col("pos") + k <= F.col("n")).select("id", "pos", wh_pinned)
 
+    # Global first occurrence per duplicated window WITHOUT min(struct):
+    # struct-valued aggregation buffers are not hash-mutable, so the r9
+    # single-stage form planned a SortAggregate with a full double sort
+    # of the window stream.  Two stacked long-only aggregates stay in
+    # whole-stage-codegen HashAggregate with map-side partial combine:
+    # (1) per (wh, id): earliest position + occurrence count — a
+    # boilerplate window repeated 10**9 times still collapses per map
+    # partition; (2) per wh: smallest id and — ids being unique within a
+    # (wh) group after stage 1 — min_by picks that id's position, which
+    # together ARE the lexicographic (id, pos) minimum.  Both stages'
+    # buffers are plain longs (min_by(long, long) is hash-aggregatable;
+    # probed on Spark 4.1).
+    occ = wins.groupBy("wh", "id").agg(
+        F.min("pos").alias("mp"), F.count(F.lit(1)).alias("c")
+    )
     dup_firsts = (
-        wins.groupBy("wh")
-        .agg(F.min(F.struct("id", "pos")).alias("first_occ"), F.count("*").alias("n"))
+        occ.groupBy("wh")
+        .agg(
+            F.min("id").alias("fid"),
+            F.min_by("mp", "id").alias("fpos"),
+            F.sum("c").alias("n"),
+        )
         .where(F.col("n") > 1)
-        .select("wh", "first_occ")
+        .select("wh", "fid", "fpos")
     )
     dups = (
         wins.join(dup_firsts, "wh")
-        .where(
-            (F.col("id") != F.col("first_occ.id"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
+        .where((F.col("id") != F.col("fid")) | (F.col("pos") != F.col("fpos")))
         .select("id", "pos")
     )
     covered = dups.select(

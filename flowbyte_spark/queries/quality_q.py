@@ -89,7 +89,7 @@ def v106_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                c_mktsegment
         FROM customer WHERE c_custkey % 13 <> 0
         UNION ALL
-        SELECT c_custkey + 100000, c_acctbal, c_mktsegment
+        SELECT c_custkey + 1000000000000, c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 17 = 0),
     d AS (
         SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
@@ -123,8 +123,13 @@ def v107_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
         ).otherwise(F.col("c_acctbal")),
     ).unionByName(
+        # Re-key offset 1e12 >> max c_custkey at any TPC-H scale factor
+        # (sf100 tops out at 15M keys); a small additive offset collides
+        # with real keys at sf >= 0.67 and snapshot_diff's duplicate-key
+        # contract then silently multiplies rows (ADVICE r9).
         cust.where(F.col("c_custkey") % 17 == 0).withColumn(
-            "c_custkey", F.col("c_custkey") + 100000
+            "c_custkey",
+            (F.col("c_custkey").cast("long") + F.lit(1_000_000_000_000)),
         )
     )
     return (

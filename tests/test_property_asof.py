@@ -188,6 +188,18 @@ def test_salted_asof_plan_shape(spark):
     assert plans.shuffle_exchanges(df) <= 4, plan
 
 
+def test_salted_asof_rejects_bool_and_bad_widths(spark):
+    # ADVICE r9: bool is an int subclass, so bucket_width_seconds=True
+    # silently degraded to 1-second buckets instead of failing loud.
+    left = spark.createDataFrame([(1, T0, 1.0)], "k INT, ts TIMESTAMP, lv DOUBLE")
+    right = spark.createDataFrame([(1, T0, 2.0)], "k INT, ts TIMESTAMP, v DOUBLE")
+    for bad in (True, False, 0, -5, "AUTO", "3600", 1.5, None):
+        with pytest.raises(ValueError, match="bucket_width_seconds"):
+            salted_asof_join(
+                left, right, "k", "ts", "ts", ["v"], bucket_width_seconds=bad
+            )
+
+
 # --- auto bucket-width heuristic (r8 VERDICT #6) ---------------------------
 
 from flowbyte_spark.operators.asof import auto_bucket_width  # noqa: E402

@@ -47,6 +47,26 @@ def test_expectations_empty_battery_fails(spark):
         E.run_expectations([])
 
 
+def test_expectations_vacuously_pass_on_empty_table(spark):
+    # ADVICE r9: bare SUM over zero rows is NULL — every check must
+    # coalesce so an empty table reports 0 violations / passed=True,
+    # not a NULL that reads as a failure (or breaks a hash gate).
+    df = spark.createDataFrame([], "k int, v double")
+    parent = spark.createDataFrame([(1,)], "pk int")
+    rows = E.run_expectations(
+        [
+            E.check_unique(df, ["k"]),
+            E.check_not_null(df, "v"),
+            E.check_range(df, "v", 0.0, 100.0),
+            E.check_foreign_key(df, parent, "k", "pk"),
+        ]
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_violations == 0, r
+        assert r.passed is True, r
+
+
 def test_snapshot_diff_unit(spark):
     old = spark.createDataFrame(
         [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
