@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         scale_q,
         streaming_q,
         tier_a,
@@ -83,75 +84,73 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-9 WINDOW (executes the recipe pinned at r8 close):
-    # (a) r8's six post-saturation additions — NEVER driver-verified
-    # (no row in any CORRECTNESS file) — lead, per r8 VERDICT #1;
-    # (b) refill with every query whose last driver row is
-    # CORRECTNESS_r07.json so nothing ages past two rounds (45 such
-    # queries exist; 37 fit — the 8 deferred to r10 are the stable
-    # pure-function batteries v13/v15/v39/v40/v44/v45 plus the
-    # rows-only-by-design v37/v61, all unchanged since r5);
-    # (c) queries whose code changes in round 9 (ADVICE fixes touch
-    # jpeg/wav/y4m/multimodal/srp → v31, v84; asof auto-bucket → v33,
-    # v96) plus the round's new registrations close the list to 50.
+    # ROUND-10 WINDOW (executes the recipe pinned at r9 close):
+    # (a) the 17 queries whose last driver row is CORRECTNESS_r07.json
+    # (two rounds stale — r9 VERDICT mandate #1) lead;
+    # (b) round-10 registrations, never driver-verified (v112-v115);
+    # (c) queries whose code changes in round 10: ADVICE fixes touch
+    # expectations → v106, quality_q → v106/v107/v108 (module-level
+    # v115 constant marks the whole module), salted asof → v96, and
+    # the exact-substrings plan rework → v80;
+    # (d) refill with r8-aged queries (44 exist, 24 fit — the 20 left
+    # at last-row=r8 are the stable pure-function/split batteries
+    # v27-v30, v36, v42, v46/v47, v50-v58, v72, v74, v95; they satisfy
+    # the freshness floor of r8 and must lead the r11 window).
     first = [
-        # (a) never driver-verified: tier-3 in r8, must lead.
-        "v89_asof_forward",
-        "v97_jpeg_decode",
-        "v98_wav_decode",
-        "v99_y4m_decode",
-        "v100_srp_neardup",
-        "v101_url_dedup",
-        # (c) changed in round 9 (ADVICE fixes / asof heuristic) and new
-        # round-9 registrations (never verified — must be in-window).
-        "v102_partition_pruning",
-        "v103_dpp_star_join",
-        "v104_srp_cluster_dedup",
-        "v31_multimodal_features",
-        "v84_media_decode",
-        "v33_asof_join",
+        # (a) last driver row is r7 — two rounds stale, must lead.
+        "v12_set_ops",
+        "v13_scalar_funcs",
+        "v15_time_bucket",
+        "v16_count_distinct",
+        "v20_cosine_topk",
+        "v24_simhash",
+        "v25_ann_ivf",
+        "v26_embedding_neardup",
+        "v35_pivot",
+        "v38_tfidf",
+        "v39_map_struct_json",
+        "v40_math_funcs",
+        "v41_session_window",
+        "v44_string_funcs",
+        "v45_date_funcs",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
+        # (b) new round-10 registrations — never driver-verified.
+        "v112_bucketed_smb_join",
+        "v113_null_aware_anti",
+        "v114_correlated_max_order",
+        "v115_profile_approx",
+        # (c) changed in round 10 (ADVICE fixes / substrings rework).
+        "v80_exact_substrings",
         "v96_salted_asof",
-        # llm2.py gained a module-level shared-oracle constant, so the
-        # function-granular coverage conservatively marks every llm2
-        # query changed; v79/v82 are the two not already in the window.
-        "v79_c4_quality_filter",
-        "v82_python_datasource",
-        "v105_runtime_filter_join",
         "v106_data_expectations",
         "v107_snapshot_diff",
         "v108_table_profile",
-        "v109_q7_volume_shipping",
-        "v110_q8_market_share",
-        "v111_stream_static_join",
-        "v37_approx_distinct",
-        "v61_approx_percentiles",
-        # (b) last driver row is r7 — refill so they don't go stale.
-        "v01_scan",
-        "v02_project_filter",
-        "v03_agg_q1",
-        "v04_join_agg",
-        "v05_q3_top10",
-        "v06_left_join_coalesce",
-        "v07_semi_anti",
-        "v08_theta_join",
-        "v09_rollup",
-        "v10_window_rank",
-        "v11_window_frames",
-        "v14_json_extract",
-        "v17_update_by_keys",
-        "v43_percentiles_stats",
-        "v65_repetition_signals",
-        "v70_semantic_dedup",
-        "v71_dsir_importance",
-        "v75_stateful_totals",
-        "v77_q18_large_orders",
-        "v78_paragraph_dedup",
-        "v80_exact_substrings",
-        "v81_stream_stream_join",
-        "v83_jdbc_roundtrip",
-        "v85_salted_window",
-        "v86_salted_lag",
-        "v87_pq_ann",
+        # (d) last driver row is r8 — refill toward the freshness floor.
+        "v18_insert_delete",
+        "v19_dedup_exact",
+        "v21_dedup_content_hash",
+        "v22_minhash_lsh",
+        "v23_jaccard_pairs",
+        "v32_streaming_window",
+        "v34_range_join",
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v64_neardup_clusters",
+        "v66_scd2_merge",
+        "v67_cluster_corpus_prep",
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        "v73_stream_dedup",
+        "v76_stream_upsert",
+        "v88_variant_json",
+        "v90_q21_waiting_suppliers",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -201,3 +201,62 @@ def v108_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         exact=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# V115 — the profile's 100 TB mode: exact=False swaps the multi-distinct
+# Expand for HLL++ (one ordinary partial-aggregatable shuffle, bounded
+# state).  Error-bound contract row (the v37/v61 pattern): the Spark
+# side emits the EXACT counts plus a within_bound flag comparing the
+# approx run against them (5 sigma at rsd=0.02); the oracle recomputes
+# the exact counts and asserts TRUE, so the hash gate pins both the
+# exact values and the approx path's error bound.
+# ---------------------------------------------------------------------------
+_V115_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+
+
+@register(
+    "v115_profile_approx",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_custkey' AS "column",
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_exact,
+               TRUE AS within_bound
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), TRUE
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), TRUE
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), TRUE
+        FROM orders
+    ) t
+    ORDER BY "column"
+    """,
+)
+def v115_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = profile(orders, _V115_COLS, exact=True).select(
+        "column", F.col("n_distinct").alias("n_distinct_exact")
+    )
+    approx = profile(orders, _V115_COLS, exact=False).select(
+        "column", F.col("n_distinct").alias("n_distinct_approx")
+    )
+    return (
+        exact.join(approx, "column")
+        .select(
+            "column",
+            "n_distinct_exact",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
+                <= 5 * 0.02 * F.col("n_distinct_exact")
+            ).alias("within_bound"),
+        )
+        .orderBy("column")
+    )

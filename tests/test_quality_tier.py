@@ -13,7 +13,12 @@ from tests.oracle_util import assert_query_matches
 
 @pytest.mark.parametrize(
     "name",
-    ["v106_data_expectations", "v107_snapshot_diff", "v108_table_profile"],
+    [
+        "v106_data_expectations",
+        "v107_snapshot_diff",
+        "v108_table_profile",
+        "v115_profile_approx",
+    ],
 )
 def test_quality_query_matches_oracle(spark, sf_dir, name):
     assert_query_matches(spark, name, sf_dir)

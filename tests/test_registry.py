@@ -40,6 +40,7 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
@@ -48,8 +49,7 @@ def test_driver_window_plus_prior_files_cover_everything():
 
 
 def test_never_driver_verified_queries_lead_the_window():
-    # r8 VERDICT mandate #1: queries that have NEVER had a driver row
-    # (r8's tier-3 set, v89/v97-v101) must occupy the head of the r9
+    # Queries that have NEVER had a driver row must sit inside the
     # window so nothing can evict them if the sweep is cut short.
     import glob
     import json
@@ -63,16 +63,36 @@ def test_never_driver_verified_queries_lead_the_window():
     assert all(
         list(QUERIES).index(q) < 50 for q in never
     ), f"never-verified queries not all inside the window: {never}"
-    # the six r8 tier-3 names specifically lead (positions 0-5)
-    r8_tier3 = [
-        "v89_asof_forward",
-        "v97_jpeg_decode",
-        "v98_wav_decode",
-        "v99_y4m_decode",
-        "v100_srp_neardup",
-        "v101_url_dedup",
-    ]
-    assert list(QUERIES)[:6] == r8_tier3
+
+
+def test_stalest_queries_lead_the_window():
+    # r9 VERDICT mandate #1: the 17 queries whose last driver row is
+    # CORRECTNESS_r07.json (two rounds stale at r10 start) must LEAD the
+    # r10 window, and every remaining registered query's last row must
+    # be r8 or newer (freshness floor) or sit inside the window.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for q in json.load(open(path)):
+            last[q] = max(last.get(q, 0), rnd)
+    r7_aged = sorted(q for q in QUERIES if last.get(q) == 7)
+    head = list(QUERIES)[: len(r7_aged)]
+    assert sorted(head) == r7_aged, (
+        f"r7-aged queries must lead the window: aged={r7_aged} head={head}"
+    )
+    window = set(list(QUERIES)[:50])
+    floor_breakers = sorted(
+        q for q in QUERIES if last.get(q, 9) < 8 and q not in window
+    )
+    assert not floor_breakers, (
+        f"queries older than the r8 freshness floor outside the window: "
+        f"{floor_breakers}"
+    )
 
 
 def test_post_window_new_queries_carry_tier3_coverage():
