@@ -648,6 +648,82 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    centroid_mode: str = "lowest_id",
+    seed: int = 42,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF ANN for a query TABLE: top-k per query in ONE plan.
+
+    :func:`ivf_topk` is the single-probe shape (one broadcast query
+    vector); a production retrieval pass scores thousands of queries,
+    and running one Spark job per query would pay the dispatch floor
+    per probe.  This is the batched form: the (small) query set
+    broadcasts, probes rank per query against the broadcast centroids,
+    and ONE equi-join fans the inverted lists out to every query that
+    probed them — per-query work shares the single pass over the
+    assignments table.
+
+    ``queries`` must carry ``(qid, qvec)`` (any column names — the
+    first two columns are taken positionally).  Returns
+    ``(qid, id, sim)`` — the k nearest ids per qid, self-matches
+    excluded, ties broken on id (same contract as :func:`ivf_topk`).
+
+    Scale shape: centroids + probed lists + the query set broadcast;
+    the only shuffle is the per-qid top-k window over candidate rows
+    (sum over queries of their probed lists' sizes — never all-pairs).
+    At 100 TB grow ``num_centroids`` so each inverted list stays
+    task-sized; the candidate volume is |queries| * nprobe *
+    avg_list_size regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    qid_c, qvec_c = queries.columns[:2]
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_c).alias("qid"), F.col(qvec_c).alias("__qv__")
+        )
+    )
+    centroids, assignments = index if index is not None else ivf_assign(
+        df, id_col, vec_col, num_centroids, centroid_mode=centroid_mode, seed=seed
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("qsim").desc(), F.col("cid")
+    )
+    probed = F.broadcast(
+        centroids.crossJoin(q)
+        .select(
+            "qid",
+            "__qv__",
+            "cid",
+            q4(cosine_similarity(F.col("cvec"), F.col("__qv__"))).alias("qsim"),
+        )
+        .withColumn("__pr__", F.row_number().over(w_probe))
+        .where(F.col("__pr__") <= nprobe)
+        .select("qid", "__qv__", "cid")
+    )
+    w_k = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+    return (
+        assignments.join(probed, "cid")
+        .select(
+            "qid",
+            "id",
+            q4(cosine_similarity(F.col("vec"), F.col("__qv__"))).alias("sim"),
+        )
+        .where(F.col("id") != F.col("qid"))
+        .withColumn("__rk__", F.row_number().over(w_k))
+        .where(F.col("__rk__") <= k)
+        .select("qid", "id", "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) ANN — Jégou et al. 2011, "Product Quantization
 # for Nearest Neighbor Search" (the FAISS IndexPQ structure).  Round 6.

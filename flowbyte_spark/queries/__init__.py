@@ -23,12 +23,17 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 9: r8's six post-saturation
-# additions (v89_asof_forward, v97_jpeg_decode, v98_wav_decode,
-# v99_y4m_decode, v100_srp_neardup, v101_url_dedup) moved INTO the
-# window head per the pinned recipe (they lead the r9 rotation below),
-# so the set is empty until the r9 window saturates again.
-POST_WINDOW_NEW: frozenset[str] = frozenset()
+# must lead with these names.  Round 10: the window refilled to exactly
+# 50 (17 r7-aged + 4 new + 5 changed + 24 r8-aged), so the second batch
+# of round-10 additions (queries/round10b.py) carries the in-suite
+# differential until they lead r11's window.
+POST_WINDOW_NEW: frozenset[str] = frozenset(
+    {
+        "v116_q22_idle_customers",
+        "v117_batched_ann",
+        "v118_incremental_agg",
+    }
+)
 
 
 def register(name: str, oracle: str | None = None):
@@ -63,6 +68,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         relational4,
+        round10b,
         scale_q,
         streaming_q,
         tier_a,

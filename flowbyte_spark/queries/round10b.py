@@ -1,0 +1,199 @@
+"""V116-V118: round-10 post-saturation additions (POST_WINDOW_NEW
+tier-3 contract — the 50-slot driver window refilled before these
+landed, so each carries a hash oracle plus the in-suite differential in
+tests/test_llm2_oracle.py and must lead the r11 window).
+
+- V116 TPC-H Q22 shape (adapted to the fixture's customer columns —
+  no c_phone, so nationkey stands in for the country code): an
+  uncorrelated scalar-aggregate threshold plus a NOT EXISTS anti join.
+  Reference anchor: delegated T-SQL EXISTS/NOT IN subqueries
+  (src/flowbyte/sql.py:109).
+- V117 batched IVF ANN: top-k per QUERY TABLE row in one plan
+  (operators/similarity.py:ivf_topk_batch) — the production retrieval
+  pass, vs v25's one-query probe.
+- V118 incremental aggregate maintenance: a grouped count/sum state
+  updated from a CDC delta with NO fact rescan
+  (operators/incremental.py), gated against DuckDB's full recompute of
+  the post-delta snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.queries import register
+from flowbyte_spark.queries.llm import _COS, _q4, IVF_CENTROIDS, IVF_NPROBE
+
+_DSUM = "ROUND(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE), 2)"
+
+# Q22's "country codes in the list" — six nation keys stand in for the
+# phone prefixes the fixture lacks.
+_V116_CODES = "1, 3, 5, 7, 9, 11"
+
+# The positive-balance average threshold compares via exact cross-
+# multiplication (bal * n > total) so no engine-ordered double AVG can
+# flip a boundary customer.
+_V116_SQL = f"""
+    WITH active AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(38,6)) AS bal
+        FROM {{customer}}
+        WHERE c_nationkey IN ({_V116_CODES})
+    ),
+    pos AS (
+        SELECT CAST(SUM(bal) AS DECIMAL(38,6)) AS s,
+               COUNT(*) AS n
+        FROM active WHERE bal > 0
+    ),
+    hot AS (
+        SELECT a.c_nationkey, a.bal
+        FROM active a, pos
+        WHERE a.bal * pos.n > pos.s
+          AND NOT EXISTS (
+              SELECT 1 FROM {{orders}} o WHERE o.o_custkey = a.c_custkey
+          )
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {_DSUM.format(x="bal")} AS totacctbal
+    FROM hot
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
+@register(
+    "v116_q22_idle_customers",
+    oracle=_V116_SQL.format(customer="customer", orders="orders"),
+)
+def v116_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    codes with NO orders.  Runs as literal SQL so Catalyst plans the
+    NOT EXISTS as a genuine left-anti join and the scalar aggregate as
+    a broadcast 1-row subquery result — both decorrelations asserted in
+    tests/test_round10b.py."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "fb116_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("fb116_orders")
+    return spark.sql(
+        _V116_SQL.format(customer="fb116_customer", orders="fb116_orders")
+    )
+
+
+_V117_QIDS = "3, 11, 27, 44, 58"
+
+
+@register(
+    "v117_batched_ann",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+    v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+    scored AS (
+        SELECT v.id, c.cid, v.vec,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.id
+                   ORDER BY {_q4(_COS.format(a='v.vec', b='c.cvec'))} DESC, c.cid
+               ) AS rn
+        FROM v, c),
+    assign AS (SELECT id, cid, vec FROM scored WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN ({_V117_QIDS})),
+    probed AS (
+        SELECT qid, qv, cid FROM (
+            SELECT q.qid, q.qv, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_q4(_COS.format(a='c.cvec', b='q.qv'))} DESC, c.cid
+                   ) AS pr
+            FROM q, c) t
+        WHERE pr <= {IVF_NPROBE}),
+    cand AS (
+        SELECT p.qid, a.id,
+               {_q4(_COS.format(a='a.vec', b='p.qv'))} AS sim
+        FROM assign a JOIN probed p USING (cid)
+        WHERE a.id <> p.qid)
+    SELECT qid, id, sim FROM (
+        SELECT qid, id, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, id) AS rk
+        FROM cand) t
+    WHERE rk <= 5
+    ORDER BY qid, sim DESC, id
+    """,
+)
+def v117_batched_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN: five query vectors resolved to top-5 neighbors
+    each in ONE plan — broadcast centroids + probes, one fan-out join
+    of the inverted lists, one per-qid window top-k.  DuckDB recomputes
+    the identical deterministic quantizer, probe ranking and ADC."""
+    from flowbyte_spark.operators.similarity import ivf_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [int(x) for x in _V117_QIDS.split(",")]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk_batch(
+        emb,
+        "vec_id",
+        "embedding",
+        queries,
+        k=5,
+        num_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    ).orderBy("qid", F.col("sim").desc(), "id")
+
+
+@register(
+    "v118_incremental_agg",
+    oracle=f"""
+    WITH post AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000000 AS o_orderkey,
+               o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_DSUM.format(x="o_totalprice")} AS sum_price
+    FROM post
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def v118_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-priority (count, sum)
+    state is built once from the base fact, then updated from a CDC
+    delta (deletes: keys %13=0; inserts: re-keyed copies of %17=0)
+    WITHOUT rescanning the fact — merge of signed per-group partials
+    (operators/incremental.py).  The oracle recomputes the post-delta
+    snapshot from scratch, so the gate proves state+delta == rescan.
+    Exact-decimal sums make merge order irrelevant; rounding happens
+    only at output."""
+    from flowbyte_spark.operators.incremental import agg_state, incremental_update
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    state = agg_state(orders, ["o_orderpriority"], ["o_totalprice"])
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0)
+    inserts = orders.where(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey",
+        F.col("o_orderkey").cast("long") + F.lit(1_000_000_000_000),
+    )
+    new_state = incremental_update(
+        state, inserts, deletes, ["o_orderpriority"], ["o_totalprice"]
+    )
+    return new_state.select(
+        "o_orderpriority",
+        F.col("__cnt__").alias("n_orders"),
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias(
+            "sum_price"
+        ),
+    ).orderBy("o_orderpriority")

@@ -1,0 +1,81 @@
+"""operators/incremental.py: state + delta must equal a full rescan,
+for any delta — including group-emptying deletes and group-creating
+inserts.  (V118's oracle differential lives in test_llm2_oracle.py.)"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flowbyte_spark.operators.incremental import (
+    agg_state,
+    incremental_update,
+    merge_states,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=4),  # group key
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+def _df(spark, rows, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        "id long, k int, v double",
+    )
+
+
+def _canon(df):
+    # r["__cnt__"]: Row.__getattr__ blocks dunder-prefixed names
+    return sorted(
+        (r.k, r["__cnt__"], float(r.sum_v)) for r in df.collect()
+    )
+
+
+@given(
+    base=st.lists(row, max_size=30),
+    ins=st.lists(row, max_size=15),
+    del_keys=st.sets(st.integers(min_value=0, max_value=4)),
+)
+@SETTINGS
+def test_incremental_equals_rescan(spark, base, ins, del_keys):
+    base_df = _df(spark, base)
+    inserts = _df(spark, ins, start_id=10_000)
+    deletes = base_df.where(F.col("k").isin(list(del_keys)) if del_keys else F.lit(False))
+    post = base_df.exceptAll(deletes).unionByName(inserts)
+
+    state = agg_state(base_df, ["k"], ["v"])
+    incremental = incremental_update(state, inserts, deletes, ["k"], ["v"])
+    rescan = agg_state(post, ["k"], ["v"])
+    assert _canon(incremental) == _canon(rescan)
+
+
+def test_emptied_group_vanishes_exactly(spark):
+    base = _df(spark, [(1, 0.1), (1, 0.2), (2, 5.0)])
+    deletes = base.where(F.col("k") == 1)
+    state = agg_state(base, ["k"], ["v"])
+    out = incremental_update(
+        state, _df(spark, [], start_id=99), deletes, ["k"], ["v"]
+    )
+    rows = out.collect()
+    # group 1 fully deleted: no zero-count residue row survives (the
+    # exact-decimal sums cancel to 0 with the count)
+    assert [r.k for r in rows] == [2]
+
+
+def test_agg_state_rejects_bad_sign(spark):
+    df = _df(spark, [(1, 1.0)])
+    with pytest.raises(ValueError, match="sign"):
+        agg_state(df, ["k"], ["v"], sign=2)
+    with pytest.raises(ValueError, match="no states"):
+        merge_states([], ["k"])

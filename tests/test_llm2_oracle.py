@@ -34,6 +34,12 @@ LLM2 = [
     # round 9: SRP pairs composed into the CC cluster tier (in-window,
     # driver-gated; listed here so the differential also runs in-suite).
     "v104_srp_cluster_dedup",
+    # round-10 post-saturation additions (POST_WINDOW_NEW tier-3): the
+    # r10 window refilled to exactly 50, so these carry the in-suite
+    # differential until they lead r11's window.
+    "v116_q22_idle_customers",
+    "v117_batched_ann",
+    "v118_incremental_agg",
 ]
 
 
