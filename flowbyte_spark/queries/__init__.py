@@ -32,6 +32,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v116_q22_idle_customers",
         "v117_batched_ann",
         "v118_incremental_agg",
+        "v119_stream_outer_join",
     }
 )
 

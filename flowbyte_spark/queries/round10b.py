@@ -197,3 +197,88 @@ def v118_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V119 — stream-stream LEFT OUTER join.  v81 covers the inner form;
+# outer adds the watermark-driven null-padded emission (an unmatched
+# view surfaces only once the global watermark passes its match
+# window).  A bounded availableNow run would strand the tail's
+# unmatched rows in state — the sentinel pattern closes that: one
+# far-future event per side (keys that match nothing) pushes the final
+# watermark past every real row's expiry, and the sink filters the
+# sentinels out.  Result == the batch left join, which IS the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "v119_stream_outer_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id, click_id
+    """,
+)
+def v119_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from flowbyte_spark.queries.streaming_q import _memo_source, _scratch_dir
+    from flowbyte_spark.streaming import (
+        foreach_batch_sink,
+        read_event_stream,
+        run_available_now,
+        scoped_sql_conf,
+        stream_stream_outer_join,
+    )
+
+    def build(path: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        sentinels = spark.createDataFrame(
+            [
+                (-1, -999901, "view", 0.0, "{}"),
+                (-2, -999902, "click", 0.0, "{}"),
+            ],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        events.select(*cols).unionByName(
+            sentinels.select(*cols)
+        ).repartition(2).write.parquet(path)
+
+    src = _memo_source("v119_events", sf_dir, build)
+    ckpt = _scratch_dir("v119_ckpt")
+    views = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_outer_join(
+        views, clicks, key="user_id", max_delay="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+    out = _scratch_dir("v119_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(
+        joined, write, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("view_id") >= 0)
+        .orderBy("view_id", "click_id")
+    )

@@ -192,6 +192,43 @@ def scoped_sql_conf(spark: SparkSession, **confs: str):
                 spark.conf.set(k, v)
 
 
+def stream_stream_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """LEFT OUTER event-time join of two streams: like
+    :func:`stream_stream_join`, but a left row whose match window
+    closes unmatched EMITS with a null right side instead of vanishing.
+
+    The emission is watermark-driven: an unmatched left row surfaces
+    only once the global watermark (the MIN across both sides) passes
+    ``left_ts + max_delay`` — so, unlike the inner join, the tail of a
+    finite run never flushes by itself.  Callers that drain a bounded
+    backfill deterministically must push the watermark past every real
+    row's expiry — the sentinel pattern: append one far-future row per
+    side (keys that match nothing), run availableNow, filter sentinels
+    out of the sink (see queries/round10b.py:v119).  At 100 TB the
+    state bound is identical to the inner join's: per key, whatever
+    falls inside the delay window.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "left_outer")
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -40,6 +40,7 @@ LLM2 = [
     "v116_q22_idle_customers",
     "v117_batched_ann",
     "v118_incremental_agg",
+    "v119_stream_outer_join",
 ]
 
 
