@@ -99,6 +99,60 @@ def check_foreign_key(
     )
 
 
+def not_null_rule(col: str) -> tuple[str, Column]:
+    """(label, violation condition) for :func:`fused_scalar_checks`."""
+    return f"not_null({col})", F.col(col).isNull()
+
+
+def range_rule(col: str, lo=None, hi=None) -> tuple[str, Column]:
+    """(label, violation condition) for :func:`fused_scalar_checks`.
+    NULLs do not violate a range rule — pair with :func:`not_null_rule`."""
+    if lo is None and hi is None:
+        raise ValueError("range_rule needs at least one bound")
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    return f"range({col},{lo},{hi})", cond
+
+
+def fused_scalar_checks(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Every row-predicate rule (not-null / range / any boolean
+    condition) in ONE scan: a single aggregate row of violation counts,
+    melted executor-side to ``(check, n_violations)`` rows.
+
+    ``run_expectations`` over per-rule DataFrames unions independent
+    aggregates — N scalar rules cost N scans of the fact.  At 100 TB
+    the scan IS the job, so the battery belongs in one pass; this is
+    the profile-operator pattern (one agg + explode) applied to
+    constraint checking.  Keyed rules (unique, FK) still need their own
+    shuffle/join and stay separate.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [
+        F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+        .cast("long")
+        .alias(f"__v{i}__")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    entries = [
+        F.struct(
+            F.lit(label).alias("check"),
+            F.col(f"__v{i}__").alias("n_violations"),
+        )
+        for i, (label, _) in enumerate(rules)
+    ]
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+    )
+
+
 def run_expectations(checks: list[DataFrame]) -> DataFrame:
     """Union the battery into one ``(check, n_violations, passed)``
     summary, ordered by check name."""

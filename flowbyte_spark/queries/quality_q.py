@@ -50,17 +50,25 @@ from flowbyte_spark.queries import register
     """,
 )
 def v106_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Battery = one map-side aggregate per not-null/range rule, one
-    key groupBy for uniqueness, one anti-join for the FK — unioned into
-    a (check, n_violations, passed) report (operators/expectations.py)."""
+    """Battery = ONE scan for all row-predicate rules (fused scalar
+    aggregate, round 10 — N rules no longer cost N scans of the fact),
+    one key groupBy for uniqueness, one anti-join for the FK — unioned
+    into a (check, n_violations, passed) report
+    (operators/expectations.py; single-scan proof in
+    tests/test_quality_tier.py)."""
     from flowbyte_spark.operators import expectations as E
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     checks = [
+        E.fused_scalar_checks(
+            orders,
+            [
+                E.not_null_rule("o_custkey"),
+                E.range_rule("o_totalprice", 0.0, 300000.0),
+            ],
+        ),
         E.check_unique(orders, ["o_orderkey"]),
-        E.check_not_null(orders, "o_custkey"),
-        E.check_range(orders, "o_totalprice", 0.0, 300000.0),
         E.check_foreign_key(
             orders,
             customer.where(F.col("c_acctbal") > 0),

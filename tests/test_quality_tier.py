@@ -52,6 +52,48 @@ def test_expectations_empty_battery_fails(spark):
         E.run_expectations([])
 
 
+def test_fused_scalar_checks_single_scan(spark, sf_dir):
+    # The point of the fusion: N row-predicate rules = ONE pass over
+    # the fact, one aggregate row melted executor-side.
+    from flowbyte_spark import plans
+    from flowbyte_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    df = E.fused_scalar_checks(
+        orders,
+        [
+            E.not_null_rule("o_custkey"),
+            E.range_rule("o_totalprice", 0.0, 300000.0),
+            ("custom(o_orderkey>0)", F.col("o_orderkey") <= 0),
+        ],
+    )
+    plan = plans.physical_plan(df)
+    # one ReadSchema line per scan node (the node name itself prints
+    # twice in formatted explain: tree + detail section)
+    assert plan.count("ReadSchema") == 1, plan
+    rows = {r.check: r.n_violations for r in df.collect()}
+    expected_custom = orders.where(F.col("o_orderkey") <= 0).count()
+    assert rows["custom(o_orderkey>0)"] == expected_custom
+    # counts agree with the per-rule single checks
+    single = {
+        r.check: r.n_violations
+        for c in (
+            E.check_not_null(orders, "o_custkey"),
+            E.check_range(orders, "o_totalprice", 0.0, 300000.0),
+        )
+        for r in c.collect()
+    }
+    for k, v in single.items():
+        assert rows[k] == v, (k, rows[k], v)
+
+
+def test_fused_scalar_checks_rejects_empty_rules(spark):
+    with pytest.raises(ValueError, match="no rules"):
+        E.fused_scalar_checks(spark.range(1), [])
+    with pytest.raises(ValueError, match="at least one bound"):
+        E.range_rule("x")
+
+
 def test_expectations_vacuously_pass_on_empty_table(spark):
     # ADVICE r9: bare SUM over zero rows is NULL — every check must
     # coalesce so an empty table reports 0 violations / passed=True,
