@@ -33,6 +33,8 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v117_batched_ann",
         "v118_incremental_agg",
         "v119_stream_outer_join",
+        "v120_skewed_join_agg",
+        "v121_bloom_filter_join",
     }
 )
 

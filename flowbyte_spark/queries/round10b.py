@@ -282,3 +282,110 @@ def v119_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("view_id") >= 0)
         .orderBy("view_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# V120 — a deliberately skewed join: 80% of the fact collapses onto one
+# key.  The VALUE gate is the DuckDB hash-match below; the SCALE gate —
+# AQE's OptimizeSkewedJoin actually splitting the hot partition, and
+# the two silent disablers that stop it (default 256 MB threshold at
+# fixture scale; broadcast conversion beating the skew rule) — lives in
+# tests/test_skew_aqe.py, the v102/v103 proof split.  The salted family
+# (v85/v86/v94-v96) is the MANUAL skew toolkit; this row pins the
+# AUTOMATIC path a 1000-executor job leans on first.
+# ---------------------------------------------------------------------------
+@register(
+    "v120_skewed_join_agg",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey % 97 END AS sk,
+               l_extendedprice, l_discount
+        FROM lineitem),
+    d AS (SELECT UNNEST(range(0, 97)) AS sk)
+    SELECT CAST(sk % 5 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM f JOIN d USING (sk)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v120_skewed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum, ensure_parallelism
+
+    # The skew splitter divides a hot REDUCE partition along MAPPER
+    # boundaries — a single-file fixture scan is one mapper, so the hot
+    # partition is one indivisible chunk and the rule reports zero skew
+    # (the fourth silent disabler; at 100 TB a scan is thousands of
+    # mappers and this never arises).  Fan the scan out first, exactly
+    # what the real job's scan parallelism provides for free.
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 97)
+            .alias("sk"),
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    # Static key dim, NOT derived-by-distinct from the fact: the skew
+    # rule only rewrites joins whose children are plain sort+shuffle
+    # reads — an aggregate between the dim's exchange and the join
+    # disqualifies the rewrite (a third silent disabler, control-tested
+    # alongside the broadcast one).
+    dim = spark.range(97).select(F.col("id").alias("sk"))
+    # merge hint: the skew rule only applies to sort-merge joins — at
+    # fixture scale AQE would otherwise broadcast the 97-row dim and
+    # the query would prove nothing (disabler control-tested).
+    return (
+        li.hint("merge")
+        .join(dim, "sk")
+        .groupBy((F.col("sk") % 5).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V121 — Spark's BUILT-IN Bloom-filter runtime filter (the automatic
+# twin of v105's manual semi-join reduction): with the injection
+# thresholds met, Catalyst plants bloom_filter_might_contain on the
+# fact's scan side, built from the filtered dim.  Identity rewrite, so
+# the oracle is the plain join; the injection proof + the
+# threshold-disabler control live in tests/test_skew_aqe.py.
+# ---------------------------------------------------------------------------
+@register(
+    "v121_bloom_filter_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def v121_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_quantity", "total_qty"),
+        )
+        .orderBy("p_brand")
+    )
