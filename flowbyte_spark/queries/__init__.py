@@ -35,6 +35,8 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v119_stream_outer_join",
         "v120_skewed_join_agg",
         "v121_bloom_filter_join",
+        "v122_sparse_cosine_pairs",
+        "v123_schema_evolution",
     }
 )
 

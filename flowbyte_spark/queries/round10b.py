@@ -362,6 +362,119 @@ def v120_skewed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle is the plain join; the injection proof + the
 # threshold-disabler control live in tests/test_skew_aqe.py.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# V122 — sparse TF-IDF cosine near-dup pairs via an inverted-index
+# self-join (operators/tfidf.py:sparse_cosine_pairs).  The lexical twin
+# of the dense embedding family: MinHash finds shingle overlap, SRP
+# finds embedding proximity, this finds weighted-vocabulary overlap —
+# and like them it never goes all-pairs (documents meet only through
+# shared terms; the df cap bounds fan-out AND is the posting-list skew
+# valve).  Doc scope capped like v38 so the oracle's self-join stays
+# fixture-sized; the operator itself takes the full corpus.
+# ---------------------------------------------------------------------------
+_V122_LIMIT = 1000
+
+
+@register(
+    "v122_sparse_cosine_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id AS id, text FROM documents
+                  WHERE doc_id < {_V122_LIMIT}),
+    terms AS (SELECT id, unnest(string_split(text, ' ')) AS term FROM docs),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+              HAVING COUNT(*) <= GREATEST((SELECT COUNT(*) FROM docs) // 10, 1)),
+    w AS (SELECT id, tf.term,
+                 tf.tf * (ln(((SELECT COUNT(*) FROM docs) + 1.0)
+                             / (dfreq.df + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (term)),
+    norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id1, b.id AS id2, SUM(a.w * b.w) AS dot
+             FROM w a JOIN w b USING (term)
+             WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT id1, id2,
+           FLOOR((dot / (n1.nrm * n2.nrm)) * 10000 + 0.5) / 10000 AS sim
+    FROM dots JOIN norms n1 ON id1 = n1.id JOIN norms n2 ON id2 = n2.id
+    WHERE FLOOR((dot / (n1.nrm * n2.nrm)) * 10000 + 0.5) / 10000 >= 0.5
+    ORDER BY id1, id2
+    """,
+)
+def v122_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.tfidf import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _V122_LIMIT
+    )
+    max_df = max(docs.count() // 10, 1)
+    return sparse_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df=max_df
+    ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# V123 — schema-evolution read (sources/evolved.py): two parquet epochs
+# of the same logical table, the newer one carrying an added column,
+# read as ONE DataFrame (mergeSchema) and conformed to the target
+# contract (missing column -> NULL).  DuckDB recreates the identical
+# epochs from `customer` directly, so the gate checks the union
+# semantics, the NULL fill AND the contracted types.
+# ---------------------------------------------------------------------------
+@register(
+    "v123_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT COALESCE(c_mktsegment, '<pre-evolution>') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_bal
+    FROM unioned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v123_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum
+    from flowbyte_spark.queries.streaming_q import _memo_source
+    from flowbyte_spark.sources.evolved import conform, read_evolved
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def build(path: str) -> None:
+        # epoch 1: before c_mktsegment existed; epoch 2: after
+        cust.where(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ).write.parquet(path + "/epoch1")
+        cust.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).write.parquet(path + "/epoch2")
+
+    base = _memo_source("v123_epochs", sf_dir, build)
+    df = conform(
+        read_evolved(spark, [base + "/epoch1", base + "/epoch2"]),
+        "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, "
+        "c_mktsegment STRING",
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<pre-evolution>")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("c_acctbal", "sum_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
 @register(
     "v121_bloom_filter_join",
     oracle="""

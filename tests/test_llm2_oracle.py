@@ -43,6 +43,8 @@ LLM2 = [
     "v119_stream_outer_join",
     "v120_skewed_join_agg",
     "v121_bloom_filter_join",
+    "v122_sparse_cosine_pairs",
+    "v123_schema_evolution",
 ]
 
 
