@@ -59,6 +59,7 @@ def sparse_cosine_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine >= ``threshold`` via an
     INVERTED-INDEX self-join — the sparse lexical twin of the dense
@@ -79,8 +80,12 @@ def sparse_cosine_pairs(
     At 100 TB add prefix filtering (index only each doc's top-weight
     terms) to cut candidate pairs further; the shape stays two keyed
     shuffles + one pair aggregate.
+
+    Pass ``n_docs`` when the caller already counted the corpus (idf
+    needs N; recounting is a full extra scan per call).
     """
-    n_docs = df.count()
+    if n_docs is None:
+        n_docs = df.count()
     terms = (
         ensure_parallelism(df)
         .select(

@@ -28,9 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flowbyte_spark.catalog import load_table
 from flowbyte_spark.functions import dec_sum
 from flowbyte_spark.queries import register
+from flowbyte_spark.queries.relational import _DSUM
 from flowbyte_spark.sources.bucketed import read_bucketed, write_bucketed
-
-_DSUM = "ROUND(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE), 2)"
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -46,7 +45,9 @@ def bucketed_pair(
     lands, and every subsequent join on the bucket key is shuffle-free.
     Bench iterations therefore time the co-located JOIN, not the
     layout write (same contract as scale_q.partitioned_orders)."""
-    tag = _sf_tag(sf_dir)
+    # num_buckets is part of the memo key: otherwise a same-session call
+    # with a different bucket count silently gets the first layout back.
+    tag = f"{_sf_tag(sf_dir)}_{num_buckets}b"
     names = (f"fb112_orders_{tag}", f"fb112_customer_{tag}")
     if not all(spark.catalog.tableExists(n) for n in names):
         # The in-memory catalog dies with the session but the managed-

@@ -1,4 +1,4 @@
-"""V116-V118: round-10 post-saturation additions (POST_WINDOW_NEW
+"""V116-V123: round-10 post-saturation additions (POST_WINDOW_NEW
 tier-3 contract — the 50-slot driver window refilled before these
 landed, so each carries a hash oracle plus the in-suite differential in
 tests/test_llm2_oracle.py and must lead the r11 window).
@@ -15,6 +15,12 @@ tests/test_llm2_oracle.py and must lead the r11 window).
   updated from a CDC delta with NO fact rescan
   (operators/incremental.py), gated against DuckDB's full recompute of
   the post-delta snapshot.
+- V119 stream-stream LEFT OUTER join (sentinel-flushed bounded runs).
+- V120/V121 AQE skew-join split and built-in Bloom runtime filter —
+  value gates here, firing proofs + disabler controls in
+  tests/test_skew_aqe.py.
+- V122 sparse TF-IDF cosine near-dup pairs (inverted-index self-join).
+- V123 schema-evolution read (mergeSchema + output-contract conform).
 """
 
 from __future__ import annotations
@@ -24,8 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flowbyte_spark.catalog import load_table
 from flowbyte_spark.queries import register
 from flowbyte_spark.queries.llm import _COS, _q4, IVF_CENTROIDS, IVF_NPROBE
-
-_DSUM = "ROUND(CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE), 2)"
+from flowbyte_spark.queries.relational import _DSUM
 
 # Q22's "country codes in the list" — six nation keys stand in for the
 # phone prefixes the fixture lacks.
@@ -362,6 +367,35 @@ def v120_skewed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle is the plain join; the injection proof + the
 # threshold-disabler control live in tests/test_skew_aqe.py.
 # ---------------------------------------------------------------------------
+@register(
+    "v121_bloom_filter_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size = 1
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def v121_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_quantity", "total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # ---------------------------------------------------------------------------
 # V122 — sparse TF-IDF cosine near-dup pairs via an inverted-index
 # self-join (operators/tfidf.py:sparse_cosine_pairs).  The lexical twin
@@ -405,9 +439,14 @@ def v122_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _V122_LIMIT
     )
-    max_df = max(docs.count() // 10, 1)
+    n_docs = docs.count()  # one scan serves BOTH the df cap and idf's N
     return sparse_cosine_pairs(
-        docs, "doc_id", "text", threshold=0.5, max_df=max_df
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_df=max(n_docs // 10, 1),
+        n_docs=n_docs,
     ).orderBy("id1", "id2")
 
 
@@ -472,33 +511,4 @@ def v123_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal", "sum_bal"),
         )
         .orderBy("segment")
-    )
-
-
-@register(
-    "v121_bloom_filter_join",
-    oracle="""
-    SELECT p_brand,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
-               AS total_qty
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_size = 1
-    GROUP BY p_brand
-    ORDER BY p_brand
-    """,
-)
-def v121_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flowbyte_spark.functions import dec_sum
-
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
-    return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dec_sum("l_quantity", "total_qty"),
-        )
-        .orderBy("p_brand")
     )

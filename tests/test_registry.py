@@ -57,7 +57,7 @@ def test_never_driver_verified_queries_lead_the_window():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         prior |= set(json.load(open(path)))
     never = [q for q in QUERIES if q not in prior and q not in POST_WINDOW_NEW]
     assert all(
@@ -76,7 +76,7 @@ def test_stalest_queries_lead_the_window():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
