@@ -88,10 +88,16 @@ def main() -> None:
     # Re-measure pass (VERDICT r9 #7): a flagged median is a CLAIM of
     # contention — test it by re-running the flagged queries once the
     # sweep (the likely contender) is over.  Keep whichever spread has
-    # the lower median: a genuine slow query reproduces, a polluted one
-    # collapses to its min (r9: v93 2.81 s flagged -> 1.09 s quiet).
+    # the lower median (a genuine slow query reproduces, a polluted one
+    # collapses to its min; r9: v93 2.81 s flagged -> 1.09 s quiet) —
+    # but ALWAYS preserve the replaced measurement under "initial"
+    # (ADVICE r10: the one-sided selection must leave its evidence in
+    # the artifact, not just a remeasured flag).  Warm-ups precede the
+    # timed samples for symmetry with the main sweep loop.
     for name in _noisy():
         try:
+            for _ in range(warmups):
+                execute(QUERIES[name](spark, sf_dir))
             samples = []
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -100,14 +106,17 @@ def main() -> None:
         except Exception:  # keep the original measurement on any error
             continue
         med = statistics.median(samples)
-        if med < spreads[name]["median"]:
+        initial = dict(spreads[name])
+        remeasured = {
+            "min": round(min(samples), 3),
+            "median": round(med, 3),
+            "max": round(max(samples), 3),
+        }
+        if med < initial["median"]:
             timings[name] = round(med, 3)
-            spreads[name] = {
-                "min": round(min(samples), 3),
-                "median": round(med, 3),
-                "max": round(max(samples), 3),
-                "remeasured": 1,
-            }
+            spreads[name] = {**remeasured, "remeasured": 1, "initial": initial}
+        else:  # slow reproduces quiet — record the re-measure as evidence
+            spreads[name] = {**initial, "remeasure": remeasured}
     noisy = _noisy()
     ok = {k: v for k, v in timings.items() if v >= 0}
     result = {
@@ -136,6 +145,26 @@ def main() -> None:
     # THE one stdout JSON line (driver contract) — compact separators so
     # a bounded capture window clips as little as possible.
     print(json.dumps(result, separators=(",", ":")), flush=True)
+    # Head-clip mitigation (VERDICT r10 #8): the driver's bounded stdout
+    # capture has clipped the HEAD of the line above three rounds
+    # running (v01-v21 lost).  Emit the per-query dict AGAIN in reverse
+    # name order on a second line — whatever window the driver keeps,
+    # the union of the two lines reconstructs every query's number.
+    rev = {k: timings[k] for k in sorted(timings, reverse=True)}
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": result["value"],
+                "unit": "sec",
+                "order": "reversed",
+                "queries": rev,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
     # Tripwire (VERDICT r3 #4): round 3 shipped v34 as -1.0 and nothing
     # flagged it.  The JSON line above is already printed (the driver keeps
     # its record either way); a broken query now ALSO fails the run loudly.

@@ -659,6 +659,7 @@ def ivf_topk_batch(
     centroid_mode: str = "lowest_id",
     seed: int = 42,
     index: tuple[DataFrame, DataFrame] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN for a query TABLE: top-k per query in ONE plan.
 
@@ -673,8 +674,15 @@ def ivf_topk_batch(
 
     ``queries`` must carry ``(qid, qvec)`` (any column names — the
     first two columns are taken positionally).  Returns
-    ``(qid, id, sim)`` — the k nearest ids per qid, self-matches
-    excluded, ties broken on id (same contract as :func:`ivf_topk`).
+    ``(qid, id, sim)`` — the k nearest ids per qid, ties broken on id
+    (same contract as :func:`ivf_topk`).
+
+    ``exclude_self`` (default True) drops candidates whose corpus id
+    equals the query's qid — the in-corpus retrieval case, where qids
+    ARE corpus ids.  When the query table has its OWN id namespace
+    (qids not drawn from the corpus), pass ``exclude_self=False``:
+    otherwise a legitimate neighbor with a coincidentally equal id
+    would be silently dropped from the top-k (ADVICE r10).
 
     Scale shape: centroids + probed lists + the query set broadcast;
     the only shuffle is the per-qid top-k window over candidate rows
@@ -710,14 +718,15 @@ def ivf_topk_batch(
         .select("qid", "__qv__", "cid")
     )
     w_k = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id"))
+    scored = assignments.join(probed, "cid").select(
+        "qid",
+        "id",
+        q4(cosine_similarity(F.col("vec"), F.col("__qv__"))).alias("sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("id") != F.col("qid"))
     return (
-        assignments.join(probed, "cid")
-        .select(
-            "qid",
-            "id",
-            q4(cosine_similarity(F.col("vec"), F.col("__qv__"))).alias("sim"),
-        )
-        .where(F.col("id") != F.col("qid"))
+        scored
         .withColumn("__rk__", F.row_number().over(w_k))
         .where(F.col("__rk__") <= k)
         .select("qid", "id", "sim")

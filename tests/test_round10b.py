@@ -48,6 +48,31 @@ def test_v117_batch_matches_single_query_probes(spark, sf_dir):
     assert batched == single
 
 
+def test_v117_exclude_self_flag(spark, sf_dir):
+    # ADVICE r10: when the query table has its own qid namespace, a
+    # corpus id coincidentally equal to a qid must NOT be dropped.
+    # exclude_self=False keeps it: a query that IS corpus row 3 must
+    # rank id 3 first at sim 1.0 (a self-match, only visible with the
+    # flag off); with the default True, id 3 never appears for qid 3.
+    from flowbyte_spark.operators.similarity import ivf_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(k=3, num_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+    kept = ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, exclude_self=False, **kw
+    ).collect()
+    assert (kept[0].qid, kept[0].id, float(kept[0].sim)) == (3, 3, 1.0)
+    dropped = ivf_topk_batch(emb, "vec_id", "embedding", queries, **kw).collect()
+    assert all(r.id != 3 for r in dropped)
+    # The flag only adds/removes the self row — the non-self tail agrees.
+    assert [(r.qid, r.id) for r in kept[1:]] == [
+        (r.qid, r.id) for r in dropped[: len(kept) - 1]
+    ]
+
+
 def test_v117_no_cartesian_on_the_corpus(spark, sf_dir):
     # The fan-out join must be the equi-join on cid; the only cross
     # joins allowed are against the broadcast query/centroid tables.
