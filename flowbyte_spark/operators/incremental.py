@@ -18,10 +18,13 @@ Sums are kept as exact DECIMAL(38,6) so a fully-deleted group's
 measures cancel to exactly zero (float residue would leak phantom
 groups past the count filter) and merge order cannot change results.
 
-Only group-homomorphic measures belong here (count, sum, and anything
-derived from them downstream — avg = sum/count at read time).  MIN/MAX
-are NOT invertible under deletes; maintain those with the snapshot
-diff + targeted recompute instead (operators/diff.py).
+Only group-homomorphic measures belong in :func:`incremental_update`
+(count, sum, and anything derived from them downstream — avg =
+sum/count at read time).  MIN/MAX are NOT invertible under deletes;
+:func:`incremental_minmax_update` maintains those with the TARGETED
+recompute: inserts merge algebraically (``least``/``greatest``), and
+only groups where a delete ties the current extremum re-aggregate —
+against a semi-join-filtered fact scan, not a full rescan.
 """
 
 from __future__ import annotations
@@ -67,6 +70,120 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
         F.col("__cnt__").cast("long").alias("__cnt__"),
         *[F.col(c).cast(DEC).alias(c) for c in measure_cols if c != "__cnt__"],
     )
+
+
+def minmax_state(df: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """Grouped extremum state ``(keys..., __cnt__, min_<c>, max_<c>)``.
+
+    Measures stay in their native type (MIN/MAX are exact — no decimal
+    normalization needed); ``__cnt__`` exists so fully-deleted groups
+    can be detected without consulting the fact.
+    """
+    aggs = [F.count(F.lit(1)).alias("__cnt__")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def incremental_minmax_update(
+    state: DataFrame,
+    fact_post: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    keys: list[str],
+    cols: list[str],
+) -> DataFrame:
+    """New MIN/MAX state from the old state plus a CDC delta, with a
+    TARGETED recompute instead of a full rescan (VERDICT r10 #4 — the
+    hand-off ``incremental_update`` documents).
+
+    MIN/MAX are monotone under inserts (``least``/``greatest`` merge,
+    delta-sized work) but NOT invertible under deletes: a delete only
+    matters when it removes a row carrying the group's current
+    extremum.  Without per-value multiplicity the test is conservative
+    — a group re-aggregates iff ``min(deleted values) == state min``
+    (or the max twin, null-safely, per measure).  Everything else
+    merges algebraically.
+
+    ``fact_post`` is the post-delta fact; only the unsafe groups read
+    it, through a broadcast LEFT SEMI join on the keys — at 100 TB
+    that filter rides down as a runtime/partition predicate (DPP on a
+    key-partitioned fact, Bloom pushdown otherwise), so the recompute
+    leg scans the slices holding extremum-hit groups, not the table.
+    The delta legs are one map-side-combined aggregate each,
+    O(groups + |delta|) — same shape as :func:`incremental_update`.
+
+    Returns the :func:`minmax_state` schema; equal to
+    ``minmax_state(fact_post)`` by construction (differentially tested
+    in tests/test_incremental.py, hash-gated as v124).
+    """
+    ins = inserts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__icnt__"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"__imin_{c}__"),
+                F.max(c).alias(f"__imax_{c}__"),
+            )
+        ],
+    )
+    dels = deletes.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__dcnt__"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"__dmin_{c}__"),
+                F.max(c).alias(f"__dmax_{c}__"),
+            )
+        ],
+    )
+    j = state.join(ins, keys, "full_outer").join(dels, keys, "full_outer")
+    new_cnt = (
+        F.coalesce(F.col("__cnt__"), F.lit(0))
+        + F.coalesce(F.col("__icnt__"), F.lit(0))
+        - F.coalesce(F.col("__dcnt__"), F.lit(0))
+    ).cast("long")
+    # A delete is UNSAFE when it could have removed an extremum row:
+    # its group min/max ties the state's (eqNullSafe — an all-NULL
+    # measure column ties NULL-to-NULL and recomputes, conservatively).
+    # A delete against a group the state never held is an inconsistent
+    # feed — recompute resolves it to the fact's truth instead of
+    # propagating garbage.
+    hit = F.col("__cnt__").isNull()
+    for c in cols:
+        hit = hit | F.col(f"__dmin_{c}__").eqNullSafe(F.col(f"min_{c}"))
+        hit = hit | F.col(f"__dmax_{c}__").eqNullSafe(F.col(f"max_{c}"))
+    unsafe = F.col("__dcnt__").isNotNull() & hit
+    safe = (
+        j.where(~unsafe)
+        .where(new_cnt > 0)
+        .select(
+            *keys,
+            new_cnt.alias("__cnt__"),
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.least(F.col(f"min_{c}"), F.col(f"__imin_{c}__")).alias(
+                        f"min_{c}"
+                    ),
+                    F.greatest(
+                        F.col(f"max_{c}"), F.col(f"__imax_{c}__")
+                    ).alias(f"max_{c}"),
+                )
+            ],
+        )
+    )
+    unsafe_keys = j.where(unsafe).select(*keys)
+    recomputed = minmax_state(
+        fact_post.join(F.broadcast(unsafe_keys), keys, "left_semi"),
+        keys,
+        cols,
+    )
+    return safe.unionByName(recomputed)
 
 
 def incremental_update(

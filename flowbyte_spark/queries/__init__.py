@@ -74,6 +74,7 @@ def _load_all() -> None:
         relational3,
         relational4,
         round10b,
+        round11,
         scale_q,
         streaming_q,
         tier_a,

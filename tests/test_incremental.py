@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from flowbyte_spark.operators.incremental import (
     agg_state,
+    incremental_minmax_update,
     incremental_update,
     merge_states,
+    minmax_state,
 )
 
 SETTINGS = settings(
@@ -58,6 +60,72 @@ def test_incremental_equals_rescan(spark, base, ins, del_keys):
     incremental = incremental_update(state, inserts, deletes, ["k"], ["v"])
     rescan = agg_state(post, ["k"], ["v"])
     assert _canon(incremental) == _canon(rescan)
+
+
+def _canon_mm(df):
+    return sorted(
+        (r.k, r["__cnt__"], r.min_v, r.max_v) for r in df.collect()
+    )
+
+
+@given(
+    base=st.lists(row, max_size=30),
+    ins=st.lists(row, max_size=15),
+    del_ids=st.sets(st.integers(min_value=0, max_value=29)),
+)
+@SETTINGS
+def test_minmax_incremental_equals_rescan(spark, base, ins, del_ids):
+    # Row-level deletes (not whole groups): the interesting cases are a
+    # delete that removes the extremum row (targeted recompute must
+    # fire) and one that doesn't (algebraic merge must suffice) — the
+    # id-subset strategy generates both, plus duplicated-extremum ties.
+    base_df = _df(spark, base)
+    inserts = _df(spark, ins, start_id=10_000)
+    deletes = base_df.where(
+        F.col("id").isin(list(del_ids)) if del_ids else F.lit(False)
+    )
+    post = base_df.exceptAll(deletes).unionByName(inserts)
+
+    state = minmax_state(base_df, ["k"], ["v"])
+    incremental = incremental_minmax_update(
+        state, post, inserts, deletes, ["k"], ["v"]
+    )
+    rescan = minmax_state(post, ["k"], ["v"])
+    assert _canon_mm(incremental) == _canon_mm(rescan)
+
+
+def test_minmax_safe_delete_merges_without_touching_fact(spark):
+    # A delete that does NOT tie the extremum must resolve purely from
+    # state+delta: pass a poisoned fact (wrong values) and assert the
+    # output still matches the algebraic merge — proof no fact scan
+    # happened for the safe group.
+    base = _df(spark, [(1, 1.0), (1, 5.0), (1, 9.0)])
+    deletes = base.where(F.col("v") == 5.0)
+    poisoned_fact = _df(spark, [(1, -777.0)], start_id=500)
+    out = incremental_minmax_update(
+        minmax_state(base, ["k"], ["v"]),
+        poisoned_fact,
+        _df(spark, [], start_id=99),
+        deletes,
+        ["k"],
+        ["v"],
+    )
+    assert _canon_mm(out) == [(1, 2, 1.0, 9.0)]
+
+
+def test_minmax_extremum_delete_recomputes_only_that_group(spark):
+    base = _df(spark, [(1, 1.0), (1, 5.0), (2, 3.0), (2, 4.0)])
+    deletes = base.where((F.col("k") == 1) & (F.col("v") == 1.0))
+    post = base.exceptAll(deletes)
+    out = incremental_minmax_update(
+        minmax_state(base, ["k"], ["v"]),
+        post,
+        _df(spark, [], start_id=99),
+        deletes,
+        ["k"],
+        ["v"],
+    )
+    assert _canon_mm(out) == [(1, 1, 5.0, 5.0), (2, 2, 3.0, 4.0)]
 
 
 def test_emptied_group_vanishes_exactly(spark):

@@ -45,6 +45,9 @@ LLM2 = [
     "v121_bloom_filter_join",
     "v122_sparse_cosine_pairs",
     "v123_schema_evolution",
+    # round-11 registrations (in-window this round — listed here so the
+    # driver-identical differential also runs in-suite).
+    "v124_incremental_minmax",
 ]
 
 
