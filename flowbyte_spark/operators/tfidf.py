@@ -53,6 +53,12 @@ def tfidf(
     )
 
 
+# Prefix-filter safety margin: missed pairs are provably < threshold -
+# margin, so q4 rounding (1e-4 grid) can never lift one back over the
+# threshold.  Costs a slightly larger index; correctness direction only.
+PREFIX_MARGIN = 1e-3
+
+
 def sparse_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -60,6 +66,7 @@ def sparse_cosine_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     n_docs: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine >= ``threshold`` via an
     INVERTED-INDEX self-join — the sparse lexical twin of the dense
@@ -77,9 +84,20 @@ def sparse_cosine_pairs(
     identically by the DuckDB oracle.
 
     Returns ``(id1, id2, sim)`` with ``id1 < id2``, sim quantized q4.
-    At 100 TB add prefix filtering (index only each doc's top-weight
-    terms) to cut candidate pairs further; the shape stays two keyed
-    shuffles + one pair aggregate.
+
+    ``prefix_filter=True`` switches to the PREFIX-FILTERED plan
+    (Bayardo/Chaudhuri all-pairs bound, the documented 100 TB
+    extension): only each document's top-weight terms enter the
+    inverted index — the minimal prefix whose remaining (suffix) share
+    of the unit norm-squared stays below the threshold.  A pair both of
+    whose docs overlap ONLY through un-indexed terms then has
+    ``dot <= ||sfx_x|| * ||sfx_y|| < threshold``, so pruning it is
+    provably recall-lossless (property-tested in tests/test_tfidf.py;
+    v127 hash-matches v122's full-computation oracle).  Candidates come
+    from index x FULL-postings (one side indexed suffices for the
+    bound); exact cosines are then verified per candidate against
+    broadcast-free per-doc weight maps — verification work is
+    O(|candidates| * doc_len), not O(sum_t df_t^2).
 
     Pass ``n_docs`` when the caller already counted the corpus (idf
     needs N; recounting is a full extra scan per call).
@@ -104,6 +122,11 @@ def sparse_cosine_pairs(
     norms = w.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
+    if prefix_filter:
+        unit = w.join(norms, "id").select(
+            "id", "term", (F.col("w") / F.col("nrm")).alias("u")
+        )
+        return _prefix_filtered_pairs(unit, threshold)
     a = w.select(F.col("id").alias("id1"), "term", F.col("w").alias("w1"))
     b = w.select(F.col("id").alias("id2"), "term", F.col("w").alias("w2"))
     dots = (
@@ -122,5 +145,68 @@ def sparse_cosine_pairs(
             "id2",
             q4(F.col("dot") / (F.col("n1") * F.col("n2"))).alias("sim"),
         )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def prefix_index(unit: DataFrame, threshold: float) -> DataFrame:
+    """The indexed (id, term) prefix of each UNIT-normalized document.
+
+    Rows sort per doc by weight descending (term ascending on ties —
+    deterministic); a row is indexed while the norm-squared mass from
+    it to the tail is still >= threshold - PREFIX_MARGIN.  The
+    un-indexed suffix therefore carries < threshold - margin of the
+    unit norm-squared, which is what the losslessness proof needs.
+    """
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("id")
+        .orderBy(F.col("u").desc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("u") * F.col("u")).over(win)
+    sfx_incl = F.lit(1.0) - (cum - F.col("u") * F.col("u"))
+    return (
+        unit.withColumn("__sfx__", sfx_incl)
+        .where(F.col("__sfx__") >= threshold - PREFIX_MARGIN)
+        .select("id", "term")
+    )
+
+
+def _prefix_filtered_pairs(unit: DataFrame, threshold: float) -> DataFrame:
+    """Candidate generation via prefix-index x full-postings, then exact
+    per-candidate cosine verification against per-doc weight maps."""
+    idx = prefix_index(unit, threshold)
+    cand = (
+        idx.select(F.col("id").alias("ia"), "term")
+        .join(unit.select(F.col("id").alias("ib"), "term"), "term")
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id1"),
+            F.greatest("ia", "ib").alias("id2"),
+        )
+        .distinct()
+    )
+    docvec = unit.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "u"))).alias("v")
+    )
+    v1 = docvec.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = docvec.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    # Unit vectors: cosine == dot.  map_zip_with pairs shared terms
+    # (missing-on-one-side -> NULL -> 0 contribution); interpreted
+    # higher-order lambdas are fine here — the input is |candidates|
+    # rows, not the posting-list join volume.
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with("v1", "v2", lambda _k, a, b: a * b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(x, F.lit(0.0)),
+    )
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", q4(dot).alias("sim"))
         .where(F.col("sim") >= threshold)
     )

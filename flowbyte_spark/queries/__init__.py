@@ -23,22 +23,11 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 10: the window refilled to exactly
-# 50 (17 r7-aged + 4 new + 5 changed + 24 r8-aged), so the second batch
-# of round-10 additions (queries/round10b.py) carries the in-suite
-# differential until they lead r11's window.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {
-        "v116_q22_idle_customers",
-        "v117_batched_ann",
-        "v118_incremental_agg",
-        "v119_stream_outer_join",
-        "v120_skewed_join_agg",
-        "v121_bloom_filter_join",
-        "v122_sparse_cosine_pairs",
-        "v123_schema_evolution",
-    }
-)
+# must lead with these names.  Round 11: the r10 batch (v116-v123) now
+# LEADS the window per the pinned rotation, and this round's additions
+# (v124-v127) fit inside it — so the set is currently empty.  If the
+# window saturates mid-round, later additions go here.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None):
@@ -96,73 +85,73 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-10 WINDOW (executes the recipe pinned at r9 close):
-    # (a) the 17 queries whose last driver row is CORRECTNESS_r07.json
-    # (two rounds stale — r9 VERDICT mandate #1) lead;
-    # (b) round-10 registrations, never driver-verified (v112-v115);
-    # (c) queries whose code changes in round 10: ADVICE fixes touch
-    # expectations → v106, quality_q → v106/v107/v108 (module-level
-    # v115 constant marks the whole module), salted asof → v96, and
-    # the exact-substrings plan rework → v80;
-    # (d) refill with r8-aged queries (44 exist, 24 fit — the 20 left
-    # at last-row=r8 are the stable pure-function/split batteries
-    # v27-v30, v36, v42, v46/v47, v50-v58, v72, v74, v95; they satisfy
-    # the freshness floor of r8 and must lead the r11 window).
+    # ROUND-11 WINDOW (executes the recipe pinned at r10 close —
+    # VERDICT r10 "next round" #1):
+    # (a) the 8 r10 POST_WINDOW_NEW queries (tier-3, never
+    # driver-verified) LEAD, in their pinned order;
+    # (b) round-11 registrations, never driver-verified (v124-v127);
+    # (c) the 20 queries whose last driver row is CORRECTNESS_r08.json
+    # (the r8 freshness floor — r10 VERDICT mandate);
+    # (d) queries whose code changes in round 11: the v71 DSIR perf
+    # rework plus the floor-adjacent perf targets v65/v34/v90;
+    # (e) refill with r9-aged queries (45 exist, 13 fit).
     first = [
-        # (a) last driver row is r7 — two rounds stale, must lead.
-        "v12_set_ops",
-        "v13_scalar_funcs",
-        "v15_time_bucket",
-        "v16_count_distinct",
-        "v20_cosine_topk",
-        "v24_simhash",
-        "v25_ann_ivf",
-        "v26_embedding_neardup",
-        "v35_pivot",
-        "v38_tfidf",
-        "v39_map_struct_json",
-        "v40_math_funcs",
-        "v41_session_window",
-        "v44_string_funcs",
-        "v45_date_funcs",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
-        # (b) new round-10 registrations — never driver-verified.
-        "v112_bucketed_smb_join",
-        "v113_null_aware_anti",
-        "v114_correlated_max_order",
-        "v115_profile_approx",
-        # (c) changed in round 10 (ADVICE fixes / substrings rework).
-        "v80_exact_substrings",
-        "v96_salted_asof",
-        "v106_data_expectations",
-        "v107_snapshot_diff",
-        "v108_table_profile",
-        # (d) last driver row is r8 — refill toward the freshness floor.
-        "v18_insert_delete",
-        "v19_dedup_exact",
-        "v21_dedup_content_hash",
-        "v22_minhash_lsh",
-        "v23_jaccard_pairs",
-        "v32_streaming_window",
+        # (a) r10 post-saturation additions — must lead r11.
+        "v116_q22_idle_customers",
+        "v117_batched_ann",
+        "v118_incremental_agg",
+        "v119_stream_outer_join",
+        "v120_skewed_join_agg",
+        "v121_bloom_filter_join",
+        "v122_sparse_cosine_pairs",
+        "v123_schema_evolution",
+        # (b) new round-11 registrations — never driver-verified.
+        "v124_incremental_minmax",
+        "v125_stream_session_window",
+        "v126_schema_widening",
+        "v127_prefix_cosine_pairs",
+        # (c) last driver row is r8 — two rounds stale, must refresh.
+        "v27_text_quality",
+        "v28_lang_id",
+        "v29_token_count",
+        "v30_fingerprint",
+        "v36_grouping_sets",
+        "v42_cube",
+        "v46_array_funcs",
+        "v47_null_conditional",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+        "v53_hash_split",
+        "v54_pack_by_budget",
+        "v55_stratified_sample",
+        "v56_interleave",
+        "v57_corpus_prep",
+        "v58_cross_join",
+        "v72_global_shuffle",
+        "v74_domain_cap",
+        "v95_two_phase_agg",
+        # (d) round-11 perf work (changed or adjudicated in-round),
+        # plus v38 (tfidf module changed by the prefix-filter work).
+        "v71_dsir_importance",
+        "v65_repetition_signals",
         "v34_range_join",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        "v64_neardup_clusters",
-        "v66_scd2_merge",
-        "v67_cluster_corpus_prep",
-        "v68_pii_scrub",
-        "v69_decontaminate",
-        "v73_stream_dedup",
-        "v76_stream_upsert",
-        "v88_variant_json",
         "v90_q21_waiting_suppliers",
-        "v91_lateral_topk",
-        "v92_recursive_cte",
-        "v93_xml_extract",
-        "v94_salted_join",
+        "v38_tfidf",
+        # (e) last driver row is r9 — refill.
+        "v01_scan",
+        "v02_project_filter",
+        "v03_agg_q1",
+        "v04_join_agg",
+        "v05_q3_top10",
+        "v06_left_join_coalesce",
+        "v07_semi_anti",
+        "v08_theta_join",
+        "v09_rollup",
+        "v10_window_rank",
+        "v100_srp_neardup",
+        "v101_url_dedup",
+        "v102_partition_pruning",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

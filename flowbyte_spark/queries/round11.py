@@ -17,10 +17,15 @@
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from flowbyte_spark.catalog import load_table
 from flowbyte_spark.queries import register
+from flowbyte_spark.queries.session_q import SESSION_GAP_MIN
 
 
 # ---------------------------------------------------------------------------
@@ -87,3 +92,260 @@ def v124_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price"
         ),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V125 — session windows executed as a REAL multi-micro-batch stream
+# (v41 gates the batch twin; this closes the one §2.9 shape never run
+# as a stream — VERDICT r10 #6).
+#
+# Three deterministic micro-batches (mtime-pinned files, the v60
+# idiom): two halves of the events table, then one far-future sentinel.
+# Session state must MERGE across batches — an event in batch 2 that
+# falls inside (or within the gap of) a batch-1 session extends it, so
+# batch-local sessionization would split sessions and mismatch the
+# hash.  Append mode only emits a session once the watermark passes its
+# end; on a bounded availableNow run the tail sessions would stay
+# stranded in state, so the sentinel (one event at max(ts) + 3651 days
+# against a 3650-day watermark delay) pushes the final watermark one
+# day past every real session's end, flushing all of them.  The
+# sentinel's own open session is never emitted; the sink filter drops
+# its user anyway.  Oracle = the gaps-and-islands construction (v41's),
+# plus session_end = last event + gap, which is F.session_window's end.
+# ---------------------------------------------------------------------------
+@register(
+    "v125_stream_session_window",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def v125_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.queries.streaming_q import _memo_source, _scratch_dir
+    from flowbyte_spark.streaming import (
+        foreach_batch_sink,
+        read_event_stream,
+        run_available_now,
+        scoped_sql_conf,
+        session_window_agg,
+    )
+
+    def build(path: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        max_ts = events.agg(F.max("ts")).first()[0]
+        half1 = events.where(F.col("event_id") % 2 == 0)
+        half2 = events.where(F.col("event_id") % 2 == 1)
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            (
+                F.lit(max_ts).cast("timestamp")
+                + F.expr("INTERVAL 3651 DAYS")
+            ).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        pinned: set[str] = set()
+        for i, batch in enumerate([half1, half2, sentinel]):
+            batch.select(*cols).coalesce(1).write.mode("append").parquet(path)
+            for f in glob.glob(path + "/*.parquet"):
+                if f not in pinned:
+                    os.utime(f, (1700000000.0 + 100 * i,) * 2)
+                    pinned.add(f)
+
+    src = _memo_source("v125_events", sf_dir, build)
+    ckpt = _scratch_dir("v125_ckpt")
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = session_window_agg(
+        stream, gap=f"{SESSION_GAP_MIN} minutes", watermark="3650 days"
+    )
+    out = _scratch_dir("v125_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(
+        agg, write, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V126 — TYPE-WIDENING schema evolution (VERDICT r10 #5: v123 gates the
+# column-add path; type drift has a different failure mode — mergeSchema
+# hard-errors, proven in tests/test_evolved.py — so it needs its own
+# reader AND its own gate).  Epoch 1 wrote c_custkey as INT and
+# c_acctbal as FLOAT; epoch 2 widened both (BIGINT/DOUBLE) and added
+# c_mktsegment.  read_evolved_widening reads each epoch at its native
+# physical schema and conforms to the widened union; the oracle
+# recreates both epochs with the same REAL→DOUBLE round-trip, so any
+# cast-semantics drift between the engines would hash-mismatch.
+# ---------------------------------------------------------------------------
+@register(
+    "v126_schema_widening",
+    oracle="""
+    WITH e1 AS (
+        SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name,
+               CAST(c_acctbal AS REAL) AS bal_f
+        FROM customer WHERE c_custkey % 2 = 0),
+    e2 AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1),
+    un AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+               CAST(bal_f AS DOUBLE) AS c_acctbal,
+               CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM e1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM e2)
+    SELECT COALESCE(c_mktsegment, '<pre-evolution>') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_bal
+    FROM un
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v126_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum
+    from flowbyte_spark.queries.streaming_q import _memo_source
+    from flowbyte_spark.sources.evolved import read_evolved_widening
+
+    cust = load_table(spark, sf_dir, "customer")
+
+    def build(path: str) -> None:
+        cust.where(F.col("c_custkey") % 2 == 0).select(
+            F.col("c_custkey").cast("int").alias("c_custkey"),
+            "c_name",
+            F.col("c_acctbal").cast("float").alias("c_acctbal"),
+        ).write.parquet(path + "/epoch1")
+        cust.where(F.col("c_custkey") % 2 == 1).select(
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "c_mktsegment",
+        ).write.parquet(path + "/epoch2")
+
+    base = _memo_source("v126_epochs", sf_dir, build)
+    df = read_evolved_widening(
+        spark, [base + "/epoch1", base + "/epoch2"]
+    )
+    return (
+        df.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<pre-evolution>")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum("c_acctbal", "sum_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V127 — PREFIX-FILTERED sparse cosine pairs (VERDICT r10 #7: the
+# documented 100 TB extension of v122, now implemented —
+# operators/tfidf.py:prefix_index).  Terms are word TRIGRAMS: the
+# fixture's unigram vocabulary is 31 terms shared by ~2/3 of docs
+# (degenerate for any posting-list method — v122's df cap is the right
+# valve there); shingling inflates it to ~16k terms with df <= 7, the
+# realistic sparse regime, where the prefix filter cuts distinct
+# candidate pairs 13 985 -> 106 at threshold 0.7 (measured sf0.01,
+# BASELINE.md §Round-11).  The oracle runs the FULL quadratic
+# computation over the same trigrams — the hash match IS the
+# recall-losslessness proof at fixture scale (the general property is
+# tested in tests/test_tfidf.py).
+# ---------------------------------------------------------------------------
+_V127_LIMIT = 1000
+_V127_THRESHOLD = 0.7
+
+
+@register(
+    "v127_prefix_cosine_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id AS id, string_split(text, ' ') AS ts
+                  FROM documents WHERE doc_id < {_V127_LIMIT}),
+    terms AS (SELECT id,
+                     unnest(list_transform(range(1, len(ts) - 1),
+                            i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2]))
+                         AS term
+              FROM docs WHERE len(ts) >= 3),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    w AS (SELECT id, tf.term,
+                 tf.tf * (ln(((SELECT COUNT(*) FROM docs) + 1.0)
+                             / (dfreq.df + 1.0)) + 1.0) AS w
+          FROM tf JOIN dfreq USING (term)),
+    norms AS (SELECT id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id1, b.id AS id2, SUM(a.w * b.w) AS dot
+             FROM w a JOIN w b USING (term)
+             WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT id1, id2,
+           FLOOR((dot / (n1.nrm * n2.nrm)) * 10000 + 0.5) / 10000 AS sim
+    FROM dots JOIN norms n1 ON id1 = n1.id JOIN norms n2 ON id2 = n2.id
+    WHERE FLOOR((dot / (n1.nrm * n2.nrm)) * 10000 + 0.5) / 10000
+          >= {_V127_THRESHOLD}
+    ORDER BY id1, id2
+    """,
+)
+def v127_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.tfidf import sparse_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _V127_LIMIT
+    )
+    toks = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.select("doc_id", F.array_join(tri, " ").alias("text"))
+    n_docs = shingled.count()
+    return sparse_cosine_pairs(
+        shingled,
+        "doc_id",
+        "text",
+        threshold=_V127_THRESHOLD,
+        n_docs=n_docs,
+        prefix_filter=True,
+    ).orderBy("id1", "id2")

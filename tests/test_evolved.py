@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from flowbyte_spark.sources.evolved import conform, read_evolved
+from flowbyte_spark.sources.evolved import (
+    conform,
+    read_evolved,
+    read_evolved_widening,
+    widened_schema,
+)
 
 
 def test_conform_defaults_casts_order_and_extras(spark):
@@ -47,3 +52,45 @@ def test_read_evolved_fills_absent_columns(spark, tmp_path):
 def test_read_evolved_rejects_empty(spark):
     with pytest.raises(ValueError, match="no paths"):
         read_evolved(spark, [])
+    with pytest.raises(ValueError, match="no paths"):
+        read_evolved_widening(spark, [])
+
+
+def test_merge_schema_hard_errors_on_type_drift(spark, tmp_path):
+    # The failure mode the widening reader exists for: mergeSchema does
+    # NOT NULL-fill conflicting types, it throws at planning time.
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame([(1,)], "k int").write.parquet(p1)
+    spark.createDataFrame([(2,)], "k bigint").write.parquet(p2)
+    with pytest.raises(Exception, match="[Mm]erg"):
+        read_evolved(spark, [p1, p2]).collect()
+
+
+def test_widening_int_to_long_and_float_to_double(spark, tmp_path):
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame([(1, 1.5)], "k int, v float").write.parquet(p1)
+    spark.createDataFrame(
+        [(2_000_000_000_000, 2.5, "new")], "k bigint, v double, tag string"
+    ).write.parquet(p2)
+    df = read_evolved_widening(spark, [p1, p2])
+    assert df.schema.simpleString() == (
+        "struct<k:bigint,v:double,tag:string>"
+    )
+    rows = {r.k: (r.v, r.tag) for r in df.collect()}
+    assert rows == {1: (1.5, None), 2_000_000_000_000: (2.5, "new")}
+
+
+def test_widening_cross_chain_goes_to_double(spark):
+    from pyspark.sql import types as T
+
+    s1 = T.StructType.fromDDL("v BIGINT")
+    s2 = T.StructType.fromDDL("v FLOAT")
+    assert widened_schema([s1, s2]).fields[0].dataType == T.DoubleType()
+
+
+def test_widening_incompatible_fails_loud(spark, tmp_path):
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame([(1, "abc")], "k int, v string").write.parquet(p1)
+    spark.createDataFrame([(2, 9.0)], "k int, v double").write.parquet(p2)
+    with pytest.raises(ValueError, match="incompatible epoch types"):
+        read_evolved_widening(spark, [p1, p2])

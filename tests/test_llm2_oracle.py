@@ -48,6 +48,9 @@ LLM2 = [
     # round-11 registrations (in-window this round — listed here so the
     # driver-identical differential also runs in-suite).
     "v124_incremental_minmax",
+    "v125_stream_session_window",
+    "v126_schema_widening",
+    "v127_prefix_cosine_pairs",
 ]
 
 

@@ -41,11 +41,12 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
         "CORRECTNESS_r09.json",
+        "CORRECTNESS_r10.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4-r7∪r8: {uncovered}"
+    assert not uncovered, f"queries with no driver row in r4-r10: {uncovered}"
 
 
 def test_never_driver_verified_queries_lead_the_window():
@@ -66,10 +67,11 @@ def test_never_driver_verified_queries_lead_the_window():
 
 
 def test_stalest_queries_lead_the_window():
-    # r9 VERDICT mandate #1: the 17 queries whose last driver row is
-    # CORRECTNESS_r07.json (two rounds stale at r10 start) must LEAD the
-    # r10 window, and every remaining registered query's last row must
-    # be r8 or newer (freshness floor) or sit inside the window.
+    # r10 VERDICT mandate #1 (the pinned r11 rotation): the 8 r10
+    # POST_WINDOW_NEW queries (v116-v123, never driver-verified) LEAD,
+    # the other never-verified registrations follow, every r8-aged
+    # query sits inside the window, and nothing outside the window is
+    # older than the r9 freshness floor.
     import glob
     import json
     import os
@@ -80,17 +82,31 @@ def test_stalest_queries_lead_the_window():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
-    r7_aged = sorted(q for q in QUERIES if last.get(q) == 7)
-    head = list(QUERIES)[: len(r7_aged)]
-    assert sorted(head) == r7_aged, (
-        f"r7-aged queries must lead the window: aged={r7_aged} head={head}"
+    r10_post_window = [
+        "v116_q22_idle_customers",
+        "v117_batched_ann",
+        "v118_incremental_agg",
+        "v119_stream_outer_join",
+        "v120_skewed_join_agg",
+        "v121_bloom_filter_join",
+        "v122_sparse_cosine_pairs",
+        "v123_schema_evolution",
+    ]
+    assert list(QUERIES)[:8] == r10_post_window
+    never = sorted(q for q in QUERIES if q not in last)
+    head = list(QUERIES)[: len(never)]
+    assert sorted(head) == never, (
+        f"never-verified queries must lead: never={never} head={head}"
     )
     window = set(list(QUERIES)[:50])
+    r8_aged = sorted(q for q in QUERIES if last.get(q) == 8)
+    outside_r8 = sorted(q for q in r8_aged if q not in window)
+    assert not outside_r8, f"r8-aged queries outside the window: {outside_r8}"
     floor_breakers = sorted(
-        q for q in QUERIES if last.get(q, 9) < 8 and q not in window
+        q for q in QUERIES if last.get(q, 99) < 9 and q not in window
     )
     assert not floor_breakers, (
-        f"queries older than the r8 freshness floor outside the window: "
+        f"queries older than the r9 freshness floor outside the window: "
         f"{floor_breakers}"
     )
 
