@@ -201,6 +201,34 @@ def test_dsir_importance_degenerate_targets(spark):
     assert (a_pdf["score"] == 0.0).all()
 
 
+def test_dsir_lookup_paths_agree(spark, monkeypatch):
+    """The array-literal lookup (the fast path) and the str_to_map
+    broadcast-join fallback (wider-than-literal tables) implement the
+    same scoring — pin them against each other at IDENTICAL bucket
+    geometry by shrinking the array-literal bound to force the
+    fallback."""
+    from pyspark.sql import functions as F
+
+    from flowbyte_spark.operators import importance
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    target = F.col("lang") == "en"
+
+    def canon(df):
+        return sorted(
+            (r.id, r.n_grams, float(r.score)) for r in df.collect()
+        )
+
+    fast = canon(
+        importance.dsir_importance(docs, "doc_id", "text", target=target)
+    )
+    monkeypatch.setattr(importance, "ARRAY_LOOKUP_MAX_BUCKETS", 0)
+    slow = canon(
+        importance.dsir_importance(docs, "doc_id", "text", target=target)
+    )
+    assert fast == slow and len(fast) > 0
+
+
 def test_semantic_dedup_threshold_extremes(spark):
     """threshold > 1 prunes nothing (cosine ≤ 1); threshold = -1 prunes
     everything except each cluster's lowest id."""
