@@ -24,10 +24,17 @@ ORACLE: dict[str, str] = {}
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
 # must lead with these names.  Round 11: the r10 batch (v116-v123) now
-# LEADS the window per the pinned rotation, and this round's additions
-# (v124-v127) fit inside it — so the set is currently empty.  If the
-# window saturates mid-round, later additions go here.
-POST_WINDOW_NEW: frozenset[str] = frozenset()
+# LEADS the window per the pinned rotation and this round's v124-v127
+# fit inside it; the window then saturated at exactly 50, so the second
+# batch of round-11 additions below carries the in-suite differential
+# until they lead r12's window.
+POST_WINDOW_NEW: frozenset[str] = frozenset(
+    {
+        "v128_q17_small_quantity",
+        "v129_doc_chunking",
+        "v130_stream_full_outer_join",
+    }
+)
 
 
 def register(name: str, oracle: str | None = None):

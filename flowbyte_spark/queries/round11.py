@@ -349,3 +349,202 @@ def v127_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs=n_docs,
         prefix_filter=True,
     ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# POST-SATURATION additions (the r11 window refilled to exactly 50, so
+# v128-v130 carry the tier-3 contract: hash oracle + in-suite
+# differential in tests/test_llm2_oracle.py, and they must lead the r12
+# window — POST_WINDOW_NEW in queries/__init__.py).
+#
+# V128 — TPC-H Q17 shape: correlated scalar-AVG subquery (the
+# fractional-threshold class; v114 covers the MAX class).  Runs as
+# literal SQL so Catalyst decorrelates the per-part average into an
+# aggregate + join — asserted in tests/test_round11.py.  Quantities are
+# integer-valued doubles, so the 0.2*AVG threshold is deterministic
+# across engines (exact integer sum / n, same double ops).
+# ---------------------------------------------------------------------------
+_V128_BRANDS = "'Brand#12', 'Brand#14', 'Brand#16'"
+
+_V128_SQL = f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM {{lineitem}} l JOIN {{part}} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ({_V128_BRANDS})
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM {{lineitem}} l2 WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""
+
+
+@register(
+    "v128_q17_small_quantity",
+    oracle=_V128_SQL.format(lineitem="lineitem", part="part"),
+)
+def v128_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from lines whose quantity is under 20% of the
+    part's average order quantity, per brand.  The correlated scalar
+    AVG must decorrelate to one per-part aggregate joined back — not a
+    per-row subquery rerun (plan-asserted)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "fb128_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("fb128_part")
+    return spark.sql(
+        _V128_SQL.format(lineitem="fb128_lineitem", part="fb128_part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V129 — overlapping token-window chunking (the RAG/LLM ingest
+# primitive: split each document into fixed-size token windows with
+# stride overlap so no boundary context is lost).  Declared semantics:
+# chunk starts at token offsets 1, 1+stride, ... <= n_tokens; the tail
+# chunk may be short; every token lands in >= 1 chunk.  Pure codegen —
+# split once, explode the start-offset sequence, slice per row; the
+# explode is the only row amplification (~n_tokens/stride per doc) and
+# there is NO shuffle at all.
+# ---------------------------------------------------------------------------
+_V129_CHUNK = 32
+_V129_STRIDE = 24
+
+
+@register(
+    "v129_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    chunks AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts), {_V129_STRIDE})) AS start
+        FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / {_V129_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEAST(start + {_V129_CHUNK} - 1, len(ts)) - start + 1
+                AS BIGINT) AS n_tokens,
+           array_to_string(ts[start: LEAST(start + {_V129_CHUNK} - 1, len(ts))],
+                           ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def v129_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunked = (
+        docs.select(F.col("doc_id"), toks.alias("ts"))
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts"), F.lit(_V129_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (
+                (F.col("start") - 1) / F.lit(_V129_STRIDE)
+            ).cast("long").alias("chunk_id"),
+            F.slice("ts", F.col("start"), _V129_CHUNK).alias("chunk"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# V130 — stream-stream FULL OUTER join: v81 inner, v119 left outer,
+# this completes the family — unmatched rows on BOTH sides must emit
+# null-padded once the watermark passes their window.  Same sentinel
+# bounded-run flush as v119 (one far-future row per side, written as
+# the LAST file so the watermark only jumps after every real row is
+# in state).  Oracle = the batch FULL JOIN twin.
+# ---------------------------------------------------------------------------
+@register(
+    "v130_stream_full_outer_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           c.event_id AS click_id,
+           COALESCE(v.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id NULLS FIRST, click_id NULLS FIRST
+    """,
+)
+def v130_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.queries.streaming_q import _memo_source, _scratch_dir
+    from flowbyte_spark.streaming import (
+        foreach_batch_sink,
+        read_event_stream,
+        run_available_now,
+        scoped_sql_conf,
+        stream_stream_outer_join,
+    )
+
+    def build(path: str) -> None:
+        import time as _time
+
+        events = load_table(spark, sf_dir, "events")
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        events.select(*cols).repartition(2).write.parquet(path)
+        before = set(glob.glob(os.path.join(path, "*.parquet")))
+        sentinels = spark.createDataFrame(
+            [
+                (-1, -999901, "view", 0.0, "{}"),
+                (-2, -999902, "click", 0.0, "{}"),
+            ],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+        sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
+        future = _time.time() + 3600
+        for f in set(glob.glob(os.path.join(path, "*.parquet"))) - before:
+            os.utime(f, (future, future))
+
+    src = _memo_source("v130_events", sf_dir, build)
+    ckpt = _scratch_dir("v130_ckpt")
+    views = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, src, max_files_per_trigger=1).where(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_outer_join(
+        views, clicks, key="user_id", max_delay="30 minutes", how="full_outer"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    )
+    out = _scratch_dir("v130_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(
+        joined, write, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .where(
+            (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+            & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        )
+        .orderBy(
+            F.col("view_id").asc_nulls_first(),
+            F.col("click_id").asc_nulls_first(),
+        )
+    )

@@ -200,10 +200,14 @@ def stream_stream_outer_join(
     right_ts: str = "ts",
     max_delay: str = "30 minutes",
     watermark: str = "1 second",
+    how: str = "left_outer",
 ) -> DataFrame:
-    """LEFT OUTER event-time join of two streams: like
+    """LEFT (or FULL) OUTER event-time join of two streams: like
     :func:`stream_stream_join`, but a left row whose match window
     closes unmatched EMITS with a null right side instead of vanishing.
+    ``how="full_outer"`` additionally emits unmatched RIGHT rows with a
+    null left side — the time-range condition bounds both sides'
+    state, so eviction works symmetrically.
 
     The emission is watermark-driven: an unmatched left row surfaces
     only once the global watermark (the MIN across both sides) passes
@@ -226,7 +230,9 @@ def stream_stream_outer_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond, "left_outer")
+    if how not in ("left_outer", "full_outer"):
+        raise ValueError(f"how must be left_outer or full_outer, got {how!r}")
+    return l.join(r, cond, how)
 
 
 def stream_stream_join(

@@ -51,6 +51,12 @@ LLM2 = [
     "v125_stream_session_window",
     "v126_schema_widening",
     "v127_prefix_cosine_pairs",
+    # round-11 post-saturation additions (POST_WINDOW_NEW tier-3): the
+    # r11 window refilled to exactly 50, so these carry the in-suite
+    # differential until they lead r12's window.
+    "v128_q17_small_quantity",
+    "v129_doc_chunking",
+    "v130_stream_full_outer_join",
 ]
 
 

@@ -48,3 +48,43 @@ def test_v124_recompute_leg_is_broadcast_semi(spark, sf_dir):
     assert semi_lines, plan
     assert any("BroadcastHashJoin" in ln for ln in semi_lines), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_v128_correlated_avg_decorrelates(spark, sf_dir):
+    # The per-part scalar AVG must compile to one aggregate joined back
+    # — no surviving subquery nodes, no per-row rerun.
+    df = QUERIES["v128_q17_small_quantity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "avg(" in plan, plan
+
+
+def test_v129_chunking_plan_has_no_shuffle(spark, sf_dir):
+    # Chunking is map-only: split + explode + slice; any Exchange in
+    # the pre-sort plan means the row amplification got shuffled.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    chunked = (
+        docs.select(F.col("doc_id"), toks.alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ts"), F.lit(24))).alias(
+                "start"
+            ),
+        )
+    )
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_v130_covers_both_unmatched_sides(spark, sf_dir):
+    # The FULL outer stream join must emit null-padded rows on BOTH
+    # sides — if either side's unmatched rows were dropped the join
+    # degenerated to left-outer/inner.
+    rows = QUERIES["v130_stream_full_outer_join"](spark, sf_dir).collect()
+    assert any(r.click_id is None for r in rows), "no unmatched views"
+    assert any(r.view_id is None for r in rows), "no unmatched clicks"
+    assert any(
+        r.view_id is not None and r.click_id is not None for r in rows
+    ), "no matched pairs"
