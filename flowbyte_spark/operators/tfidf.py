@@ -176,7 +176,20 @@ def prefix_index(unit: DataFrame, threshold: float) -> DataFrame:
 
 def _prefix_filtered_pairs(unit: DataFrame, threshold: float) -> DataFrame:
     """Candidate generation via prefix-index x full-postings, then exact
-    per-candidate cosine verification against per-doc weight maps."""
+    per-candidate cosine verification against per-doc weight maps.
+
+    ``unit`` feeds three legs (index window, candidate probe, doc-vector
+    maps), so it persists under the tracked materialize-then-release
+    contract.  At fixture scale this is neutral (measured ~4.0 s both
+    ways at sf0.1 — the wall there is stage count, and the duck twin is
+    a 0.09 s single-process pass, the v117 "dispatch-floor lens" class);
+    the cache is for the at-scale shape, where each un-cached leg would
+    re-run the tf/df/idf pipeline's corpus scan + two shuffles.
+    MEMORY_AND_DISK, so a 100 TB posting stream spills rather than
+    triple-scanning."""
+    from flowbyte_spark.operators import cache
+
+    unit = cache.persist_tracked(unit)
     idx = prefix_index(unit, threshold)
     cand = (
         idx.select(F.col("id").alias("ia"), "term")
