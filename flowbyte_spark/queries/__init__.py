@@ -33,6 +33,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v128_q17_small_quantity",
         "v129_doc_chunking",
         "v130_stream_full_outer_join",
+        "v131_bucketed_agg",
     }
 )
 

@@ -548,3 +548,41 @@ def v130_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_id").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# V131 — ZERO-EXCHANGE aggregation on the bucketed source (v112 proves
+# the shuffle-free JOIN; this pins the other half of what a bucketed
+# layout buys at 100 TB: any aggregate keyed by the bucket key — or by
+# a SUPERSET of it, since hashpartitioning on a subset of the groupBy
+# keys satisfies the clustering requirement — runs with NO exchange at
+# all).  The only Exchange in the whole plan is the final presentation
+# sort's range partitioning, asserted in tests/test_round11.py.
+# ---------------------------------------------------------------------------
+@register(
+    "v131_bucketed_agg",
+    oracle=f"""
+    SELECT o_custkey, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {{dsum}} AS sum_price
+    FROM orders
+    GROUP BY o_custkey, o_orderstatus
+    ORDER BY o_custkey, o_orderstatus
+    """.format(
+        dsum="ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) "
+        "AS DOUBLE), 2)"
+    ),
+)
+def v131_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import dec_sum
+    from flowbyte_spark.queries.relational4 import bucketed_pair
+
+    orders, _ = bucketed_pair(spark, sf_dir)
+    return (
+        orders.groupBy("o_custkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_custkey", "o_orderstatus")
+    )

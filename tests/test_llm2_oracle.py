@@ -57,6 +57,7 @@ LLM2 = [
     "v128_q17_small_quantity",
     "v129_doc_chunking",
     "v130_stream_full_outer_join",
+    "v131_bucketed_agg",
 ]
 
 

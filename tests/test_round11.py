@@ -78,6 +78,18 @@ def test_v129_chunking_plan_has_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_v131_bucketed_agg_has_no_hash_exchange(spark, sf_dir):
+    # The bucketed layout must satisfy the aggregate's clustering —
+    # including the SUBSET rule (groupBy on (bucket_key, extra) needs
+    # no exchange when the scan is hash-clustered by bucket_key).  The
+    # only allowed Exchange is the presentation sort's range partition.
+    df = QUERIES["v131_bucketed_agg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in ex), plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
 def test_v130_covers_both_unmatched_sides(spark, sf_dir):
     # The FULL outer stream join must emit null-padded rows on BOTH
     # sides — if either side's unmatched rows were dropped the join
