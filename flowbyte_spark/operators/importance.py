@@ -130,23 +130,27 @@ def dsir_importance(
         F.sum(F.col("__t").cast("long")).alias("ct"),
         F.count("*").alias("cr"),
     )
-    if small_input:
-        # The counts action runs HERE, so runtime confs can scope it:
-        # a <=4096-row aggregate has no use for 32 reduce tasks or an
-        # AQE stage barrier (measured ~0.3 s of pure scheduling at
-        # sf0.1).  At-scale inputs keep the engine defaults — there the
-        # reduce width and AQE earn their cost.
-        from flowbyte_spark.streaming import scoped_sql_conf
+    # The counts action runs HERE, so runtime confs can scope it: a
+    # <=4096-row aggregate has no use for 32 reduce tasks or an AQE
+    # stage barrier (measured ~0.3 s of pure scheduling at sf0.1).
+    # At-scale inputs keep the engine defaults — there the reduce width
+    # and AQE earn their cost.
+    import contextlib
 
-        with scoped_sql_conf(
+    from flowbyte_spark.streaming import scoped_sql_conf
+
+    ctx = (
+        scoped_sql_conf(
             spark,
             **{
                 "spark.sql.shuffle.partitions": "8",
                 "spark.sql.adaptive.enabled": "false",
             },
-        ):
-            counts = counts_plan.collect()
-    else:
+        )
+        if small_input
+        else contextlib.nullcontext()
+    )
+    with ctx:
         counts = counts_plan.collect()
     t_total = sum(r.ct for r in counts)
     r_total = sum(r.cr for r in counts)

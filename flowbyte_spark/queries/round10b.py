@@ -241,23 +241,12 @@ def v119_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(path: str) -> None:
-        # The sentinels MUST be the last file the stream processes: the
-        # file source lists oldest-mtime-first, and with a 1-second
-        # watermark delay a sentinel (ts 2100) seen in an early
-        # micro-batch would advance the global watermark past every
-        # real event, silently dropping later batches as late (ADVICE
-        # r10).  So: write the real events first, then append the
-        # sentinel rows as their own file and bump its mtime well past
-        # the event files' so listing order is deterministic, not an
-        # accident of round-robin layout.
-        import glob as _glob
-        import os as _os
-        import time as _time
+        from flowbyte_spark.queries.streaming_q import (
+            _write_events_then_sentinels,
+        )
 
         events = load_table(spark, sf_dir, "events")
         cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        events.select(*cols).repartition(2).write.parquet(path)
-        before = set(_glob.glob(_os.path.join(path, "*.parquet")))
         sentinels = spark.createDataFrame(
             [
                 (-1, -999901, "view", 0.0, "{}"),
@@ -266,10 +255,7 @@ def v119_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, event_type string, "
             "value double, props string",
         ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
-        sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
-        future = _time.time() + 3600
-        for f in set(_glob.glob(_os.path.join(path, "*.parquet"))) - before:
-            _os.utime(f, (future, future))
+        _write_events_then_sentinels(path, events, sentinels, cols)
 
     src = _memo_source("v119_events", sf_dir, build)
     ckpt = _scratch_dir("v119_ckpt")

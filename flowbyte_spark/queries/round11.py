@@ -117,7 +117,7 @@ def v124_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v125_stream_session_window",
     oracle=f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -125,7 +125,7 @@ def v124_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
         SELECT user_id, ts, value,
                SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked)
     SELECT user_id,
@@ -326,21 +326,24 @@ def v127_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") < _V127_LIMIT
     )
+    n_docs = docs.count()  # idf's N counts ALL docs (oracle's docs CTE)
     toks = F.split(F.col("text"), " ")
-    tri = F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            "_",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingled = docs.select("doc_id", F.array_join(tri, " ").alias("text"))
-    n_docs = shingled.count()
+    )
+    # Docs under 3 tokens have no trigrams and must DROP OUT, exactly
+    # like the oracle's `WHERE len(ts) >= 3`: shingling them to '' would
+    # tokenize back to a phantom ''-term shared by every short doc
+    # (pairing them all at sim 1.0 — code-review r11 finding).
+    shingled = docs.where(F.size(toks) >= 3).select(
+        "doc_id", F.array_join(tri, " ").alias("text")
+    )
     return sparse_cosine_pairs(
         shingled,
         "doc_id",
@@ -353,7 +356,7 @@ def v127_prefix_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # POST-SATURATION additions (the r11 window refilled to exactly 50, so
-# v128-v130 carry the tier-3 contract: hash oracle + in-suite
+# v128-v131 carry the tier-3 contract: hash oracle + in-suite
 # differential in tests/test_llm2_oracle.py, and they must lead the r12
 # window — POST_WINDOW_NEW in queries/__init__.py).
 #
@@ -492,12 +495,12 @@ def v130_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(path: str) -> None:
-        import time as _time
+        from flowbyte_spark.queries.streaming_q import (
+            _write_events_then_sentinels,
+        )
 
         events = load_table(spark, sf_dir, "events")
         cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-        events.select(*cols).repartition(2).write.parquet(path)
-        before = set(glob.glob(os.path.join(path, "*.parquet")))
         sentinels = spark.createDataFrame(
             [
                 (-1, -999901, "view", 0.0, "{}"),
@@ -506,10 +509,7 @@ def v130_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id long, user_id long, event_type string, "
             "value double, props string",
         ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
-        sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
-        future = _time.time() + 3600
-        for f in set(glob.glob(os.path.join(path, "*.parquet"))) - before:
-            os.utime(f, (future, future))
+        _write_events_then_sentinels(path, events, sentinels, cols)
 
     src = _memo_source("v130_events", sf_dir, build)
     ckpt = _scratch_dir("v130_ckpt")

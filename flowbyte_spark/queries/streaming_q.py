@@ -47,6 +47,31 @@ def _memo_source(key: str, sf_dir: str, build) -> str:
     return path
 
 
+def _write_events_then_sentinels(
+    path: str, events, sentinels, cols: list[str], parts: int = 2
+) -> None:
+    """Write a file-stream source whose watermark-flush sentinels are
+    guaranteed to be the LAST files the source processes.
+
+    FileStreamSource lists oldest-mtime-first; a far-future sentinel
+    seen in an EARLY micro-batch jumps the global watermark past every
+    real event and later batches are silently dropped as late (ADVICE
+    r10).  So the real events land first (``parts`` files → that many
+    real micro-batches at maxFilesPerTrigger=1), then the sentinel rows
+    go into their own file with mtime bumped an hour into the future —
+    listing order is pinned, not an accident of filesystem timing.
+    Shared by v119/v130 (queries/round10b.py, round11.py)."""
+    import glob as _glob
+    import time as _time
+
+    events.select(*cols).repartition(parts).write.parquet(path)
+    before = set(_glob.glob(os.path.join(path, "*.parquet")))
+    sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
+    future = _time.time() + 3600
+    for f in set(_glob.glob(os.path.join(path, "*.parquet"))) - before:
+        os.utime(f, (future, future))
+
+
 _V15_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
            event_type,

@@ -39,8 +39,9 @@ def read_evolved(spark: SparkSession, paths: list[str]) -> DataFrame:
 # Numeric widening lattice: each chain is ordered narrow → wide; a
 # cross-chain (integral, fractional) pair widens to double.  Anything
 # else — string vs numeric, struct drift — is NOT an evolution, it's a
-# broken feed: fail loud, never silently cast.
-_INTEGRAL = ["byte", "short", "int", "bigint"]
+# broken feed: fail loud, never silently cast.  Names are Spark
+# simpleString() forms: ByteType/ShortType render as tinyint/smallint.
+_INTEGRAL = ["tinyint", "smallint", "int", "bigint"]
 _FRACTIONAL = ["float", "double"]
 
 

@@ -88,6 +88,18 @@ def test_widening_cross_chain_goes_to_double(spark):
     assert widened_schema([s1, s2]).fields[0].dataType == T.DoubleType()
 
 
+def test_widening_covers_narrow_integrals(spark):
+    # ByteType/ShortType simpleString() are 'tinyint'/'smallint' — the
+    # lattice must widen them, not reject them as incompatible.
+    from pyspark.sql import types as T
+
+    s1 = T.StructType.fromDDL("v SMALLINT")
+    s2 = T.StructType.fromDDL("v INT")
+    assert widened_schema([s1, s2]).fields[0].dataType == T.IntegerType()
+    s3 = T.StructType.fromDDL("v TINYINT")
+    assert widened_schema([s3, s1]).fields[0].dataType == T.ShortType()
+
+
 def test_widening_incompatible_fails_loud(spark, tmp_path):
     p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
     spark.createDataFrame([(1, "abc")], "k int, v string").write.parquet(p1)
