@@ -140,6 +140,12 @@ def incremental_minmax_update(
             )
         ],
     )
+    # j feeds BOTH output legs (the safe algebraic merge and the unsafe
+    # recompute key set), so the state⟗delta join chain evaluates twice
+    # — deliberately uncached: a persist A/B measured neutral-to-worse
+    # at sf0.1 (cache build ≈ the re-evaluation it saves on a
+    # state-sized join), and uncached the unsafe-keys branch keeps full
+    # column pruning (it reads only the key + extremum columns).
     j = state.join(ins, keys, "full_outer").join(dels, keys, "full_outer")
     new_cnt = (
         F.coalesce(F.col("__cnt__"), F.lit(0))
