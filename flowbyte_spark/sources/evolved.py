@@ -53,6 +53,19 @@ def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
         return a if _INTEGRAL.index(sa) >= _INTEGRAL.index(sb) else b
     if sa in _FRACTIONAL and sb in _FRACTIONAL:
         return a if _FRACTIONAL.index(sa) >= _FRACTIONAL.index(sb) else b
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        # Widen to a type that holds EVERY value of both: integer
+        # digits max(p-s), scale max(s).  Cap at 38 (Spark's max
+        # precision) — fail loud rather than silently truncate digits.
+        scale = max(a.scale, b.scale)
+        prec = max(a.precision - a.scale, b.precision - b.scale) + scale
+        if prec > 38:
+            raise ValueError(
+                f"column {col!r}: decimal widening of {sa} vs {sb} needs "
+                f"precision {prec} > 38 — not representable; conform "
+                "epochs explicitly"
+            )
+        return T.DecimalType(prec, scale)
     chains = _INTEGRAL + _FRACTIONAL
     if sa in chains and sb in chains:  # cross-chain: int-ish vs float-ish
         return T.DoubleType()

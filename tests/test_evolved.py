@@ -100,6 +100,41 @@ def test_widening_covers_narrow_integrals(spark):
     assert widened_schema([s3, s1]).fields[0].dataType == T.ShortType()
 
 
+def test_widening_decimals(spark, tmp_path):
+    # decimal(p,s) drift widens to hold every value of both epochs:
+    # integer digits max, scale max — and hard-caps at precision 38.
+    from pyspark.sql import types as T
+
+    s1 = T.StructType.fromDDL("v DECIMAL(10,2)")
+    s2 = T.StructType.fromDDL("v DECIMAL(12,4)")
+    assert widened_schema([s1, s2]).fields[0].dataType == T.DecimalType(12, 4)
+    # (20,0) vs (10,6): 20 int digits + 6 scale = 26
+    s3 = T.StructType.fromDDL("v DECIMAL(20,0)")
+    s4 = T.StructType.fromDDL("v DECIMAL(10,6)")
+    assert widened_schema([s3, s4]).fields[0].dataType == T.DecimalType(26, 6)
+    with pytest.raises(ValueError, match="precision"):
+        widened_schema(
+            [
+                T.StructType.fromDDL("v DECIMAL(38,0)"),
+                T.StructType.fromDDL("v DECIMAL(38,20)"),
+            ]
+        )
+    # end-to-end through parquet epochs
+    from decimal import Decimal
+
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame(
+        [(1, Decimal("12345678.99"))], "k int, v decimal(10,2)"
+    ).write.parquet(p1)
+    spark.createDataFrame(
+        [(2, Decimal("1.2345"))], "k int, v decimal(12,4)"
+    ).write.parquet(p2)
+    df = read_evolved_widening(spark, [p1, p2])
+    assert df.schema["v"].dataType.simpleString() == "decimal(12,4)"
+    rows = {r.k: str(r.v) for r in df.collect()}
+    assert rows == {1: "12345678.9900", 2: "1.2345"}
+
+
 def test_widening_incompatible_fails_loud(spark, tmp_path):
     p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
     spark.createDataFrame([(1, "abc")], "k int, v string").write.parquet(p1)

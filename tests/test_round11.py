@@ -90,6 +90,19 @@ def test_v131_bucketed_agg_has_no_hash_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
 
 
+def test_stream_outer_join_rejects_bad_how(spark):
+    import pytest
+
+    from flowbyte_spark.streaming import stream_stream_outer_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"),
+        F.current_timestamp().alias("ts"),
+    )
+    with pytest.raises(ValueError, match="left_outer or full_outer"):
+        stream_stream_outer_join(df, df, key="user_id", how="inner")
+
+
 def test_v130_covers_both_unmatched_sides(spark, sf_dir):
     # The FULL outer stream join must emit null-padded rows on BOTH
     # sides — if either side's unmatched rows were dropped the join
