@@ -34,6 +34,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v129_doc_chunking",
         "v130_stream_full_outer_join",
         "v131_bucketed_agg",
+        "v132_stream_join_window",
     }
 )
 

@@ -586,3 +586,112 @@ def v131_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# V132 — CHAINED stateful streaming operators: a stream-stream inner
+# join feeding a tumbling-window aggregation in ONE streaming query
+# (Spark 4 multi-stateful-operator support; v81/v119/v130 end at the
+# join, v32/v59 start at the agg — this pins the composition, which is
+# what a production clickstream pipeline actually runs).  Watermark is
+# 3650 days (the v32 trick): during the real micro-batches nothing is
+# late and no window finalizes early — deterministic regardless of how
+# the file split lands — and the far-future sentinel pair (which joins
+# nothing) pushes the final watermark past every real window + the
+# join delay, flushing both operators' state.  Oracle = the batch
+# join→window twin.
+# ---------------------------------------------------------------------------
+@register(
+    "v132_stream_join_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', v.ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def v132_stream_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.queries.streaming_q import (
+        _memo_source,
+        _scratch_dir,
+        _write_events_then_sentinels,
+    )
+    from flowbyte_spark.streaming import (
+        foreach_batch_sink,
+        read_event_stream,
+        run_available_now,
+        scoped_sql_conf,
+    )
+
+    def build(path: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        sentinels = spark.createDataFrame(
+            [
+                (-1, -999901, "view", 0.0, "{}"),
+                (-2, -999902, "click", 0.0, "{}"),
+            ],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.lit("2100-01-01 00:00:00").cast("timestamp"))
+        # Two sentinel files: the self-joining sources advance their
+        # file cursors independently, and the chained window aggregate
+        # needs one batch AFTER both sources' watermark nodes have seen
+        # a sentinel (helper docstring has the root cause).
+        _write_events_then_sentinels(
+            path, events, sentinels, cols, sentinel_copies=2
+        )
+
+    src = _memo_source("v132_events", sf_dir, build)
+    ckpt = _scratch_dir("v132_ckpt")
+    views = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .where(F.col("event_type") == "view")
+        .withWatermark("ts", "3650 days")
+        .alias("l")
+    )
+    clicks = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .where(F.col("event_type") == "click")
+        .withWatermark("ts", "3650 days")
+        .alias("r")
+    )
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    # The sentinel rows join nothing (disjoint negative user ids per
+    # side), so no sentinel guard is needed after the INNER join — and
+    # one must NOT be added: a `l.event_id >= 0` filter here gets
+    # pushed down into the views source scan, whose parquet row-group
+    # stats then SKIP the sentinel file, the views watermark node never
+    # sees ts=2100, and the global watermark (min across nodes) stays
+    # behind every window forever — zero rows ever emit (root-caused
+    # r11 with per-source progress offsets).
+    joined = views.join(clicks, cond, "inner")
+    agg = (
+        joined.groupBy(F.window(F.col("l.ts"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "n_pairs",
+        )
+    )
+    out = _scratch_dir("v132_result")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    writer = foreach_batch_sink(
+        agg, write, checkpoint=ckpt, output_mode="append"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out).orderBy("hour_ts")

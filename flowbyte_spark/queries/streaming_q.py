@@ -48,7 +48,12 @@ def _memo_source(key: str, sf_dir: str, build) -> str:
 
 
 def _write_events_then_sentinels(
-    path: str, events, sentinels, cols: list[str], parts: int = 2
+    path: str,
+    events,
+    sentinels,
+    cols: list[str],
+    parts: int = 2,
+    sentinel_copies: int = 1,
 ) -> None:
     """Write a file-stream source whose watermark-flush sentinels are
     guaranteed to be the LAST files the source processes.
@@ -60,16 +65,29 @@ def _write_events_then_sentinels(
     real micro-batches at maxFilesPerTrigger=1), then the sentinel rows
     go into their own file with mtime bumped an hour into the future —
     listing order is pinned, not an accident of filesystem timing.
-    Shared by v119/v130 (queries/round10b.py, round11.py)."""
+
+    ``sentinel_copies`` writes the sentinel file N times with strictly
+    increasing future mtimes.  Two+ copies matter when TWO stream
+    sources read the same directory (a self-join): each source advances
+    its file cursor independently, so source A can see the sentinel one
+    batch before source B — the GLOBAL watermark (min across watermark
+    nodes) only jumps once both have, and a downstream stateful
+    operator needs one further batch after the jump to run its eviction
+    / final-emission pass.  A second sentinel file guarantees that
+    trailing batch exists (root-caused in v132: with one copy the run
+    ended the batch the watermark jumped, and zero windows ever
+    emitted).  Shared by v119/v130/v132."""
     import glob as _glob
     import time as _time
 
     events.select(*cols).repartition(parts).write.parquet(path)
-    before = set(_glob.glob(os.path.join(path, "*.parquet")))
-    sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
     future = _time.time() + 3600
-    for f in set(_glob.glob(os.path.join(path, "*.parquet"))) - before:
-        os.utime(f, (future, future))
+    for i in range(sentinel_copies):
+        before = set(_glob.glob(os.path.join(path, "*.parquet")))
+        sentinels.select(*cols).coalesce(1).write.mode("append").parquet(path)
+        stamp = future + 60 * i
+        for f in set(_glob.glob(os.path.join(path, "*.parquet"))) - before:
+            os.utime(f, (stamp, stamp))
 
 
 _V15_ORACLE = """

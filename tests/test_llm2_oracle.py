@@ -58,6 +58,7 @@ LLM2 = [
     "v129_doc_chunking",
     "v130_stream_full_outer_join",
     "v131_bucketed_agg",
+    "v132_stream_join_window",
 ]
 
 

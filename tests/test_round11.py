@@ -90,6 +90,56 @@ def test_v131_bucketed_agg_has_no_hash_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
 
 
+def test_v129_chunking_matches_python_reference(spark):
+    # Declared semantics pinned against a pure-Python reference for the
+    # edge shapes the fixture lacks: doc shorter than a chunk, exactly
+    # one chunk, exactly chunk+1 tokens, and a long doc.
+    cs, stride = 32, 24
+
+    def ref(tokens):
+        out = []
+        for start in range(1, len(tokens) + 1, stride):
+            chunk = tokens[start - 1 : start - 1 + cs]
+            out.append(
+                ((start - 1) // stride, len(chunk), " ".join(chunk))
+            )
+        return out
+
+    lengths = [1, 5, 24, 25, 31, 32, 33, 56, 57, 100]
+    docs = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    chunked = (
+        df.select("doc_id", toks.alias("ts"))
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(1), F.size("ts"), F.lit(stride))).alias(
+                "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.slice("ts", F.col("start"), cs).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+    got = {}
+    for r in chunked.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_tokens, r.chunk_text)
+        )
+    for i, n in enumerate(lengths):
+        toks_py = [f"t{j}" for j in range(n)]
+        assert sorted(got[i]) == sorted(ref(toks_py)), (i, n)
+
+
 def test_stream_outer_join_rejects_bad_how(spark):
     import pytest
 
