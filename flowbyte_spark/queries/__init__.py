@@ -23,20 +23,10 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 11: the r10 batch (v116-v123) now
-# LEADS the window per the pinned rotation and this round's v124-v127
-# fit inside it; the window then saturated at exactly 50, so the second
-# batch of round-11 additions below carries the in-suite differential
-# until they lead r12's window.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
-    {
-        "v128_q17_small_quantity",
-        "v129_doc_chunking",
-        "v130_stream_full_outer_join",
-        "v131_bucketed_agg",
-        "v132_stream_join_window",
-    }
-)
+# must lead with these names.  Round 12: the r11 batch (v128-v132) now
+# LEADS the window per the pinned rotation; no post-saturation additions
+# yet this round.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None):
@@ -94,73 +84,74 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-11 WINDOW (executes the recipe pinned at r10 close —
-    # VERDICT r10 "next round" #1):
-    # (a) the 8 r10 POST_WINDOW_NEW queries (tier-3, never
+    # ROUND-12 WINDOW (executes the recipe pinned at r11 close —
+    # VERDICT r11 "next round" #1):
+    # (a) the 5 r11 POST_WINDOW_NEW queries (tier-3, never
     # driver-verified) LEAD, in their pinned order;
-    # (b) round-11 registrations, never driver-verified (v124-v127);
-    # (c) the 20 queries whose last driver row is CORRECTNESS_r08.json
-    # (the r8 freshness floor — r10 VERDICT mandate);
-    # (d) queries whose code changes in round 11: the v71 DSIR perf
-    # rework plus the floor-adjacent perf targets v65/v34/v90;
-    # (e) refill with r9-aged queries (45 exist, 13 fit).
+    # (b) round-12 registrations, never driver-verified (v133, v134);
+    # (c) the 30 queries whose last driver row is CORRECTNESS_r09.json
+    # (the r9 freshness floor — r11 VERDICT mandate: after r12 nothing
+    # outside the window may be older than r10);
+    # (d) queries whose code changes in round 12: the v39 JSON-path
+    # rework, the v88 variant re-measure, the tfidf family (v127
+    # crossover soak touches the module) and the incremental family
+    # (v124 partitioned-fact soak);
+    # (e) refill remaining slots with the oldest r10-aged queries.
     first = [
-        # (a) r10 post-saturation additions — must lead r11.
-        "v116_q22_idle_customers",
-        "v117_batched_ann",
-        "v118_incremental_agg",
-        "v119_stream_outer_join",
-        "v120_skewed_join_agg",
-        "v121_bloom_filter_join",
-        "v122_sparse_cosine_pairs",
-        "v123_schema_evolution",
-        # (b) new round-11 registrations — never driver-verified.
-        "v124_incremental_minmax",
-        "v125_stream_session_window",
-        "v126_schema_widening",
-        "v127_prefix_cosine_pairs",
-        # (c) last driver row is r8 — two rounds stale, must refresh.
-        "v27_text_quality",
-        "v28_lang_id",
-        "v29_token_count",
-        "v30_fingerprint",
-        "v36_grouping_sets",
-        "v42_cube",
-        "v46_array_funcs",
-        "v47_null_conditional",
-        "v50_window_battery",
-        "v51_unpivot",
-        "v52_string_agg",
-        "v53_hash_split",
-        "v54_pack_by_budget",
-        "v55_stratified_sample",
-        "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
-        "v72_global_shuffle",
-        "v74_domain_cap",
-        "v95_two_phase_agg",
-        # (d) round-11 perf work (changed or adjudicated in-round),
-        # plus v38 (tfidf module changed by the prefix-filter work).
-        "v71_dsir_importance",
-        "v65_repetition_signals",
-        "v34_range_join",
-        "v90_q21_waiting_suppliers",
+        # (a) r11 post-saturation additions — must lead r12.
+        "v128_q17_small_quantity",
+        "v129_doc_chunking",
+        "v130_stream_full_outer_join",
+        "v131_bucketed_agg",
+        "v132_stream_join_window",
+        # (b) new round-12 registrations — never driver-verified —
+        # are appended here as they land (v133, v134 planned).
+        # (c) last driver row is r9 — the freshness floor, must refresh.
+        "v103_dpp_star_join",
+        "v104_srp_cluster_dedup",
+        "v105_runtime_filter_join",
+        "v109_q7_volume_shipping",
+        "v110_q8_market_share",
+        "v111_stream_static_join",
+        "v11_window_frames",
+        "v14_json_extract",
+        "v17_update_by_keys",
+        "v31_multimodal_features",
+        "v33_asof_join",
+        "v37_approx_distinct",
+        "v43_percentiles_stats",
+        "v61_approx_percentiles",
+        "v70_semantic_dedup",
+        "v75_stateful_totals",
+        "v77_q18_large_orders",
+        "v78_paragraph_dedup",
+        "v79_c4_quality_filter",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+        "v83_jdbc_roundtrip",
+        "v84_media_decode",
+        "v85_salted_window",
+        "v86_salted_lag",
+        "v87_pq_ann",
+        "v89_asof_forward",
+        "v97_jpeg_decode",
+        "v98_wav_decode",
+        "v99_y4m_decode",
+        # (d) round-12 in-round code changes (perf reworks + soak work).
+        "v39_map_struct_json",
+        "v88_variant_json",
         "v38_tfidf",
-        # (e) last driver row is r9 — refill.
-        "v01_scan",
-        "v02_project_filter",
-        "v03_agg_q1",
-        "v04_join_agg",
-        "v05_q3_top10",
-        "v06_left_join_coalesce",
-        "v07_semi_anti",
-        "v08_theta_join",
-        "v09_rollup",
-        "v10_window_rank",
-        "v100_srp_neardup",
-        "v101_url_dedup",
-        "v102_partition_pruning",
+        "v122_sparse_cosine_pairs",
+        "v127_prefix_cosine_pairs",
+        "v118_incremental_agg",
+        "v124_incremental_minmax",
+        # (e) oldest r10-aged refills (lowest query number first).
+        "v12_set_ops",
+        "v13_scalar_funcs",
+        "v15_time_bucket",
+        "v16_count_distinct",
+        "v18_insert_delete",
+        "v19_dedup_exact",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

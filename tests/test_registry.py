@@ -42,11 +42,12 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r08.json",
         "CORRECTNESS_r09.json",
         "CORRECTNESS_r10.json",
+        "CORRECTNESS_r11.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4-r10: {uncovered}"
+    assert not uncovered, f"queries with no driver row in r4-r11: {uncovered}"
 
 
 def test_never_driver_verified_queries_lead_the_window():
@@ -67,11 +68,11 @@ def test_never_driver_verified_queries_lead_the_window():
 
 
 def test_stalest_queries_lead_the_window():
-    # r10 VERDICT mandate #1 (the pinned r11 rotation): the 8 r10
-    # POST_WINDOW_NEW queries (v116-v123, never driver-verified) LEAD,
-    # the other never-verified registrations follow, every r8-aged
+    # r11 VERDICT mandate #1 (the pinned r12 rotation): the 5 r11
+    # POST_WINDOW_NEW queries (v128-v132, never driver-verified) LEAD,
+    # the other never-verified registrations follow, every r9-aged
     # query sits inside the window, and nothing outside the window is
-    # older than the r9 freshness floor.
+    # older than the r10 freshness floor.
     import glob
     import json
     import os
@@ -82,17 +83,14 @@ def test_stalest_queries_lead_the_window():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
-    r10_post_window = [
-        "v116_q22_idle_customers",
-        "v117_batched_ann",
-        "v118_incremental_agg",
-        "v119_stream_outer_join",
-        "v120_skewed_join_agg",
-        "v121_bloom_filter_join",
-        "v122_sparse_cosine_pairs",
-        "v123_schema_evolution",
+    r11_post_window = [
+        "v128_q17_small_quantity",
+        "v129_doc_chunking",
+        "v130_stream_full_outer_join",
+        "v131_bucketed_agg",
+        "v132_stream_join_window",
     ]
-    assert list(QUERIES)[:8] == r10_post_window
+    assert list(QUERIES)[:5] == r11_post_window
     never = sorted(
         q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
     )
@@ -101,14 +99,14 @@ def test_stalest_queries_lead_the_window():
         f"never-verified queries must lead: never={never} head={head}"
     )
     window = set(list(QUERIES)[:50])
-    r8_aged = sorted(q for q in QUERIES if last.get(q) == 8)
-    outside_r8 = sorted(q for q in r8_aged if q not in window)
-    assert not outside_r8, f"r8-aged queries outside the window: {outside_r8}"
+    r9_aged = sorted(q for q in QUERIES if last.get(q) == 9)
+    outside_r9 = sorted(q for q in r9_aged if q not in window)
+    assert not outside_r9, f"r9-aged queries outside the window: {outside_r9}"
     floor_breakers = sorted(
-        q for q in QUERIES if last.get(q, 99) < 9 and q not in window
+        q for q in QUERIES if last.get(q, 99) < 10 and q not in window
     )
     assert not floor_breakers, (
-        f"queries older than the r9 freshness floor outside the window: "
+        f"queries older than the r10 freshness floor outside the window: "
         f"{floor_breakers}"
     )
 
