@@ -150,11 +150,16 @@ def main() -> None:
     # running (v01-v21 lost).  Emit the per-query dict AGAIN in reverse
     # name order on a second line — whatever window the driver keeps,
     # the union of the two lines reconstructs every query's number.
+    # ADVICE r11: the copy carries a DISTINCT metric name so a parser
+    # keyed on "sum_of_median_query_seconds" (or one reading the last
+    # stdout JSON line positionally) can never mistake it for the
+    # primary line above; r10/r11 driver artifacts show a raw tail
+    # capture, which the rename leaves reconstructable as before.
     rev = {k: timings[k] for k in sorted(timings, reverse=True)}
     print(
         json.dumps(
             {
-                "metric": "sum_of_median_query_seconds",
+                "metric": "sum_of_median_query_seconds_reversed_copy",
                 "value": result["value"],
                 "unit": "sec",
                 "order": "reversed",

@@ -134,7 +134,10 @@ def dsir_importance(
     # <=4096-row aggregate has no use for 32 reduce tasks or an AQE
     # stage barrier (measured ~0.3 s of pure scheduling at sf0.1).
     # At-scale inputs keep the engine defaults — there the reduce width
-    # and AQE earn their cost.
+    # and AQE earn their cost.  scoped_sql_conf mutates SESSION-global
+    # confs (ADVICE r11): this assumes no concurrent queries on the
+    # session during the collect — hand a cloned session
+    # (spark.newSession()) to this operator for concurrent use.
     import contextlib
 
     from flowbyte_spark.streaming import scoped_sql_conf

@@ -140,6 +140,7 @@ def _reorder() -> None:
         # (d) round-12 in-round code changes (perf reworks + soak work).
         "v39_map_struct_json",
         "v88_variant_json",
+        "v126_schema_widening",
         "v38_tfidf",
         "v122_sparse_cosine_pairs",
         "v127_prefix_cosine_pairs",
@@ -151,7 +152,6 @@ def _reorder() -> None:
         "v15_time_bucket",
         "v16_count_distinct",
         "v18_insert_delete",
-        "v19_dedup_exact",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -87,13 +87,38 @@ def _mod_of(path: str) -> str:
     return path[: -len(".py")].replace("/", ".").removesuffix(".__init__")
 
 
+def _strip_docstrings(tree: ast.Module) -> ast.Module:
+    """Remove docstring statements everywhere: a docstring-only edit is
+    documentation, not behavior — it must not mark a unit changed (the
+    r11 ADVICE fixes were docstring notes that would otherwise have
+    marked ~18 streaming queries in-round-changed)."""
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+            if not body:  # a unit that was ONLY a docstring
+                body.append(ast.Pass())
+    return tree
+
+
 def _units_of(tree: ast.Module) -> tuple[dict[str, str], list[str]]:
     """Split a module into named units and a residue.
 
     Returns ({name: normalized dump}, [residue statement dumps]).
     ``ast.dump`` without attributes is position-independent, so pure
-    line-number drift does not count as a change.
+    line-number drift does not count as a change; docstrings are
+    stripped first, so documentation edits don't count either.
     """
+    tree = _strip_docstrings(tree)
     units: dict[str, str] = {}
     residue: list[str] = []
     for node in tree.body:

@@ -68,6 +68,19 @@ def _widen(a: T.DataType, b: T.DataType, col: str) -> T.DataType:
         return T.DecimalType(prec, scale)
     chains = _INTEGRAL + _FRACTIONAL
     if sa in chains and sb in chains:  # cross-chain: int-ish vs float-ish
+        # double holds every tinyint/smallint/int exactly (53-bit
+        # mantissa ≥ 32 bits), so int-or-narrower vs fractional widens
+        # losslessly.  bigint does NOT fit: values above 2^53 would
+        # silently round — same policy as the decimal branch (ADVICE
+        # r11): fail loud rather than silently lose precision.
+        if "bigint" in (sa, sb):
+            raise ValueError(
+                f"column {col!r}: bigint vs {sb if sa == 'bigint' else sa} "
+                "drift cannot widen losslessly (double rounds integers "
+                "above 2^53); conform epochs explicitly (e.g. cast the "
+                "fractional epoch to decimal(38,x) or the bigint epoch "
+                "to double if the rounding is acceptable)"
+            )
         return T.DoubleType()
     raise ValueError(
         f"column {col!r}: incompatible epoch types {sa} vs {sb} — "

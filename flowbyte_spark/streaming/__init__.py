@@ -173,6 +173,14 @@ def scoped_sql_conf(spark: SparkSession, **confs: str):
     sized to executor count before the stream starts; AQE cannot help,
     because stateful exchanges are excluded from runtime coalescing
     (state partitioning must stay stable across batches).
+
+    CONCURRENCY (ADVICE r11): runtime SQL confs are SESSION-global —
+    any query submitted on the same ``SparkSession`` while this scope
+    is open inherits the overridden values.  Callers (the bench driver,
+    the importance-weights collect) are sequential by construction; for
+    concurrent use, take a cloned session (``spark.newSession()``
+    shares the SparkContext but isolates the SQL conf) and scope the
+    confs there instead.
     """
     keys = {k.replace("__", ".") if "__" in k else k: v for k, v in confs.items()}
     old: dict[str, str | None] = {}

@@ -81,11 +81,19 @@ def test_widening_int_to_long_and_float_to_double(spark, tmp_path):
 
 
 def test_widening_cross_chain_goes_to_double(spark):
+    # int-or-narrower vs fractional widens to double LOSSLESSLY (53-bit
+    # mantissa holds every int32); bigint vs fractional fails loud —
+    # double rounds integers above 2^53 (ADVICE r11: match the decimal
+    # branch's no-silent-truncation policy).
+    import pytest
     from pyspark.sql import types as T
 
-    s1 = T.StructType.fromDDL("v BIGINT")
+    s1 = T.StructType.fromDDL("v INT")
     s2 = T.StructType.fromDDL("v FLOAT")
     assert widened_schema([s1, s2]).fields[0].dataType == T.DoubleType()
+    s3 = T.StructType.fromDDL("v BIGINT")
+    with pytest.raises(ValueError, match="2\\^53"):
+        widened_schema([s3, s2])
 
 
 def test_widening_covers_narrow_integrals(spark):
