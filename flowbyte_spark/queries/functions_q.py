@@ -63,32 +63,46 @@ def v38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v39_map_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """struct/map construction, to_json, get_json_object round-trip —
-    the §2.8 map/struct/json function family in one verified pass."""
+    the §2.8 map/struct/json function family in one verified pass.
+
+    Plan shape (VERDICT r11 #2 rework): top-k FIRST on the narrow sort
+    key, JSON projection AFTER.  Written project-then-sort-limit, the
+    Project sits BELOW TakeOrderedAndProject and the serde round-trip
+    runs on every scanned row (measured 1.12 s at sf0.1 = 3.0x the duck
+    twin); written sort-limit-then-project, the planner folds the JSON
+    exprs into TakeOrderedAndProject's projection, applied only to the
+    k survivors (0.35 s = 1.4x).  Deterministic projections after a
+    row-wise LIMIT are order-independent, so results are identical —
+    and at 100 TB the difference is per-row serde on the whole fact vs
+    on k rows."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    top = (
         orders.select(
-            "o_orderkey",
-            F.get_json_object(
-                F.to_json(
-                    F.struct(
-                        F.col("o_orderkey").alias("ok"),
-                        F.col("o_orderstatus").alias("status"),
-                    )
-                ),
-                "$.status",
-            ).alias("status_rt"),
-            F.get_json_object(
-                F.to_json(F.create_map(F.lit("priority"), F.col("o_orderpriority"))),
-                "$.priority",
-            ).alias("prio_rt"),
-            F.struct(
-                F.col("o_orderkey").alias("k"),
-                (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("p"),
-            )["p"].alias("price_from_struct"),
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
         )
         .orderBy("o_orderkey")
         .limit(200)
     )
+    return top.select(
+        "o_orderkey",
+        F.get_json_object(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("ok"),
+                    F.col("o_orderstatus").alias("status"),
+                )
+            ),
+            "$.status",
+        ).alias("status_rt"),
+        F.get_json_object(
+            F.to_json(F.create_map(F.lit("priority"), F.col("o_orderpriority"))),
+            "$.priority",
+        ).alias("prio_rt"),
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias("p"),
+        )["p"].alias("price_from_struct"),
+    ).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
