@@ -93,6 +93,7 @@ def incremental_minmax_update(
     deletes: DataFrame,
     keys: list[str],
     cols: list[str],
+    partition_col: str | None = None,
 ) -> DataFrame:
     """New MIN/MAX state from the old state plus a CDC delta, with a
     TARGETED recompute instead of a full rescan (VERDICT r10 #4 — the
@@ -107,10 +108,20 @@ def incremental_minmax_update(
     merges algebraically.
 
     ``fact_post`` is the post-delta fact; only the unsafe groups read
-    it, through a broadcast LEFT SEMI join on the keys — at 100 TB
-    that filter rides down as a runtime/partition predicate (DPP on a
-    key-partitioned fact, Bloom pushdown otherwise), so the recompute
-    leg scans the slices holding extremum-hit groups, not the table.
+    it, through a broadcast LEFT SEMI join on the keys.  When the fact
+    is stored partitioned by a column functionally derived from the
+    keys, pass it as ``partition_col`` (and include it in ``keys`` —
+    derived columns don't change the grouping): the unsafe groups'
+    partition values are collected (bounded by the fact's partition
+    count — a partition LIST, the same driver-side object any
+    metastore prune holds) and applied as a STATIC partition filter,
+    so the recompute leg provably scans only the slices holding
+    extremum-hit groups (file_scan_stats-asserted in the round-12
+    soak: 3 of 59 partitions read).  Spark's DPP rule does NOT fire
+    here on its own — the semi join's build side is a join chain, not
+    the selective scalar Filter the rule requires — which is why the
+    explicit prune exists.  Without ``partition_col`` the semi join
+    still bounds the recompute by rows, not bytes-read.
     The delta legs are one map-side-combined aggregate each,
     O(groups + |delta|) — same shape as :func:`incremental_update`.
 
@@ -118,35 +129,107 @@ def incremental_minmax_update(
     ``minmax_state(fact_post)`` by construction (differentially tested
     in tests/test_incremental.py, hash-gated as v124).
     """
-    ins = inserts.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__icnt__"),
+    if partition_col is not None and partition_col not in keys:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be one of keys "
+            f"{keys} (a column functionally derived from the group "
+            "key and stored as the fact's partition column)"
+        )
+    # State ⟗ inserts ⟗ deletes as ONE union + key shuffle + conditional
+    # aggregation, NOT a full-outer join chain (round-12 rework): a
+    # full_outer can't broadcast, so the chain form cost two sort-merge
+    # joins plus two delta-aggregate exchanges — five stage barriers of
+    # pure scheduling on kilobyte inputs (measured 0.65 s/evaluation at
+    # the 60M-row soak, paid by every consumer of j).  The union form
+    # is one map-side-combined exchange of O(groups + |delta|) rows —
+    # the same shape merge_states uses — and reconstructs the exact
+    # full-outer row because each source leg owns disjoint columns:
+    # MAX over a group picks the one non-null state value, SUM/MIN/MAX
+    # fold the delta rows, and a leg absent for a key leaves NULL (SUM
+    # and MIN/MAX of all-NULL are NULL), which is what the outer join
+    # produced.
+    typed = {f.name: f.dataType for f in state.schema.fields}
+
+    def _nulls(names_types):
+        return [F.lit(None).cast(t).alias(n) for n, t in names_types]
+
+    mm = [(f"{m}_{c}", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
+    imm = [(f"__i{m}_{c}__", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
+    dmm = [(f"__d{m}_{c}__", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
+    long_t = "long"
+    state_leg = state.select(
+        *keys,
+        F.col("__cnt__"),
+        *[F.col(n).cast(t).alias(n) for n, t in mm],
+        F.lit(None).cast(long_t).alias("__icnt__"),
+        *_nulls(imm),
+        F.lit(None).cast(long_t).alias("__dcnt__"),
+        *_nulls(dmm),
+    )
+    ins_leg = inserts.select(
+        *keys,
+        F.lit(None).cast(long_t).alias("__cnt__"),
+        *_nulls(mm),
+        F.lit(1).cast(long_t).alias("__icnt__"),
         *[
-            a
+            F.col(c).cast(typed[f"min_{c}"]).alias(f"__i{m}_{c}__")
             for c in cols
-            for a in (
-                F.min(c).alias(f"__imin_{c}__"),
-                F.max(c).alias(f"__imax_{c}__"),
+            for m in ("min", "max")
+        ],
+        F.lit(None).cast(long_t).alias("__dcnt__"),
+        *_nulls(dmm),
+    )
+    del_leg = deletes.select(
+        *keys,
+        F.lit(None).cast(long_t).alias("__cnt__"),
+        *_nulls(mm),
+        F.lit(None).cast(long_t).alias("__icnt__"),
+        *_nulls(imm),
+        F.lit(1).cast(long_t).alias("__dcnt__"),
+        *[
+            F.col(c).cast(typed[f"min_{c}"]).alias(f"__d{m}_{c}__")
+            for c in cols
+            for m in ("min", "max")
+        ],
+    )
+    u = state_leg.unionByName(ins_leg).unionByName(del_leg)
+    j = u.groupBy(*keys).agg(
+        F.max("__cnt__").alias("__cnt__"),
+        *[
+            F.max(f"{m}_{c}").alias(f"{m}_{c}")
+            for c in cols
+            for m in ("min", "max")
+        ],
+        F.sum("__icnt__").cast("long").alias("__icnt__"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.min(f"__imin_{c}__").alias(f"__imin_{c}__"),
+                F.max(f"__imax_{c}__").alias(f"__imax_{c}__"),
+            )
+        ],
+        F.sum("__dcnt__").cast("long").alias("__dcnt__"),
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.min(f"__dmin_{c}__").alias(f"__dmin_{c}__"),
+                F.max(f"__dmax_{c}__").alias(f"__dmax_{c}__"),
             )
         ],
     )
-    dels = deletes.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__dcnt__"),
-        *[
-            a
-            for c in cols
-            for a in (
-                F.min(c).alias(f"__dmin_{c}__"),
-                F.max(c).alias(f"__dmax_{c}__"),
-            )
-        ],
-    )
-    # j feeds BOTH output legs (the safe algebraic merge and the unsafe
-    # recompute key set), so the state⟗delta join chain evaluates twice
-    # — deliberately uncached: a persist A/B measured neutral-to-worse
-    # at sf0.1 (cache build ≈ the re-evaluation it saves on a
-    # state-sized join), and uncached the unsafe-keys branch keeps full
-    # column pruning (it reads only the key + extremum columns).
-    j = state.join(ins, keys, "full_outer").join(dels, keys, "full_outer")
+    if partition_col is not None:
+        # The partition-prune path is already eager (the partition-value
+        # collect below runs a job), and j feeds THREE consumers (safe
+        # leg, unsafe-key leg, touched-partition collect) — each would
+        # re-plan and re-execute the whole union chain, and at the 240M
+        # soak the repeated DRIVER planning of that chain, not its
+        # execution, was the wall (jobs summed 0.9 s of a 2.1 s call).
+        # localCheckpoint materializes j once (O(groups) rows, the same
+        # footprint as its shuffle) and gives every consumer a leaf-scan
+        # plan — the components.py lineage-truncation precedent.
+        j = j.localCheckpoint(eager=True)
     new_cnt = (
         F.coalesce(F.col("__cnt__"), F.lit(0))
         + F.coalesce(F.col("__icnt__"), F.lit(0))
@@ -184,6 +267,20 @@ def incremental_minmax_update(
         )
     )
     unsafe_keys = j.where(unsafe).select(*keys)
+    if partition_col is not None:
+        # Bounded collect: distinct PARTITION VALUES of the unsafe
+        # groups — at most the fact's partition count, in practice the
+        # handful of partitions a CDC batch touches.  Static isin()
+        # reaches the scan as a PartitionFilter (DPP won't fire off a
+        # join-chain build side; see docstring).
+        touched = [
+            r[0]
+            for r in unsafe_keys.select(partition_col).distinct().collect()
+        ]
+        if not touched:
+            fact_post = fact_post.where(F.lit(False))
+        else:
+            fact_post = fact_post.where(F.col(partition_col).isin(touched))
     recomputed = minmax_state(
         fact_post.join(F.broadcast(unsafe_keys), keys, "left_semi"),
         keys,
