@@ -63,6 +63,7 @@ def _load_all() -> None:
         relational4,
         round10b,
         round11,
+        round12,
         scale_q,
         streaming_q,
         tier_a,
@@ -104,8 +105,9 @@ def _reorder() -> None:
         "v130_stream_full_outer_join",
         "v131_bucketed_agg",
         "v132_stream_join_window",
-        # (b) new round-12 registrations — never driver-verified —
-        # are appended here as they land (v133, v134 planned).
+        # (b) new round-12 registrations — never driver-verified.
+        "v133_stream_dedup_join_window",
+        "v134_cbo_join_order",
         # (c) last driver row is r9 — the freshness floor, must refresh.
         "v103_dpp_star_join",
         "v104_srp_cluster_dedup",

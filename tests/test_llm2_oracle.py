@@ -59,6 +59,10 @@ LLM2 = [
     "v130_stream_full_outer_join",
     "v131_bucketed_agg",
     "v132_stream_join_window",
+    # round-12 registrations (in-window this round — listed here so the
+    # driver-identical differential also runs in-suite).
+    "v133_stream_dedup_join_window",
+    "v134_cbo_join_order",
 ]
 
 
