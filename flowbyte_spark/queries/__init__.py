@@ -24,9 +24,16 @@ ORACLE: dict[str, str] = {}
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
 # must lead with these names.  Round 12: the r11 batch (v128-v132) now
-# LEADS the window per the pinned rotation; no post-saturation additions
-# yet this round.
-POST_WINDOW_NEW: frozenset[str] = frozenset()
+# LEADS the window per the pinned rotation; the window refilled to
+# exactly 50 (v133/v134 in-window), so the second batch of round-12
+# additions below carries the in-suite differential until they lead
+# r13's window.
+POST_WINDOW_NEW: frozenset[str] = frozenset(
+    {
+        "v135_incremental_minmax_pruned",
+        "v136_frequent_terms_sketch",
+    }
+)
 
 
 def register(name: str, oracle: str | None = None):

@@ -200,3 +200,174 @@ def v134_cbo_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with scoped_sql_conf(spark, **CBO_CONFS):
         return shaped.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# V135 — partition-pruned incremental MIN/MAX as a DRIVER-VERIFIED row.
+# The round-12 soak proved the partition_col path at 480M rows
+# (BASELINE.md §Round-12 soak); this registers the same path against the
+# fixtures so every round re-gates it: a lineitem-derived fact stored
+# partitioned by kb, per-key argmin deletes (every delete is an extremum
+# hit — the recompute MUST fire), synthetic inserts, and the operator's
+# static partition prune on the recompute scan (2 of 16 partitions;
+# plan-asserted in tests/test_incremental.py).
+# ---------------------------------------------------------------------------
+@register(
+    "v135_incremental_minmax_pruned",
+    oracle="""
+    WITH pre AS (
+        SELECT l_orderkey * 10 + l_linenumber AS id,
+               CAST(l_orderkey % 500 AS BIGINT) AS k,
+               CAST(FLOOR((l_orderkey % 500) / 32) AS INT) AS kb,
+               l_extendedprice AS v
+        FROM lineitem),
+    dels AS (
+        SELECT id FROM (
+            SELECT id, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rn
+            FROM pre WHERE k < 40) WHERE rn = 1),
+    ins AS (
+        SELECT -t.k AS id, CAST(t.k AS BIGINT) AS k,
+               CAST(FLOOR(t.k / 32) AS INT) AS kb,
+               12345.0 + t.k AS v
+        FROM generate_series(480, 499) AS t(k)),
+    post AS (
+        SELECT * FROM pre WHERE id NOT IN (SELECT id FROM dels)
+        UNION ALL SELECT * FROM ins)
+    SELECT kb, k, CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM post GROUP BY kb, k ORDER BY kb, k
+    """,
+)
+def v135_incremental_minmax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flowbyte_spark.operators.incremental import (
+        incremental_minmax_update,
+        minmax_state,
+    )
+    from flowbyte_spark.queries.streaming_q import _memo_source
+
+    def pre_df() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        k = (F.col("l_orderkey") % 500).cast("long")
+        return li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            k.alias("k"),
+            F.floor(k / 32).cast("int").alias("kb"),
+            F.col("l_extendedprice").alias("v"),
+        )
+
+    def build(path: str) -> None:
+        pre = pre_df()
+        rn = F.row_number().over(
+            Window.partitionBy("k").orderBy("v", "id")
+        )
+        del_ids = (
+            pre.where(F.col("k") < 40)
+            .withColumn("rn", rn)
+            .where(F.col("rn") == 1)
+            .select("id")
+        )
+        ins = spark.range(480, 500).select(
+            (-F.col("id")).alias("id"),
+            F.col("id").alias("k"),
+            F.floor(F.col("id") / 32).cast("int").alias("kb"),
+            (F.lit(12345.0) + F.col("id")).alias("v"),
+        )
+        post = (
+            pre.join(del_ids, "id", "left_anti")
+            .unionByName(ins)
+        )
+        # compacted partitioned layout — the storage shape the prune
+        # needs (one shuffle keyed on kb, one file per partition)
+        post.repartition("kb").write.partitionBy("kb").parquet(path)
+
+    fact_post = spark.read.parquet(_memo_source("v135_fact", sf_dir, build))
+    pre = pre_df()
+    rn = F.row_number().over(Window.partitionBy("k").orderBy("v", "id"))
+    dels = (
+        pre.where(F.col("k") < 40)
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ins = spark.range(480, 500).select(
+        (-F.col("id")).alias("id"),
+        F.col("id").alias("k"),
+        F.floor(F.col("id") / 32).cast("int").alias("kb"),
+        (F.lit(12345.0) + F.col("id")).alias("v"),
+    )
+    state = minmax_state(pre, ["kb", "k"], ["v"])
+    out = incremental_minmax_update(
+        state, fact_post, ins, dels, ["kb", "k"], ["v"], partition_col="kb"
+    )
+    return out.select(
+        "kb",
+        "k",
+        F.col("__cnt__").alias("cnt"),
+        "min_v",
+        "max_v",
+    ).orderBy("kb", "k")
+
+
+# ---------------------------------------------------------------------------
+# V136 — Misra-Gries frequent items, verified as an error-bound CONTRACT
+# (the v37/v61 pattern): the estimate itself depends on partition layout,
+# but the guarantees don't — every term above N/k frequency must be in
+# the sketch (superset), and every estimate must sit in
+# [exact - N/k, exact] (undercount-only, bounded).  The hash-gated
+# output is the contract evaluation over the exactly-recounted heavy
+# hitters, which is deterministic; DuckDB recomputes the exact side and
+# asserts the same booleans by definition.
+# ---------------------------------------------------------------------------
+V136_K = 100
+V136_DOCS = 400
+
+
+@register(
+    "v136_frequent_terms_sketch",
+    oracle=f"""
+    WITH terms AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE doc_id < {V136_DOCS}),
+    clean AS (SELECT term FROM terms WHERE term <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM clean),
+    exact AS (SELECT term, COUNT(*) AS exact_ct FROM clean GROUP BY term)
+    SELECT e.term, CAST(e.exact_ct AS BIGINT) AS exact_ct,
+           TRUE AS in_sketch, TRUE AS bound_ok
+    FROM exact e, tot
+    WHERE e.exact_ct * {V136_K} > tot.n
+    ORDER BY e.term
+    """,
+)
+def v136_frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.functions import ensure_parallelism
+    from flowbyte_spark.functions.hashing import words
+    from flowbyte_spark.operators.sketches import frequent_items
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < V136_DOCS
+    )
+    terms = (
+        ensure_parallelism(docs)
+        .select(F.explode(words(F.lower(F.col("text")).cast("string"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    n = terms.count()  # one scalar; N is part of the contract bound
+    sketch = frequent_items(terms, "term", k=V136_K)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_ct"))
+    heavy = exact.where(F.col("exact_ct") * V136_K > n)
+    return (
+        heavy.join(sketch, heavy["term"] == sketch["item"], "left")
+        .select(
+            heavy["term"],
+            F.col("exact_ct").cast("long").alias("exact_ct"),
+            F.col("est").isNotNull().alias("in_sketch"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_ct"))
+                & (F.col("est") >= F.col("exact_ct") - F.floor(F.lit(n) / V136_K))
+            ).alias("bound_ok"),
+        )
+        .orderBy("term")
+    )

@@ -147,3 +147,53 @@ def test_agg_state_rejects_bad_sign(spark):
         agg_state(df, ["k"], ["v"], sign=2)
     with pytest.raises(ValueError, match="no states"):
         merge_states([], ["k"])
+
+
+def test_partition_col_prunes_recompute_scan(spark, tmp_path):
+    # The partition_col path must reach the fact scan as a STATIC
+    # partition filter: deletes hit extrema only in kb=0, so the
+    # recompute leg may read ONLY that partition (round-12 soak
+    # demonstrated the same at 480M rows; this pins the plan shape).
+    from flowbyte_spark.operators.partitions import file_scan_stats
+
+    fact = spark.createDataFrame(
+        [(i % 8, (i % 8) // 4, float(i)) for i in range(64)],
+        "k long, kb int, v double",
+    )
+    path = str(tmp_path / "fact")
+    fact.repartition("kb").write.partitionBy("kb").parquet(path)
+    pre = spark.read.parquet(path)
+    state = minmax_state(pre, ["kb", "k"], ["v"])
+    # delete the min row of group k=0 (kb=0) — the only unsafe group
+    dels = pre.where((F.col("k") == 0) & (F.col("v") == 0.0))
+    ins = spark.createDataFrame([], "k long, kb int, v double")
+    post_pdf = (
+        pre.where(~((F.col("k") == 0) & (F.col("v") == 0.0)))
+    )
+    post_path = str(tmp_path / "post")
+    post_pdf.repartition("kb").write.partitionBy("kb").parquet(post_path)
+    post = spark.read.parquet(post_path)
+    out = incremental_minmax_update(
+        state, post, ins, dels, ["kb", "k"], ["v"], partition_col="kb"
+    )
+    rows = {
+        (r["kb"], r["k"]): (r["__cnt__"], r["min_v"], r["max_v"])
+        for r in out.collect()
+    }
+    assert rows[(0, 0)] == (7, 8.0, 56.0)  # min recomputed from the fact
+    scans = [
+        s
+        for s in file_scan_stats(out)
+        if "post" in (s["location"] or "")
+    ]
+    assert scans, "recompute fact scan missing from the executed plan"
+    assert scans[0]["num_partitions"] == 1, scans
+    assert "kb" in (scans[0]["partition_filters"] or ""), scans
+
+
+def test_partition_col_must_be_a_key(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, kb int, v double")
+    with pytest.raises(ValueError, match="partition_col"):
+        incremental_minmax_update(
+            df, df, df, df, ["k"], ["v"], partition_col="kb"
+        )

@@ -63,6 +63,11 @@ LLM2 = [
     # driver-identical differential also runs in-suite).
     "v133_stream_dedup_join_window",
     "v134_cbo_join_order",
+    # round-12 post-saturation additions (POST_WINDOW_NEW tier-3): the
+    # r12 window refilled to exactly 50, so these carry the in-suite
+    # differential until they lead r13's window.
+    "v135_incremental_minmax_pruned",
+    "v136_frequent_terms_sketch",
 ]
 
 
