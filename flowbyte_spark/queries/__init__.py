@@ -32,6 +32,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
     {
         "v135_incremental_minmax_pruned",
         "v136_frequent_terms_sketch",
+        "v137_incremental_distinct_hll",
     }
 )
 

@@ -371,3 +371,70 @@ def v136_frequent_terms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# V137 — incremental DISTINCT-count maintenance via mergeable HLL
+# sketch state (Spark 4 Datasketches functions).  COUNT DISTINCT is not
+# group-homomorphic (v118's signed partials can't maintain it), but its
+# SKETCH is: per-load `hll_sketch_agg` states union exactly
+# (register-wise max — set-semantics, insertion-order independent), so
+# a 100 TB pipeline keeps one sketch row per (group, load) and answers
+# "distinct users to date" with a union of sketch states — no fact
+# rescan, ever.  Verified as the v37-pattern error contract: the merged
+# estimate must sit within the documented HLL bound of DuckDB's exact
+# recount; the booleans are deterministic because HLL state is a pure
+# function of the input SET.
+# ---------------------------------------------------------------------------
+V137_LGK = 14  # 2^14 registers: rsd ~ 0.81% — bound below uses 5x that
+
+
+@register(
+    "v137_incremental_distinct_hll",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_dc,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def v137_incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # two "loads" (deterministic halves) — each aggregated to one HLL
+    # state row per group, as an incremental pipeline would persist them
+    load_a = events.where(F.col("event_id") % 2 == 0)
+    load_b = events.where(F.col("event_id") % 2 == 1)
+    state_a = load_a.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(V137_LGK)).alias("sk")
+    )
+    state_b = load_b.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(V137_LGK)).alias("sk")
+    )
+    merged = (
+        state_a.unionByName(state_b)
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_dc")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_dc").cast("long").alias("exact_dc"),
+            (
+                F.abs(F.col("est") - F.col("exact_dc"))
+                <= F.greatest(
+                    F.col("exact_dc") * 0.0405,  # 5x rsd at lgK=14
+                    F.lit(1.0),
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -68,6 +68,7 @@ LLM2 = [
     # differential until they lead r13's window.
     "v135_incremental_minmax_pruned",
     "v136_frequent_terms_sketch",
+    "v137_incremental_distinct_hll",
 ]
 
 
