@@ -135,90 +135,46 @@ def incremental_minmax_update(
             f"{keys} (a column functionally derived from the group "
             "key and stored as the fact's partition column)"
         )
-    # State ⟗ inserts ⟗ deletes as ONE union + key shuffle + conditional
-    # aggregation, NOT a full-outer join chain (round-12 rework): a
-    # full_outer can't broadcast, so the chain form cost two sort-merge
-    # joins plus two delta-aggregate exchanges — five stage barriers of
-    # pure scheduling on kilobyte inputs (measured 0.65 s/evaluation at
-    # the 60M-row soak, paid by every consumer of j).  The union form
-    # is one map-side-combined exchange of O(groups + |delta|) rows —
-    # the same shape merge_states uses — and reconstructs the exact
-    # full-outer row because each source leg owns disjoint columns:
-    # MAX over a group picks the one non-null state value, SUM/MIN/MAX
-    # fold the delta rows, and a leg absent for a key leaves NULL (SUM
-    # and MIN/MAX of all-NULL are NULL), which is what the outer join
-    # produced.
-    typed = {f.name: f.dataType for f in state.schema.fields}
-
-    def _nulls(names_types):
-        return [F.lit(None).cast(t).alias(n) for n, t in names_types]
-
-    mm = [(f"{m}_{c}", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
-    imm = [(f"__i{m}_{c}__", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
-    dmm = [(f"__d{m}_{c}__", typed[f"min_{c}"]) for c in cols for m in ("min", "max")]
-    long_t = "long"
-    state_leg = state.select(
-        *keys,
-        F.col("__cnt__"),
-        *[F.col(n).cast(t).alias(n) for n, t in mm],
-        F.lit(None).cast(long_t).alias("__icnt__"),
-        *_nulls(imm),
-        F.lit(None).cast(long_t).alias("__dcnt__"),
-        *_nulls(dmm),
-    )
-    ins_leg = inserts.select(
-        *keys,
-        F.lit(None).cast(long_t).alias("__cnt__"),
-        *_nulls(mm),
-        F.lit(1).cast(long_t).alias("__icnt__"),
+    # State ⟗ inserts ⟗ deletes as a full-outer join chain.  A one-
+    # union + single-key-shuffle conditional aggregation was built and
+    # A/B'd this round (it reconstructs the same row because each leg
+    # owns disjoint columns) on the theory that five stage barriers of
+    # scheduling beat one — it measured WORSE at fixture scale (1.20 s
+    # vs 0.98 s interleaved medians at sf0.1) and neutral at the 240M
+    # soak: the wide 17-column 15-aggregate union plan costs more in
+    # driver planning and aggregation width than the narrow per-leg
+    # aggregates + joins it replaced.  Reverted; the measured at-scale
+    # levers are the localCheckpoint below and the static partition
+    # prune (BASELINE.md §Round-12 soak).
+    ins = inserts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__icnt__"),
         *[
-            F.col(c).cast(typed[f"min_{c}"]).alias(f"__i{m}_{c}__")
+            a
             for c in cols
-            for m in ("min", "max")
-        ],
-        F.lit(None).cast(long_t).alias("__dcnt__"),
-        *_nulls(dmm),
-    )
-    del_leg = deletes.select(
-        *keys,
-        F.lit(None).cast(long_t).alias("__cnt__"),
-        *_nulls(mm),
-        F.lit(None).cast(long_t).alias("__icnt__"),
-        *_nulls(imm),
-        F.lit(1).cast(long_t).alias("__dcnt__"),
-        *[
-            F.col(c).cast(typed[f"min_{c}"]).alias(f"__d{m}_{c}__")
-            for c in cols
-            for m in ("min", "max")
-        ],
-    )
-    u = state_leg.unionByName(ins_leg).unionByName(del_leg)
-    j = u.groupBy(*keys).agg(
-        F.max("__cnt__").alias("__cnt__"),
-        *[
-            F.max(f"{m}_{c}").alias(f"{m}_{c}")
-            for c in cols
-            for m in ("min", "max")
-        ],
-        F.sum("__icnt__").cast("long").alias("__icnt__"),
-        *[
-            agg
-            for c in cols
-            for agg in (
-                F.min(f"__imin_{c}__").alias(f"__imin_{c}__"),
-                F.max(f"__imax_{c}__").alias(f"__imax_{c}__"),
-            )
-        ],
-        F.sum("__dcnt__").cast("long").alias("__dcnt__"),
-        *[
-            agg
-            for c in cols
-            for agg in (
-                F.min(f"__dmin_{c}__").alias(f"__dmin_{c}__"),
-                F.max(f"__dmax_{c}__").alias(f"__dmax_{c}__"),
+            for a in (
+                F.min(c).alias(f"__imin_{c}__"),
+                F.max(c).alias(f"__imax_{c}__"),
             )
         ],
     )
+    dels = deletes.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__dcnt__"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"__dmin_{c}__"),
+                F.max(c).alias(f"__dmax_{c}__"),
+            )
+        ],
+    )
+    # Without partition_col, j feeds TWO output legs (safe merge +
+    # unsafe keys) and the chain evaluates twice — deliberately
+    # uncached: a persist A/B measured neutral-to-worse at sf0.1 AND at
+    # the 60M soak (cache build ≈ the re-evaluation it saves on a
+    # state-sized join), and uncached the unsafe-keys branch keeps full
+    # column pruning.
+    j = state.join(ins, keys, "full_outer").join(dels, keys, "full_outer")
     if partition_col is not None:
         # The partition-prune path is already eager (the partition-value
         # collect below runs a job), and j feeds THREE consumers (safe
