@@ -264,3 +264,52 @@ def incremental_update(
         ],
         keys,
     )
+
+
+def topk_state(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group top-k state over one load: the k best rows per group
+    by ``(order_col DESC, tiebreak_col ASC)``.
+
+    Top-k is not invertible under deletes (like MIN/MAX), but under
+    INSERT-only loads it is a mergeable monoid:
+    ``topk(A ∪ B) ⊆ topk(A) ∪ topk(B)`` — any row in the combined
+    top-k beats at least |topk| rows of its own load, so it survives
+    its load's local cut.  A 100 TB pipeline therefore persists one
+    k-row-per-group state PER LOAD and answers "top-k to date" by
+    merging states (:func:`merge_topk_states`) — O(groups × k × loads)
+    IO, never a fact rescan.  Differential proof:
+    tests/test_incremental.py; driver row v146.
+    """
+    from flowbyte_spark.operators.topk import top_k_per_group
+
+    state = top_k_per_group(
+        df.select(*keys, order_col, tiebreak_col),
+        keys,
+        [F.col(order_col).desc(), F.col(tiebreak_col).asc()],
+        k,
+    )
+    return state.drop("rn")
+
+
+def merge_topk_states(
+    states: list[DataFrame],
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Merge per-load top-k states: union (≤ k·loads rows per group)
+    → one key shuffle → re-rank → keep k.  Associative and
+    commutative, so loads can merge in any order or hierarchically."""
+    if not states:
+        raise ValueError("no states to merge")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return topk_state(out, keys, order_col, tiebreak_col, k)

@@ -69,6 +69,15 @@ LLM2 = [
     "v135_incremental_minmax_pruned",
     "v136_frequent_terms_sketch",
     "v137_incremental_distinct_hll",
+    "v138_q2_min_cost_supplier",
+    "v139_q13_order_distribution",
+    "v140_q20_excess_shippers",
+    "v141_q19_disjunctive_revenue",
+    "v142_q15_top_supplier",
+    "v143_q16_supplier_count",
+    "v144_q11_important_parts",
+    "v145_q14_promo_share",
+    "v146_incremental_topk",
 ]
 
 

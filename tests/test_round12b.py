@@ -1,0 +1,107 @@
+"""Round-12 second batch (queries/round12b.py): plan-shape proofs for
+the TPC-H shapes the queries exist for, plus operator-level
+differentials for the mergeable top-k state."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from flowbyte_spark import plans
+from flowbyte_spark.operators.incremental import merge_topk_states, topk_state
+from flowbyte_spark.operators.topk import top_k_per_group
+from flowbyte_spark.queries import QUERIES
+
+
+def test_v138_correlated_min_is_decorrelated(spark, sf_dir):
+    # The multi-table correlated scalar-MIN must decorrelate to one
+    # per-part aggregate joined back — no per-row subquery rerun.
+    df = QUERIES["v138_q2_min_cost_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert re.search(r"min\(unit_cost", plan), plan
+
+
+def test_v141_implied_conjuncts_reach_both_scans(spark, sf_dir):
+    # The disjunctive OR-of-ANDs implies per-side conjuncts; the plan
+    # we want at 100 TB pushes the brand IN-list into the part scan
+    # and the quantity envelope into the lineitem scan.
+    df = QUERIES["v141_q19_disjunctive_revenue"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    joined = "\n".join(pushed)
+    assert re.search(r"In\(p_brand", joined), plan
+    assert re.search(
+        r"GreaterThanOrEqual\(l_quantity,1.0", joined
+    ) and re.search(r"LessThanOrEqual\(l_quantity,30.0", joined), plan
+
+
+def test_v143_not_in_plans_broadcast_anti(spark, sf_dir):
+    # The tiny exclusion list must broadcast; a shuffled anti join on a
+    # 6-row build side would be the wrong plan at any scale.
+    df = QUERIES["v143_q16_supplier_count"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+
+
+def test_v142_scalar_max_probe_is_broadcast(spark, sf_dir):
+    # The 1-row MAX side joins by broadcast — no global sort, no
+    # single-partition window anywhere in the plan.
+    df = QUERIES["v142_q15_top_supplier"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan
+    )
+    assert "Window" not in plan, plan
+
+
+def _fact(spark, n=2000, groups=7, seed_mod=101):
+    # deterministic synthetic fact: value collides across ids so
+    # tie-breaks are exercised
+    return spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        F.col("id").alias("id"),
+        ((F.col("id") * seed_mod) % 97).cast("double").alias("v"),
+    )
+
+
+def test_topk_state_merge_equals_full_recompute(spark):
+    # The monoid law the 100 TB path rests on: merging per-load states
+    # must equal top-k over the full fact, for any load partitioning.
+    fact = _fact(spark)
+    full = (
+        top_k_per_group(
+            fact, ["g"], [F.col("v").desc(), F.col("id").asc()], 5
+        )
+        .drop("rn")
+        .select("g", "v", "id")
+    )
+    for n_loads in (1, 2, 5):
+        states = [
+            topk_state(
+                fact.where(F.col("id") % n_loads == i), ["g"], "v", "id", 5
+            )
+            for i in range(n_loads)
+        ]
+        merged = merge_topk_states(states, ["g"], "v", "id", 5).select(
+            "g", "v", "id"
+        )
+        assert sorted(merged.collect()) == sorted(full.collect()), n_loads
+
+
+def test_topk_state_is_bounded_per_group(spark):
+    # Each load's state holds at most k rows per group — the IO bound
+    # that makes the per-load persist cheap.
+    state = topk_state(_fact(spark), ["g"], "v", "id", 5)
+    per_group = state.groupBy("g").count().agg(F.max("count")).collect()
+    assert per_group[0][0] <= 5
+
+
+def test_merge_topk_states_rejects_empty():
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge_topk_states([], ["g"], "v", "id", 5)
