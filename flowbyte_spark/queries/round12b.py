@@ -48,10 +48,15 @@ from flowbyte_spark.queries import register
 # V138 — TPC-H Q2 shape: min-cost supplier.  The correlated scalar-MIN
 # subquery correlates through a JOIN CHAIN (offers re-joins supplier →
 # nation → region inside the subquery), unlike v114/v128 whose
-# correlation target is a single table.  Catalyst must decorrelate it
-# into one per-part aggregate joined back (no surviving subquery nodes
-# in the executed plan — tests/test_round12b.py).  With no partsupp
-# fixture, lineitem plays the offer table: unit_cost =
+# correlation target is a single table.  Catalyst DOES decorrelate the
+# literal SQL (no surviving subquery nodes — proven in
+# tests/test_round12b.py on _V138_SQL), but inlines the offers CTE
+# into BOTH consumers: two full lineitem scans and a doubled join
+# tree, which is the wrong plan at 100 TB.  The registered query is
+# therefore the equivalent single-scan form — offers computed once,
+# per-part MIN as a window over the partkey shuffle, equality filter
+# in the same stage (plan-asserted: exactly one lineitem scan).  With
+# no partsupp fixture, lineitem plays the offer table: unit_cost =
 # l_extendedprice / l_quantity (IEEE division — bit-identical in both
 # engines, so the MIN-equality filter is exact).
 # ---------------------------------------------------------------------------
@@ -86,15 +91,59 @@ ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
     ),
 )
 def v138_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("lineitem", "supplier", "nation", "region", "part"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"fb138_{t}")
-    return spark.sql(
-        _V138_SQL.format(
-            lineitem="fb138_lineitem",
-            supplier="fb138_supplier",
-            nation="fb138_nation",
-            region="fb138_region",
-            part="fb138_part",
+    from pyspark.sql import Window
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    # dims chain broadcasts into the fact — one lineitem scan total
+    euro_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name"))
+    )
+    offers = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(euro_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            ),
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    # per-part MIN as a window over the one partkey shuffle; the
+    # equality filter runs in the same stage (no self-join, no second
+    # scan — the decorrelated form Catalyst produces, minus the CTE
+    # duplication)
+    w = Window.partitionBy("partkey")
+    best = offers.withColumn(
+        "min_cost", F.min("unit_cost").over(w)
+    ).where(F.col("unit_cost") == F.col("min_cost"))
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        best.join(F.broadcast(part), best["partkey"] == part["p_partkey"])
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
         )
     )
 
@@ -313,6 +362,11 @@ def v142_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_rev")
         )
+        # the view feeds BOTH the scalar MAX and the equality probe;
+        # without materialization each consumer replays the fact scan
+        # (plan-asserted single scan in tests/test_round12b.py).  The
+        # view is |suppliers| rows — state-table-sized at any SF.
+        .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -420,6 +474,10 @@ def v144_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("val"))
+        # consumed by the global total AND the threshold filter —
+        # materialize the |parts|-row aggregate once (single fact
+        # scan, plan-asserted)
+        .localCheckpoint(eager=True)
     )
     total = pv.agg(F.sum("val").cast(DEC).alias("total"))
     return (

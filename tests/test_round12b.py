@@ -14,13 +14,40 @@ from flowbyte_spark.operators.topk import top_k_per_group
 from flowbyte_spark.queries import QUERIES
 
 
-def test_v138_correlated_min_is_decorrelated(spark, sf_dir):
-    # The multi-table correlated scalar-MIN must decorrelate to one
-    # per-part aggregate joined back — no per-row subquery rerun.
-    df = QUERIES["v138_q2_min_cost_supplier"](spark, sf_dir)
+def test_v138_literal_sql_decorrelates(spark, sf_dir):
+    # Catalyst capability proof: the literal correlated scalar-MIN with
+    # a JOIN-CHAIN correlation decorrelates — no per-row subquery rerun
+    # survives in the executed plan.  (The registered query uses the
+    # single-scan form; see the next test for why.)
+    from flowbyte_spark.catalog import load_table
+    from flowbyte_spark.queries.round12b import _V138_SQL
+
+    for t in ("lineitem", "supplier", "nation", "region", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"fb138t_{t}")
+    df = spark.sql(
+        _V138_SQL.format(
+            lineitem="fb138t_lineitem",
+            supplier="fb138t_supplier",
+            nation="fb138t_nation",
+            region="fb138t_region",
+            part="fb138t_part",
+        )
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in plan, plan
     assert re.search(r"min\(unit_cost", plan), plan
+
+
+def test_v138_registered_form_scans_lineitem_once(spark, sf_dir):
+    # The literal SQL inlines the offers CTE twice (two lineitem scans,
+    # doubled join tree — wrong at 100 TB).  The registered query is
+    # the window-MIN rewrite: exactly ONE parquet scan of lineitem and
+    # no subquery nodes.
+    df = QUERIES["v138_q2_min_cost_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    n_lineitem_scans = len(re.findall(r"lineitem\.parquet", plan))
+    assert n_lineitem_scans == 1, plan
 
 
 def test_v141_implied_conjuncts_reach_both_scans(spark, sf_dir):
@@ -49,13 +76,25 @@ def test_v143_not_in_plans_broadcast_anti(spark, sf_dir):
 
 def test_v142_scalar_max_probe_is_broadcast(spark, sf_dir):
     # The 1-row MAX side joins by broadcast — no global sort, no
-    # single-partition window anywhere in the plan.
+    # single-partition window anywhere in the plan — and the revenue
+    # view feeds both consumers from ONE materialization (zero
+    # lineitem scans survive above the checkpoint).
     df = QUERIES["v142_q15_top_supplier"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         plan
     )
     assert "Window" not in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+
+
+def test_v144_group_table_feeds_both_consumers_once(spark, sf_dir):
+    # Same shape as v142: the pv aggregate is consumed by the global
+    # total and the threshold filter; the registered form materializes
+    # it once instead of replaying the fact scan per consumer.
+    df = QUERIES["v144_q11_important_parts"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "lineitem.parquet" not in plan, plan
 
 
 def _fact(spark, n=2000, groups=7, seed_mod=101):
