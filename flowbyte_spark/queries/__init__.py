@@ -42,6 +42,12 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v144_q11_important_parts",
         "v145_q14_promo_share",
         "v146_incremental_topk",
+        "v147_q4_priority_check",
+        "v148_q5_local_volume",
+        "v149_q6_forecast_revenue",
+        "v150_q9_product_profit",
+        "v151_q10_returned_items",
+        "v152_q12_ship_priority",
     }
 )
 
@@ -82,6 +88,7 @@ def _load_all() -> None:
         round11,
         round12,
         round12b,
+        round12c,
         scale_q,
         streaming_q,
         tier_a,

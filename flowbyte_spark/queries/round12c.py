@@ -1,0 +1,321 @@
+"""Round-12 third batch: the last six TPC-H query shapes — with these,
+all 22 TPC-H decision-support shapes are registered (Q1 v03, Q2 v138,
+Q3 v05, Q4 v147, Q5 v148, Q6 v149, Q7 v109, Q8 v110, Q9 v150, Q10
+v151, Q11 v144, Q12 v152, Q13 v139, Q14 v145, Q15 v142, Q16 v143, Q17
+v128, Q18 v77, Q19 v141, Q20 v140, Q21 v90, Q22 v116).  The reference
+delegates every one of these to its attached SQL Server via
+pass-through SQL (sql.py:88-109); here they are Catalyst-native.
+
+Fixture adaptations (no partsupp table, no comment / shipmode /
+commitdate columns): Q9's supply cost proxies as 0.6·p_retailprice per
+unit; Q12 buckets on l_returnflag with the late-ship predicate
+l_shipdate > o_orderdate standing in for the commit/receipt pair.
+Numeric conventions as in round12b: exact DECIMAL(38,6) sums, ROUND at
+the output edge only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flowbyte_spark.catalog import load_table
+from flowbyte_spark.functions import DEC, dec_sum
+from flowbyte_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# V147 — TPC-H Q4: order-priority checking.  EXISTS(correlated, with a
+# cross-table inequality l_shipdate > o_orderdate) per order in one
+# quarter → a left-semi join carrying the non-equi conjunct; the
+# orderdate filter halves the probe side before the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "v147_q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def v147_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V148 — TPC-H Q5: local supplier volume.  The 6-table join whose
+# distinguishing conjunct lives in the JOIN GRAPH, not a filter:
+# customer and supplier must share a nation (c_nationkey =
+# s_nationkey rides on the lineitem⋈supplier join).  Region/nation/
+# supplier broadcast; customer⋈orders⋈lineitem shuffle on their keys.
+# ---------------------------------------------------------------------------
+@register(
+    "v148_q5_local_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+    GROUP BY 1 ORDER BY revenue DESC, nation
+    """,
+)
+def v148_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    asia_supp = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region),
+                nation["n_regionkey"] == region["r_regionkey"],
+            )
+        ),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(asia_supp),
+            (li["l_suppkey"] == F.col("s_suppkey"))
+            & (cust["c_nationkey"] == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V149 — TPC-H Q6: forecast revenue change.  Pure scan-filter-agg; the
+# whole query should collapse into one WholeStageCodegen span over a
+# scan whose PushedFilters carry the discount/quantity envelope
+# (plan-asserted in tests/test_round12c.py).
+# ---------------------------------------------------------------------------
+@register(
+    "v149_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def v149_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# V150 — TPC-H Q9: product-type profit.  With no partsupp fixture the
+# per-unit supply cost proxies as 0.6·p_retailprice (computed in IEEE
+# double identically by both engines, then cast to exact decimal — the
+# subtraction itself is decimal, so group sums are order-independent).
+# Part/supplier/nation broadcast into the fact; orders joins on the
+# orderkey shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "v150_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6))
+                 - CAST(0.6 * p.p_retailprice * l.l_quantity
+                        AS DECIMAL(38,6)) AS amount
+          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%') profit
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def v150_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    supp_nat = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast(DEC) - (
+        0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# V151 — TPC-H Q10: returned-item reporting.  Quarter of orders ⋈
+# returned lines ⋈ customer dim, top-20 customers by lost revenue —
+# the final ORDER BY + LIMIT must plan as TakeOrderedAndProject (no
+# global sort of the aggregate).  revenue DESC ties broken by the
+# unique custkey so the LIMIT boundary is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "v151_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           c.c_acctbal, n.n_name AS nation
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= '1996-10-01' AND o.o_orderdate < '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def v151_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V152 — TPC-H Q12: shipping priority classes.  The fixture has no
+# shipmode/commitdate, so the class buckets on l_returnflag and the
+# lateness predicate is l_shipdate > o_orderdate; the shape under test
+# is the join + dual conditional counts (CASE inside SUM, both legs in
+# one pass).
+# ---------------------------------------------------------------------------
+@register(
+    "v152_q12_ship_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def v152_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )

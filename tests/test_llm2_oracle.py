@@ -78,6 +78,12 @@ LLM2 = [
     "v144_q11_important_parts",
     "v145_q14_promo_share",
     "v146_incremental_topk",
+    "v147_q4_priority_check",
+    "v148_q5_local_volume",
+    "v149_q6_forecast_revenue",
+    "v150_q9_product_profit",
+    "v151_q10_returned_items",
+    "v152_q12_ship_priority",
 ]
 
 

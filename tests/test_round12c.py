@@ -1,0 +1,59 @@
+"""Round-12 third batch (queries/round12c.py): plan-shape proofs for
+the final six TPC-H shapes."""
+
+from __future__ import annotations
+
+import re
+
+from flowbyte_spark import plans
+from flowbyte_spark.queries import QUERIES
+
+
+def test_v147_exists_plans_semi_join(spark, sf_dir):
+    # EXISTS must plan as a semi join (one probe bit per order), never
+    # an inner join + dedup.
+    df = QUERIES["v147_q4_priority_check"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_v149_filters_reach_scan_in_one_codegen_span(spark, sf_dir):
+    # Q6 is the canonical scan-filter-agg: the discount/quantity
+    # envelope must reach the parquet scan as PushedFilters, and the
+    # whole query should stay inside whole-stage codegen (no Python,
+    # no extra exchange beyond the final 1-row agg).
+    df = QUERIES["v149_q6_forecast_revenue"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    assert plans.shuffle_exchanges(df) <= 1, plans.physical_plan(df)
+    # codegen markers only appear on the EXECUTED plan under AQE; the
+    # one-line toString renders a codegen stage as the "*(n)" prefix
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\) HashAggregate", executed), executed
+    assert re.search(r"\*\(\d+\) (Project|Filter|ColumnarToRow)", executed), (
+        executed
+    )
+
+
+def test_v151_top20_plans_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT over the aggregate must be TakeOrderedAndProject
+    # — a bounded per-partition heap + driver merge, not a global sort.
+    df = QUERIES["v151_q10_returned_items"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_v150_dims_broadcast_into_fact(spark, sf_dir):
+    # part/supplier/nation ride broadcast joins; only the
+    # lineitem⋈orders edge (two facts) may shuffle.
+    df = QUERIES["v150_q9_product_profit"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # no cartesian anywhere; the only permissible shuffle join is the
+    # fact⋈fact orders edge (broadcast at fixture scale under AQE)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan), (
+        plan
+    )
