@@ -48,6 +48,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v150_q9_product_profit",
         "v151_q10_returned_items",
         "v152_q12_ship_priority",
+        "v153_incremental_variance",
     }
 )
 

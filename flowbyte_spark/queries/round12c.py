@@ -319,3 +319,83 @@ def v152_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# V153 — incremental VARIANCE/STDDEV maintenance via signed second
+# moments.  Pure composition over v118's machinery: variance is a
+# function of group-homomorphic moments (n, Σx, Σx²), so the CDC
+# update maintains Σx and Σx² with signed partials and derives
+# var/stddev only at read time — no new operator, no fact rescan, the
+# moment answer completing the family (v118 sums, v124 extrema, v137
+# distinct, v146 top-k).  Cross-engine determinism: the naive
+# Sx2/n - (Sx/n)² formula cancels catastrophically and a 1-ulp
+# engine difference flips the rounded boundary (observed on the 5-LOW
+# group), so prices are quantized to integer cents with the IEEE-exact
+# floor(x*100 + 0.5) (the q4 convention) and the numerator
+# n·Σc² − (Σc)² is computed in EXACT decimal — both engines then
+# divide the identical value by the identical n², and the rounded
+# output cannot drift.
+# ---------------------------------------------------------------------------
+@register(
+    "v153_incremental_variance",
+    oracle="""
+    WITH post AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000000 AS o_orderkey,
+               o_orderpriority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(c AS DECIMAL(38,6))) AS sc,
+               SUM(CAST(c * c AS DECIMAL(38,6))) AS sc2
+        FROM post GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n_orders,
+           ROUND(CAST(n_orders * sc2 - sc * sc AS DOUBLE)
+                 / n_orders / n_orders / 10000.0, 4) AS var_price,
+           ROUND(SQRT(CAST(n_orders * sc2 - sc * sc AS DOUBLE)
+                 / n_orders / n_orders / 10000.0), 4) AS std_price
+    FROM m ORDER BY o_orderpriority
+    """,
+)
+def v153_incremental_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.incremental import (
+        agg_state,
+        incremental_update,
+    )
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents.alias("c"),
+        (cents * cents).alias("c2"),
+    )
+    state = agg_state(orders, ["o_orderpriority"], ["c", "c2"])
+    deletes = orders.where(F.col("o_orderkey") % 13 == 0)
+    inserts = orders.where(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey",
+        F.col("o_orderkey").cast("long") + F.lit(1_000_000_000_000),
+    )
+    new_state = incremental_update(
+        state, inserts, deletes, ["o_orderpriority"], ["c", "c2"]
+    )
+    n = F.col("__cnt__")
+    # exact-decimal numerator; only the final division runs in floats,
+    # on values both engines hold bit-identically
+    num = (
+        n.cast(DEC) * F.col("sum_c2") - F.col("sum_c") * F.col("sum_c")
+    ).cast("double")
+    var = num / n / n / F.lit(10000.0)
+    return new_state.select(
+        "o_orderpriority",
+        n.alias("n_orders"),
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+    ).orderBy("o_orderpriority")

@@ -84,6 +84,7 @@ LLM2 = [
     "v150_q9_product_profit",
     "v151_q10_returned_items",
     "v152_q12_ship_priority",
+    "v153_incremental_variance",
 ]
 
 
