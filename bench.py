@@ -31,6 +31,27 @@ def main() -> None:
     from flowbyte_spark.queries import QUERIES
     from flowbyte_spark.session import get_spark
 
+    # Prior full-pass medians (drift tripwire): the r12 153-query pass
+    # recorded a mid-run host-contention episode where EVERY sample of
+    # the late-running queries was uniformly 5-15x slow (v93 1.1->11.3 s,
+    # v96 0.7->10.7 s) — median/min stayed under 1.5 so the contention
+    # tripwire below never fired, and the isolated re-run reproduced the
+    # old numbers exactly.  A query can only evade BOTH tripwires now by
+    # being slow consistently within the run AND across runs — i.e. by
+    # actually being slow.
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(_REPO, "BENCH_FULL.json")) as fh:
+            _pj = json.load(fh)
+        if str(_pj.get("sf")) == os.path.basename(
+            sf_dir.rstrip("/")
+        ).replace("sf", ""):
+            prior = {
+                k: v for k, v in _pj.get("queries", {}).items() if v > 0.2
+            }
+    except (OSError, ValueError):
+        pass
+
     spark = get_spark(app_name="flowbyte-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,7 +103,8 @@ def main() -> None:
     def _noisy() -> list[str]:
         return sorted(
             k for k, s in spreads.items()
-            if s["min"] > 0.05 and s["median"] / s["min"] > 1.5
+            if (s["min"] > 0.05 and s["median"] / s["min"] > 1.5)
+            or (k in prior and s["median"] / prior[k] > 2.5)
         )
 
     # Re-measure pass (VERDICT r9 #7): a flagged median is a CLAIM of
