@@ -399,3 +399,153 @@ def v153_incremental_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 4).alias("var_price"),
         F.round(F.sqrt(var), 4).alias("std_price"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V154 — time-series resample: hourly spine + gap-fill with LOCF
+# (last-observation-carried-forward).  The missing time-series shape:
+# a dense hourly grid per user (global [min,max] hour span), hourly
+# sums joined on, gaps filled by `last(value, ignorenulls)` over the
+# event-time order — hours before a user's first observation stay
+# NULL (no fabrication).  Hourly sums are exact-decimal and ROUNDED
+# BEFORE the fill, so both engines carry bit-identical doubles into
+# the window.  Scale shape: the spine explodes ~n_hours rows per user
+# (no shuffle), one (user, hour) join shuffle, one window shuffle on
+# user — all keyed, no single-partition stage.
+# ---------------------------------------------------------------------------
+_V154_USERS = 20
+
+
+@register(
+    "v154_gapfill_locf",
+    oracle=f"""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                      date_trunc('hour', MAX(ts)) AS h1 FROM events),
+    u AS (SELECT DISTINCT user_id FROM events
+          WHERE user_id < {_V154_USERS}),
+    spine AS (SELECT u.user_id,
+                     unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+                         AS h
+              FROM u, b),
+    hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                      ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                            AS DOUBLE), 2) AS v
+               FROM events WHERE user_id < {_V154_USERS} GROUP BY 1, 2)
+    SELECT s.user_id AS user_id,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(hr.v IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.h) AS filled
+    FROM spine s LEFT JOIN hourly hr
+      ON s.user_id = hr.user_id AND s.h = hr.h
+    ORDER BY user_id, hour_ts
+    """,
+)
+def v154_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < _V154_USERS
+    )
+    all_ev = load_table(spark, sf_dir, "events")
+    bounds = all_ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    users = ev.select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dec_sum(F.col("value"), "v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("v", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V155 — event-time rolling aggregate: RANGE frame bounded by a TIME
+# INTERVAL (7 days preceding), not a row count — the frame contents
+# depend on event-time density, so ROWS frames (v11) cannot express
+# it.  Values sum as exact integer cents (engines slide frames with
+# different float accumulation orders — segment trees vs recompute —
+# so a double sum could drift at the ulp; integer sums cannot), the
+# /100 happens at the output edge.
+# ---------------------------------------------------------------------------
+@register(
+    "v155_interval_range_window",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS roll_cents
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def v155_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("fb155_events")
+    # DataFrame rangeBetween only takes numeric offsets; the interval
+    # frame is the SQL surface (same Catalyst node either way)
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS roll_cents
+        FROM fb155_events
+        ORDER BY event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# V156 — equi-width histogram via width_bucket.  Spark's width_bucket
+# computes floor((v - lo) / ((hi - lo) / n)) + 1 in IEEE doubles; the
+# oracle spells out the same arithmetic (verified mismatch-free over
+# the full column, including bucket-edge prices) since DuckDB lacks
+# the function.  One partial-aggregated shuffle on a 50-value key.
+# ---------------------------------------------------------------------------
+@register(
+    "v156_width_bucket_histogram",
+    oracle="""
+    SELECT CAST(FLOOR((o_totalprice - 0) / ((500000.0 - 0) / 50)) + 1
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 2) AS sum_price
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def v156_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr("width_bucket(o_totalprice, 0, 500000, 50)").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -85,6 +85,9 @@ LLM2 = [
     "v151_q10_returned_items",
     "v152_q12_ship_priority",
     "v153_incremental_variance",
+    "v154_gapfill_locf",
+    "v155_interval_range_window",
+    "v156_width_bucket_histogram",
 ]
 
 
