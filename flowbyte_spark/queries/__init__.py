@@ -52,6 +52,8 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v154_gapfill_locf",
         "v155_interval_range_window",
         "v156_width_bucket_histogram",
+        "v157_funnel_analysis",
+        "v158_cohort_retention",
     }
 )
 

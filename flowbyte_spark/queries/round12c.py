@@ -549,3 +549,136 @@ def v156_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# V157 — funnel analysis: ordered event-sequence matching (view →
+# first click ≤12 h later → first purchase ≤24 h after that), counted
+# per user segment.  The oracle states it as THREE staged min-joins;
+# the Spark form is the one-pass array funnel: ONE groupBy(user)
+# collecting each stage's sorted timestamp array, then pure
+# higher-order expressions (filter + array_min) walk the funnel — one
+# shuffle total, no self-joins, no window.  Per-user arrays are
+# bounded by per-user event counts (the same bound every sessionize
+# operator carries); at 100 TB segment the arrays stay KB-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "v157_funnel_analysis",
+    oracle="""
+    WITH v AS (SELECT user_id, user_id % 10 AS segment, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT v.user_id, MIN(e.ts) AS t_click
+          FROM v JOIN events e ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 12 HOUR GROUP BY 1),
+    p AS (SELECT c.user_id, MIN(e.ts) AS t_purchase
+          FROM c JOIN events e ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_view,
+           CAST(COUNT(c.t_click) AS BIGINT) AS n_click,
+           CAST(COUNT(p.t_purchase) AS BIGINT) AS n_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def v157_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+
+    def stage_arr(t: str):
+        return F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == t, F.col("ts"))
+            )
+        ).alias(f"{t}s")
+
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 10).alias("segment")
+    ).agg(stage_arr("view"), stage_arr("click"), stage_arr("purchase"))
+    funnel = (
+        per_user.withColumn(
+            "t_view", F.expr("try_element_at(views, 1)")
+        )
+        .withColumn(
+            "t_click",
+            F.expr(
+                "array_min(filter(clicks, x -> x > t_view"
+                " AND x <= t_view + INTERVAL 12 HOURS))"
+            ),
+        )
+        .withColumn(
+            "t_purchase",
+            F.expr(
+                "array_min(filter(purchases, x -> x > t_click"
+                " AND x <= t_click + INTERVAL 24 HOURS))"
+            ),
+        )
+        .where(F.col("t_view").isNotNull())
+    )
+    return (
+        funnel.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V158 — cohort retention: users cohorted by first-purchase day, the
+# classic (cohort × day-offset → active users) matrix.  Two keyed
+# aggregations and one user-key join; the DISTINCT collapses repeat
+# activity inside a day before the matrix count, so the final shuffle
+# carries at most users × observed days.
+# ---------------------------------------------------------------------------
+@register(
+    "v158_cohort_retention",
+    oracle="""
+    WITH pe AS (SELECT user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+    first_seen AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+      FROM pe GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT p.user_id, f.cohort_day,
+             CAST(datediff('day', f.cohort_day, date_trunc('day', p.ts))
+                  AS INT) AS day_offset
+      FROM pe p JOIN first_seen f ON p.user_id = f.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity WHERE day_offset <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def v158_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pe = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts")
+    first_seen = pe.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        pe.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", "ts"), F.col("cohort_day")
+            ).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -88,6 +88,8 @@ LLM2 = [
     "v154_gapfill_locf",
     "v155_interval_range_window",
     "v156_width_bucket_histogram",
+    "v157_funnel_analysis",
+    "v158_cohort_retention",
 ]
 
 

@@ -57,3 +57,16 @@ def test_v150_dims_broadcast_into_fact(spark, sf_dir):
     assert re.findall(r"(?:SortMerge|ShuffledHash|BroadcastHash)Join", plan), (
         plan
     )
+
+
+def test_v157_funnel_is_one_pass(spark, sf_dir):
+    # The funnel walks three stages with pure array expressions over
+    # ONE grouped collect — no self-joins, no window, and only the
+    # groupBy(user) + final segment-agg shuffles.
+    df = QUERIES["v157_funnel_analysis"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert not re.search(r"(SortMerge|ShuffledHash|BroadcastHash)Join", plan), (
+        plan
+    )
+    assert plans.shuffle_exchanges(df) <= 3, plan
+    assert len(re.findall(r"events\.parquet", plan)) == 1, plan
