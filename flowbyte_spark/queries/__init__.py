@@ -54,6 +54,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v156_width_bucket_histogram",
         "v157_funnel_analysis",
         "v158_cohort_retention",
+        "v159_stream_topk",
     }
 )
 

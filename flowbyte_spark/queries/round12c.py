@@ -682,3 +682,94 @@ def v158_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# V159 — STREAMING top-k maintenance: the live twin of v146.  Events
+# replay as a multi-micro-batch file stream; per event type the
+# applyInPandasWithState machine holds the current top-5 as O(k)
+# array state (streaming/stateful.py:running_topk) and re-emits it in
+# update mode whenever a batch improves it.  The latest emission per
+# type, exploded to (rank, event_id, value) rows, must hash-match the
+# batch ROW_NUMBER top-5 over the whole fixture — the v146 monoid law
+# applied per micro-batch instead of per load.  5 keys, so the
+# module's max_keys brake is waived deliberately.
+# ---------------------------------------------------------------------------
+_V159_K = 5
+
+
+@register(
+    "v159_stream_topk",
+    oracle=f"""
+    SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, value
+    FROM (SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+    WHERE rn <= {_V159_K}
+    ORDER BY event_type, rank
+    """,
+)
+def v159_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from flowbyte_spark.queries.streaming_q import (
+        _memo_source,
+        _scratch_dir,
+    )
+    from flowbyte_spark.streaming import (
+        foreach_batch_sink,
+        read_event_stream,
+        run_available_now,
+        scoped_sql_conf,
+    )
+    from flowbyte_spark.streaming.stateful import running_topk
+
+    src = _memo_source(
+        "v159_events",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(3)
+        .write.parquet(p),
+    )
+    ckpt = _scratch_dir("v159_ckpt")
+    out = _scratch_dir("v159_result")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    topk = running_topk(
+        stream, k=_V159_K, watermark="3650 days", max_keys=None
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    writer = foreach_batch_sink(
+        topk, write, checkpoint=ckpt, output_mode="update"
+    )
+    with scoped_sql_conf(spark, **{"spark.sql.shuffle.partitions": "4"}):
+        run_available_now(writer)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    from flowbyte_spark.operators.topk import top_k_per_group
+
+    latest = top_k_per_group(
+        spark.read.parquet(out),
+        ["event_type"],
+        [F.col("batch_id").desc()],
+        k=1,
+    )
+    return (
+        latest.select(
+            "event_type",
+            F.posexplode(F.arrays_zip("vals", "ids")).alias("pos", "pair"),
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("pair.ids").alias("event_id"),
+            F.col("pair.vals").alias("value"),
+        )
+        .orderBy("event_type", "rank")
+    )

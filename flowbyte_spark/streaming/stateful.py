@@ -261,3 +261,79 @@ def running_user_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k maintenance (round 12): the live twin of the batch
+# top-k state monoid (operators/incremental.py:topk_state).  State per
+# key is the CURRENT top-k as two parallel arrays — O(k) per key, not
+# O(events) — and each micro-batch folds its rows in by the same
+# (value DESC, id ASC) cut, so the final emission equals batch top-k
+# over everything seen regardless of how rows split across batches
+# (the v146 monoid law, applied once per batch).  Values are COMPARED,
+# never accumulated, so doubles are safe in state (the v75 integral
+# rule guards accumulation, not comparison).
+# ---------------------------------------------------------------------------
+TOPK_STATE_SCHEMA = "vals ARRAY<DOUBLE>, ids ARRAY<BIGINT>"
+TOPK_OUTPUT_SCHEMA = (
+    "event_type STRING, vals ARRAY<DOUBLE>, ids ARRAY<BIGINT>"
+)
+
+
+def _update_topk(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    guard_id: str,
+    max_keys: int | None,
+    k: int,
+) -> Iterable[pd.DataFrame]:
+    (etype,) = key
+    _count_seen_key(guard_id, key, max_keys)
+    if state.exists:
+        vals, ids = state.get
+        pairs = list(zip(vals, ids))
+    else:
+        pairs = []
+    for pdf in pdfs:
+        pairs.extend(
+            zip(
+                (float(v) for v in pdf["value"]),
+                (int(i) for i in pdf["event_id"]),
+            )
+        )
+    pairs.sort(key=lambda p: (-p[0], p[1]))
+    del pairs[k:]
+    vals = [p[0] for p in pairs]
+    ids = [p[1] for p in pairs]
+    state.update((vals, ids))
+    yield pd.DataFrame(
+        {"event_type": [etype], "vals": [vals], "ids": [ids]}
+    )
+
+
+def running_topk(
+    events: DataFrame,
+    k: int = 5,
+    watermark: str = "1 hour",
+    max_keys: int | None = DEFAULT_MAX_KEYS,
+) -> DataFrame:
+    """Per-event-type running top-k (by value, event_id tie-break)
+    across micro-batches.  ``max_keys`` is the module cardinality
+    brake; see the module docstring."""
+    guard_id = uuid.uuid4().hex
+
+    def update(key, pdfs, state):
+        yield from _update_topk(key, pdfs, state, guard_id, max_keys, k)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

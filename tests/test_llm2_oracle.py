@@ -90,6 +90,7 @@ LLM2 = [
     "v156_width_bucket_histogram",
     "v157_funnel_analysis",
     "v158_cohort_retention",
+    "v159_stream_topk",
 ]
 
 
