@@ -299,3 +299,100 @@ def neardup_clusters(
         (F.col("id") == F.col("comp")).cast("long").alias("is_canonical"),
         "cluster_size",
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+    broadcast_ranks: bool = True,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """PageRank in FIXED-POINT integer arithmetic — bit-exact on every
+    engine and under every partitioning.
+
+    Float PageRank sums contributions in nondeterministic order, so two
+    runs (or two engines) disagree at the ulp and a hash gate cannot
+    hold.  Ranks here are integers scaled by ``scale``; each round is
+        contrib = rank div out_degree          (integral division)
+        rank'   = (1-d)·scale + (d·Σcontrib) div 100
+    — sums of longs are exact and order-free, so the result is a pure
+    function of (graph, iterations).  The deliberate cost: each
+    division truncates, so ranks drift from the real-valued fixed
+    point by O(iterations) ulp-of-scale — irrelevant for ranking, and
+    the price of a verifiable result (the v75/v153 integral-state rule
+    applied to an iterative algorithm).
+
+    Nodes with no inbound edges keep only the teleport term; dangling
+    nodes (no outbound) contribute nothing — callers wanting the
+    redistributed-dangling-mass variant should add the uniform term
+    themselves (our bipartite verification graph has none).
+
+    Same scale skeleton as :func:`connected_components`: edges persist
+    across rounds, each round's rank table is eagerly checkpointed
+    (lineage truncation — the plan, not the data, is the 100x killer)
+    and the superseded round's blocks are freed deterministically.
+
+    Join strategy: the out-degree folds into the persisted edge table
+    ONCE (it never changes), so each round is a single edges⋈ranks
+    join + one partial-aggregated shuffle of per-partition partials.
+    The rank table is O(nodes) and checkpoint-backed — a LogicalRDD
+    with no stats, which Catalyst will never auto-broadcast — so
+    ``broadcast_ranks=True`` (default) pins the broadcast, turning the
+    per-round join map-side (zero edge shuffles; measured 64 s → 17 s
+    at the 2.1k-node/1.2M-edge fixture, then 7.4 s with integer node
+    ids).  Pass ``False`` for graphs whose node table exceeds executor
+    memory (web-scale): rounds then shuffle edges on src, which is the
+    correct plan at that size.
+
+    ``checkpoint_every`` spaces the eager checkpoints.  MEASURED WORSE
+    than the per-round default on the broadcast path (7.4 s → 11.2 s
+    at fixture scale with ``checkpoint_every=3``): every round's
+    broadcast exchange materializes its rank subplan anyway, so an
+    un-checkpointed prefix re-executes under each later broadcast
+    build — per-round checkpointing is what makes each round run
+    exactly once.  The knob stays for the ``broadcast_ranks=False``
+    shuffle path, where rounds genuinely chain inside one job and a
+    long-lineage guard every K rounds is the right trade.
+    """
+    spark = edges.sparkSession
+    checkpoint = make_checkpointer(spark, checkpoint_dir)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = persist_tracked(e.join(deg, "src"))
+    nodes = persist_tracked(
+        e.select(F.col("src").alias("node")).distinct()
+    )
+    teleport = (scale * (100 - damping_pct)) // 100
+    ranks, handle = checkpoint(
+        nodes.withColumn("rank", F.lit(scale).cast("long"))
+    )
+    for i in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            edges_deg.join(rank_side, edges_deg["src"] == rank_side["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div d").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        if broadcast_ranks:
+            summed = F.broadcast(summed)
+        # left join keeps no-inbound nodes at the teleport term (s=0)
+        new_ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % max(checkpoint_every, 1) == 0 or i == iterations - 1:
+            ranks, handle = checkpoint(new_ranks, release=handle)
+        else:
+            ranks = new_ranks
+    return ranks

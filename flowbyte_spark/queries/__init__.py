@@ -55,6 +55,7 @@ POST_WINDOW_NEW: frozenset[str] = frozenset(
         "v157_funnel_analysis",
         "v158_cohort_retention",
         "v159_stream_topk",
+        "v160_pagerank",
     }
 )
 

@@ -773,3 +773,61 @@ def v159_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# V160 — fixed-point PageRank on the part↔supplier bipartite graph
+# (operators/components.py:pagerank_fixed_point): the second iterative
+# graph algorithm beside connected components, sharing its scale
+# skeleton (persisted edges, per-round eager checkpoint truncating
+# lineage).  Ranks are integers scaled by 1e9 with integral divisions
+# (`div` / DuckDB `//`), so sums are exact and order-free and the
+# 5-iteration result is a pure function of the graph — hash-gateable
+# where float PageRank never is.  Every node of this graph has inbound
+# edges, so the oracle's GROUP BY form and the operator's
+# keep-all-nodes left join coincide.  Node ids are INTEGERS
+# (part -> 2k, supplier -> 2k+1): shuffling/hashing longs instead of
+# concat strings cut the sf0.1 wall ~2x on top of the broadcast-ranks
+# rework (operators/components.py docstring has the join-strategy
+# numbers).
+# ---------------------------------------------------------------------------
+@register(
+    "v160_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+      FROM lineitem),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    pr AS (
+      SELECT 0 AS iter, node, CAST(1000000000 AS BIGINT) AS rank
+      FROM (SELECT DISTINCT src AS node FROM edges)
+      UNION ALL
+      SELECT p.iter + 1, e.dst AS node,
+             CAST(150000000 + (85 * SUM(p.rank // d.d)) // 100 AS BIGINT)
+      FROM pr p
+      JOIN edges e ON e.src = p.node
+      JOIN deg d ON d.src = p.node
+      WHERE p.iter < 5
+      GROUP BY p.iter, e.dst
+    )
+    SELECT node, rank FROM pr WHERE iter = 5
+    ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def v160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flowbyte_spark.operators.components import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p2s = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=5)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)

@@ -91,6 +91,7 @@ LLM2 = [
     "v157_funnel_analysis",
     "v158_cohort_retention",
     "v159_stream_topk",
+    "v160_pagerank",
 ]
 
 

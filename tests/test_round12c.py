@@ -70,3 +70,54 @@ def test_v157_funnel_is_one_pass(spark, sf_dir):
     )
     assert plans.shuffle_exchanges(df) <= 3, plan
     assert len(re.findall(r"events\.parquet", plan)) == 1, plan
+
+
+def test_pagerank_fixed_point_cycle_invariant(spark):
+    # On a 2-cycle every round computes 0.15·scale + 0.85·scale exactly
+    # (all divisions exact), so ranks must stay at scale forever.
+    from flowbyte_spark.operators.components import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    out = {
+        r.node: r.rank
+        for r in pagerank_fixed_point(edges, iterations=4).collect()
+    }
+    assert out == {"a": 1_000_000_000, "b": 1_000_000_000}
+
+
+def test_pagerank_fixed_point_partition_invariant(spark):
+    # The verifiability claim: integer arithmetic makes the result a
+    # pure function of the graph — identical under any partitioning.
+    from flowbyte_spark.operators.components import pagerank_fixed_point
+
+    import random
+
+    rnd = random.Random(7)
+    edges_data = [
+        (f"n{rnd.randrange(40)}", f"n{rnd.randrange(40)}")
+        for _ in range(300)
+    ]
+    edges_data = [(s, d) for s, d in edges_data if s != d]
+    e1 = spark.createDataFrame(edges_data, "src string, dst string")
+    e2 = e1.repartition(13)
+    r1 = sorted(map(tuple, pagerank_fixed_point(e1, iterations=3).collect()))
+    r2 = sorted(map(tuple, pagerank_fixed_point(e2, iterations=3).collect()))
+    assert r1 == r2
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    # All spokes point at the hub: the hub must out-rank every spoke.
+    from flowbyte_spark.operators.components import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(10)]
+        + [("hub", f"s{i}") for i in range(10)],
+        "src string, dst string",
+    )
+    out = {
+        r.node: r.rank
+        for r in pagerank_fixed_point(edges, iterations=5).collect()
+    }
+    assert out["hub"] > max(v for k, v in out.items() if k != "hub")
