@@ -1,0 +1,129 @@
+"""v160 PageRank soak: does the 5.5x fixture-scale ratio persist as the
+graph grows, or do Spark's per-round constants amortize?
+
+Builds the part↔supplier graph at 1x/4x/10x (replicas with shifted
+node ids — disjoint copies, so degrees and structure are preserved),
+times the SAME fixed-point computation in both engines on the same
+edge parquet, and asserts the top-of-ranking hash agrees.  BASELINE.md
+records the walls.
+
+Usage: python scripts/v160_pagerank_soak.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flowbyte_spark.catalog import load_table  # noqa: E402
+from flowbyte_spark.operators import cache  # noqa: E402
+from flowbyte_spark.operators.components import (  # noqa: E402
+    pagerank_fixed_point,
+)
+from flowbyte_spark.session import get_spark  # noqa: E402
+
+SHIFT = 10_000_000
+ITERS = 5
+
+DUCK_SQL = """
+WITH RECURSIVE
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+pr AS (
+  SELECT 0 AS iter, node, CAST(1000000000 AS BIGINT) AS rank
+  FROM (SELECT DISTINCT src AS node FROM edges)
+  UNION ALL
+  SELECT p.iter + 1, e.dst AS node,
+         CAST(150000000 + (85 * SUM(p.rank // d.d)) // 100 AS BIGINT)
+  FROM pr p
+  JOIN edges e ON e.src = p.node
+  JOIN deg d ON d.src = p.node
+  WHERE p.iter < {iters}
+  GROUP BY p.iter, e.dst
+)
+SELECT node, rank FROM pr WHERE iter = {iters} ORDER BY rank DESC, node
+"""
+
+
+def main() -> None:
+    import duckdb
+
+    spark = get_spark(app_name="v160-pagerank-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.path.join(_REPO, ".tmp", "v160_soak")
+    shutil.rmtree(base, ignore_errors=True)
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    p2s = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    base_edges = p2s.unionByName(
+        p2s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    rows = []
+    for factor in (1, 4, 10):
+        path = os.path.join(base, f"edges_{factor}x")
+        reps = [
+            base_edges.select(
+                (F.col("src") + i * SHIFT).alias("src"),
+                (F.col("dst") + i * SHIFT).alias("dst"),
+            )
+            for i in range(factor)
+        ]
+        u = reps[0]
+        for r in reps[1:]:
+            u = u.unionByName(r)
+        u.repartition(32).write.parquet(path)
+        n_edges = spark.read.parquet(path).count()
+
+        # Spark wall (read from parquet, like a real job)
+        t0 = time.perf_counter()
+        ranks = pagerank_fixed_point(
+            spark.read.parquet(path), iterations=ITERS
+        )
+        spark_top = [
+            tuple(r)
+            for r in ranks.orderBy(F.col("rank").desc(), "node")
+            .limit(20)
+            .collect()
+        ]
+        t_spark = time.perf_counter() - t0
+        cache.release_persisted()
+
+        # DuckDB wall on the SAME parquet
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count()}")
+        con.execute(
+            "CREATE VIEW edges AS SELECT * FROM "
+            f"read_parquet('{path}/*.parquet')"
+        )
+        t0 = time.perf_counter()
+        duck_all = con.execute(DUCK_SQL.format(iters=ITERS)).fetchall()
+        t_duck = time.perf_counter() - t0
+        con.close()
+        duck_top = [tuple(r) for r in duck_all[:20]]
+
+        assert spark_top == duck_top, (factor, spark_top[:3], duck_top[:3])
+        rows.append((factor, n_edges, t_spark, t_duck))
+        print(
+            f"factor={factor}: {n_edges:,} edges  "
+            f"spark {t_spark:.2f} s  duck {t_duck:.2f} s  "
+            f"ratio {t_spark / t_duck:.2f}x",
+            flush=True,
+        )
+
+    shutil.rmtree(base, ignore_errors=True)
+    print("rows:", rows)
+
+
+if __name__ == "__main__":
+    main()
