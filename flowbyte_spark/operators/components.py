@@ -395,4 +395,9 @@ def pagerank_fixed_point(
             ranks, handle = checkpoint(new_ranks, release=handle)
         else:
             ranks = new_ranks
+    # Register the final checkpoint's HANDLE (the connected_components
+    # rule): localCheckpoint blocks live outside the CacheManager, so
+    # without this cache.release_persisted() silently leaks one O(nodes)
+    # rank table per invocation for the session lifetime.
+    track_checkpoint(handle)
     return ranks

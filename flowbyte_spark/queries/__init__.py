@@ -23,39 +23,36 @@ ORACLE: dict[str, str] = {}
 # saturated.  Tier-3 coverage contract, pinned by tests/test_registry.py:
 # each entry must carry a hash oracle AND an in-suite differential test
 # (the identical comparison the driver runs), and the NEXT round's window
-# must lead with these names.  Round 12: the r11 batch (v128-v132) now
-# LEADS the window per the pinned rotation; the window refilled to
-# exactly 50 (v133/v134 in-window), so the second batch of round-12
-# additions below carries the in-suite differential until they lead
-# r13's window.
-POST_WINDOW_NEW: frozenset[str] = frozenset(
+# must lead with these names.  Round 13: the 26 r12 post-saturation
+# queries (v135-v160) now LEAD the window per the pinned rotation, so
+# this set is EMPTY — it refills only if round 13 registers queries
+# after its own window saturates.
+POST_WINDOW_NEW: frozenset[str] = frozenset()
+
+# The r13 window holds 26 first-driver-row queries + 24 refreshes, which
+# leaves 16 r10-aged queries un-refreshed (26 + 40 candidates > 50
+# slots — the two-round schedule mandated at r12 close).  These names
+# are PINNED to lead round 14's window; tests/test_registry.py derives
+# the same set from the CORRECTNESS_r* files and asserts it matches, so
+# the pin cannot drift from the actual freshness ledger.
+R14_PINNED: frozenset[str] = frozenset(
     {
-        "v135_incremental_minmax_pruned",
-        "v136_frequent_terms_sketch",
-        "v137_incremental_distinct_hll",
-        "v138_q2_min_cost_supplier",
-        "v139_q13_order_distribution",
-        "v140_q20_excess_shippers",
-        "v141_q19_disjunctive_revenue",
-        "v142_q15_top_supplier",
-        "v143_q16_supplier_count",
-        "v144_q11_important_parts",
-        "v145_q14_promo_share",
-        "v146_incremental_topk",
-        "v147_q4_priority_check",
-        "v148_q5_local_volume",
-        "v149_q6_forecast_revenue",
-        "v150_q9_product_profit",
-        "v151_q10_returned_items",
-        "v152_q12_ship_priority",
-        "v153_incremental_variance",
-        "v154_gapfill_locf",
-        "v155_interval_range_window",
-        "v156_width_bucket_histogram",
-        "v157_funnel_analysis",
-        "v158_cohort_retention",
-        "v159_stream_topk",
-        "v160_pagerank",
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        "v73_stream_dedup",
+        "v76_stream_upsert",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
+        "v96_salted_asof",
+        "v106_data_expectations",
+        "v107_snapshot_diff",
+        "v108_table_profile",
+        "v112_bucketed_smb_join",
+        "v113_null_aware_anti",
+        "v114_correlated_max_order",
+        "v115_profile_approx",
     }
 )
 
@@ -118,75 +115,69 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-12 WINDOW (executes the recipe pinned at r11 close —
-    # VERDICT r11 "next round" #1):
-    # (a) the 5 r11 POST_WINDOW_NEW queries (tier-3, never
+    # ROUND-13 WINDOW (executes the recipe pinned at r12 close —
+    # VERDICT r12 "next round" #1):
+    # (a) the 26 r12 POST_WINDOW_NEW queries (v135-v160, tier-3, never
     # driver-verified) LEAD, in their pinned order;
-    # (b) round-12 registrations, never driver-verified (v133, v134);
-    # (c) the 30 queries whose last driver row is CORRECTNESS_r09.json
-    # (the r9 freshness floor — r11 VERDICT mandate: after r12 nothing
-    # outside the window may be older than r10);
-    # (d) queries whose code changes in round 12: the v39 JSON-path
-    # rework, the v88 variant re-measure, the tfidf family (v127
-    # crossover soak touches the module) and the incremental family
-    # (v124 partitioned-fact soak);
-    # (e) refill remaining slots with the oldest r10-aged queries.
+    # (b) refill the remaining 24 slots with r10-aged queries, lowest
+    # query number first — EXCEPT v80 is pulled in ahead of v68 because
+    # round 13's v80 soak work (VERDICT r12 task 3) may touch
+    # operators/substrings.py, and in-round-changed queries must sit
+    # inside the window.  The 16-query residue is pinned, in code, to
+    # lead round 14 (R14_PINNED above).
     first = [
-        # (a) r11 post-saturation additions — must lead r12.
-        "v128_q17_small_quantity",
-        "v129_doc_chunking",
-        "v130_stream_full_outer_join",
-        "v131_bucketed_agg",
-        "v132_stream_join_window",
-        # (b) new round-12 registrations — never driver-verified.
-        "v133_stream_dedup_join_window",
-        "v134_cbo_join_order",
-        # (c) last driver row is r9 — the freshness floor, must refresh.
-        "v103_dpp_star_join",
-        "v104_srp_cluster_dedup",
-        "v105_runtime_filter_join",
-        "v109_q7_volume_shipping",
-        "v110_q8_market_share",
-        "v111_stream_static_join",
-        "v11_window_frames",
-        "v14_json_extract",
-        "v17_update_by_keys",
-        "v31_multimodal_features",
-        "v33_asof_join",
-        "v37_approx_distinct",
-        "v43_percentiles_stats",
-        "v61_approx_percentiles",
-        "v70_semantic_dedup",
-        "v75_stateful_totals",
-        "v77_q18_large_orders",
-        "v78_paragraph_dedup",
-        "v79_c4_quality_filter",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
-        "v83_jdbc_roundtrip",
-        "v84_media_decode",
-        "v85_salted_window",
-        "v86_salted_lag",
-        "v87_pq_ann",
-        "v89_asof_forward",
-        "v97_jpeg_decode",
-        "v98_wav_decode",
-        "v99_y4m_decode",
-        # (d) round-12 in-round code changes (perf reworks + soak work).
-        "v39_map_struct_json",
-        "v88_variant_json",
-        "v126_schema_widening",
-        "v38_tfidf",
-        "v122_sparse_cosine_pairs",
-        "v127_prefix_cosine_pairs",
-        "v118_incremental_agg",
-        "v124_incremental_minmax",
-        # (e) oldest r10-aged refills (lowest query number first).
-        "v12_set_ops",
-        "v13_scalar_funcs",
-        "v15_time_bucket",
-        "v16_count_distinct",
-        "v18_insert_delete",
+        # (a) r12 post-saturation additions — must lead r13.
+        "v135_incremental_minmax_pruned",
+        "v136_frequent_terms_sketch",
+        "v137_incremental_distinct_hll",
+        "v138_q2_min_cost_supplier",
+        "v139_q13_order_distribution",
+        "v140_q20_excess_shippers",
+        "v141_q19_disjunctive_revenue",
+        "v142_q15_top_supplier",
+        "v143_q16_supplier_count",
+        "v144_q11_important_parts",
+        "v145_q14_promo_share",
+        "v146_incremental_topk",
+        "v147_q4_priority_check",
+        "v148_q5_local_volume",
+        "v149_q6_forecast_revenue",
+        "v150_q9_product_profit",
+        "v151_q10_returned_items",
+        "v152_q12_ship_priority",
+        "v153_incremental_variance",
+        "v154_gapfill_locf",
+        "v155_interval_range_window",
+        "v156_width_bucket_histogram",
+        "v157_funnel_analysis",
+        "v158_cohort_retention",
+        "v159_stream_topk",
+        "v160_pagerank",
+        # (b) r10-aged refills (24 of 40; residue pinned to lead r14).
+        "v19_dedup_exact",
+        "v20_cosine_topk",
+        "v21_dedup_content_hash",
+        "v22_minhash_lsh",
+        "v23_jaccard_pairs",
+        "v24_simhash",
+        "v25_ann_ivf",
+        "v26_embedding_neardup",
+        "v32_streaming_window",
+        "v35_pivot",
+        "v40_math_funcs",
+        "v41_session_window",
+        "v44_string_funcs",
+        "v45_date_funcs",
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
+        "v64_neardup_clusters",
+        "v66_scd2_merge",
+        "v67_cluster_corpus_prep",
+        "v80_exact_substrings",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -313,7 +313,15 @@ def v152_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0))
             .cast("long")
             .alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1))
+            # NULL priority must count in NEITHER leg: the oracle's
+            # CASE WHEN priority NOT IN (...) yields 0 for NULL under
+            # SQL 3VL, so the otherwise(1) shorthand would diverge on a
+            # fixture carrying NULL priorities (ADVICE r12).
+            F.sum(
+                F.when(high, 0)
+                .when(F.col("o_orderpriority").isNotNull(), 1)
+                .otherwise(0)
+            )
             .cast("long")
             .alias("low_line_count"),
         )
@@ -517,17 +525,28 @@ def v155_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# V156 — equi-width histogram via width_bucket.  Spark's width_bucket
-# computes floor((v - lo) / ((hi - lo) / n)) + 1 in IEEE doubles; the
-# oracle spells out the same arithmetic (verified mismatch-free over
-# the full column, including bucket-edge prices) since DuckDB lacks
-# the function.  One partial-aggregated shuffle on a 50-value key.
+# V156 — equi-width histogram via width_bucket.  Spark's WidthBucket
+# (mathExpressions.scala computeBucketNumber) is
+#   v <  lo      -> 0
+#   v >= hi      -> n + 1
+#   else            (n.toDouble * (v - lo) / (hi - lo)).toLong + 1
+# in IEEE doubles, multiply-before-divide; the oracle mirrors that
+# EXACT arithmetic — same operand order (DuckDB evaluates a*b/c
+# left-to-right under the same IEEE rules) and FLOOR for the
+# non-negative .toLong truncation (DuckDB's CAST(double AS BIGINT)
+# rounds-to-nearest, which would diverge at bucket edges) — including
+# the >= hi clamp to n+1, reachable at larger SFs even though the
+# sf0.01 fixture maxes at 499993.18 (ADVICE r12).  One
+# partial-aggregated shuffle on a 50-value key.
 # ---------------------------------------------------------------------------
 @register(
     "v156_width_bucket_histogram",
     oracle="""
-    SELECT CAST(FLOOR((o_totalprice - 0) / ((500000.0 - 0) / 50)) + 1
-                AS BIGINT) AS bucket,
+    SELECT CASE WHEN o_totalprice < 0 THEN CAST(0 AS BIGINT)
+                WHEN o_totalprice >= 500000.0 THEN CAST(51 AS BIGINT)
+                ELSE CAST(FLOOR(50.0 * (o_totalprice - 0.0)
+                                / (500000.0 - 0.0)) AS BIGINT) + 1
+           END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                  AS DOUBLE), 2) AS sum_price
@@ -559,8 +578,11 @@ def v156_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collecting each stage's sorted timestamp array, then pure
 # higher-order expressions (filter + array_min) walk the funnel — one
 # shuffle total, no self-joins, no window.  Per-user arrays are
-# bounded by per-user event counts (the same bound every sessionize
-# operator carries); at 100 TB segment the arrays stay KB-sized.
+# bounded by per-user event counts, and that bound is now ENFORCED:
+# operators/funnel.py's max_events_per_user brake fails loud on a hot
+# key (one bot with 10M events would otherwise buffer ~80 MB in a
+# single aggregation), and the staged min-join variant — the oracle's
+# own shape — is the registered skewed-corpus escape hatch.
 # ---------------------------------------------------------------------------
 @register(
     "v157_funnel_analysis",
@@ -584,49 +606,15 @@ def v156_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v157_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
+    # operators/funnel.py owns the physical forms; the one-pass array
+    # variant here carries the fail-loud max_events_per_user brake
+    # (VERDICT r12 "What's wrong" #1) — skewed corpora should call the
+    # staged min-join variant instead (see the module docstring and
+    # tests/test_funnel.py's hot-user proof).
+    from flowbyte_spark.operators.funnel import funnel_counts
 
-    def stage_arr(t: str):
-        return F.sort_array(
-            F.collect_list(
-                F.when(F.col("event_type") == t, F.col("ts"))
-            )
-        ).alias(f"{t}s")
-
-    per_user = ev.groupBy(
-        "user_id", (F.col("user_id") % 10).alias("segment")
-    ).agg(stage_arr("view"), stage_arr("click"), stage_arr("purchase"))
-    funnel = (
-        per_user.withColumn(
-            "t_view", F.expr("try_element_at(views, 1)")
-        )
-        .withColumn(
-            "t_click",
-            F.expr(
-                "array_min(filter(clicks, x -> x > t_view"
-                " AND x <= t_view + INTERVAL 12 HOURS))"
-            ),
-        )
-        .withColumn(
-            "t_purchase",
-            F.expr(
-                "array_min(filter(purchases, x -> x > t_click"
-                " AND x <= t_click + INTERVAL 24 HOURS))"
-            ),
-        )
-        .where(F.col("t_view").isNotNull())
-    )
-    return (
-        funnel.groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).alias("n_view"),
-            F.count("t_click").alias("n_click"),
-            F.count("t_purchase").alias("n_purchase"),
-        )
-        .orderBy("segment")
-    )
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, segment=F.col("user_id") % 10)
 
 
 # ---------------------------------------------------------------------------

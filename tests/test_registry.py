@@ -43,11 +43,12 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r09.json",
         "CORRECTNESS_r10.json",
         "CORRECTNESS_r11.json",
+        "CORRECTNESS_r12.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4-r11: {uncovered}"
+    assert not uncovered, f"queries with no driver row in r4-r12: {uncovered}"
 
 
 def test_never_driver_verified_queries_lead_the_window():
@@ -67,12 +68,7 @@ def test_never_driver_verified_queries_lead_the_window():
     ), f"never-verified queries not all inside the window: {never}"
 
 
-def test_stalest_queries_lead_the_window():
-    # r11 VERDICT mandate #1 (the pinned r12 rotation): the 5 r11
-    # POST_WINDOW_NEW queries (v128-v132, never driver-verified) LEAD,
-    # the other never-verified registrations follow, every r9-aged
-    # query sits inside the window, and nothing outside the window is
-    # older than the r10 freshness floor.
+def _last_driver_round() -> dict[str, int]:
     import glob
     import json
     import os
@@ -83,31 +79,79 @@ def test_stalest_queries_lead_the_window():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
-    r11_post_window = [
-        "v128_q17_small_quantity",
-        "v129_doc_chunking",
-        "v130_stream_full_outer_join",
-        "v131_bucketed_agg",
-        "v132_stream_join_window",
+    return last
+
+
+def test_stalest_queries_lead_the_window():
+    # r12 VERDICT mandate #1 (the pinned r13 rotation): the 26 r12
+    # POST_WINDOW_NEW queries (v135-v160, never driver-verified) LEAD
+    # in their pinned order, any other never-verified registration sits
+    # inside the window, and nothing outside the window is older than
+    # the r10 freshness floor.
+    last = _last_driver_round()
+    r12_post_window = [
+        "v135_incremental_minmax_pruned",
+        "v136_frequent_terms_sketch",
+        "v137_incremental_distinct_hll",
+        "v138_q2_min_cost_supplier",
+        "v139_q13_order_distribution",
+        "v140_q20_excess_shippers",
+        "v141_q19_disjunctive_revenue",
+        "v142_q15_top_supplier",
+        "v143_q16_supplier_count",
+        "v144_q11_important_parts",
+        "v145_q14_promo_share",
+        "v146_incremental_topk",
+        "v147_q4_priority_check",
+        "v148_q5_local_volume",
+        "v149_q6_forecast_revenue",
+        "v150_q9_product_profit",
+        "v151_q10_returned_items",
+        "v152_q12_ship_priority",
+        "v153_incremental_variance",
+        "v154_gapfill_locf",
+        "v155_interval_range_window",
+        "v156_width_bucket_histogram",
+        "v157_funnel_analysis",
+        "v158_cohort_retention",
+        "v159_stream_topk",
+        "v160_pagerank",
     ]
-    assert list(QUERIES)[:5] == r11_post_window
+    assert list(QUERIES)[:26] == r12_post_window
     never = sorted(
         q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
     )
-    head = list(QUERIES)[: len(never)]
-    assert sorted(head) == never, (
-        f"never-verified queries must lead: never={never} head={head}"
-    )
     window = set(list(QUERIES)[:50])
-    r9_aged = sorted(q for q in QUERIES if last.get(q) == 9)
-    outside_r9 = sorted(q for q in r9_aged if q not in window)
-    assert not outside_r9, f"r9-aged queries outside the window: {outside_r9}"
+    outside_never = sorted(q for q in never if q not in window)
+    assert not outside_never, (
+        f"never-verified queries outside the window: {outside_never}"
+    )
     floor_breakers = sorted(
         q for q in QUERIES if last.get(q, 99) < 10 and q not in window
     )
     assert not floor_breakers, (
         f"queries older than the r10 freshness floor outside the window: "
         f"{floor_breakers}"
+    )
+
+
+def test_r14_pin_matches_the_freshness_ledger():
+    # The 16-query residue the r13 window cannot hold (26 new + 40
+    # r10-aged > 50 slots) is pinned in code to lead round 14.  Derive
+    # the residue from the CORRECTNESS_r* files themselves so the pin
+    # cannot drift from the actual ledger: it must be EXACTLY the
+    # queries whose latest driver row is r10 and which sit outside this
+    # round's window.
+    from flowbyte_spark.queries import R14_PINNED
+
+    last = _last_driver_round()
+    window = set(list(QUERIES)[:50])
+    residue = {
+        q for q in QUERIES if last.get(q, 99) <= 10 and q not in window
+    }
+    assert residue == set(R14_PINNED), (
+        f"pin drift: ledger-residue - pin = {sorted(residue - R14_PINNED)}, "
+        f"pin - ledger-residue = {sorted(set(R14_PINNED) - residue)}"
     )
 
 
