@@ -337,17 +337,30 @@ def pagerank_fixed_point(
     (lineage truncation — the plan, not the data, is the 100x killer)
     and the superseded round's blocks are freed deterministically.
 
-    Join strategy: the out-degree folds into the persisted edge table
-    ONCE (it never changes), so each round is a single edges⋈ranks
-    join + one partial-aggregated shuffle of per-partition partials.
-    The rank table is O(nodes) and checkpoint-backed — a LogicalRDD
-    with no stats, which Catalyst will never auto-broadcast — so
-    ``broadcast_ranks=True`` (default) pins the broadcast, turning the
-    per-round join map-side (zero edge shuffles; measured 64 s → 17 s
-    at the 2.1k-node/1.2M-edge fixture, then 7.4 s with integer node
-    ids).  Pass ``False`` for graphs whose node table exceeds executor
-    memory (web-scale): rounds then shuffle edges on src, which is the
-    correct plan at that size.
+    Join strategy (round-13 rework, measured at 35M edges / 630k
+    nodes): the edge table persists as bare (src, dst) PRE-PARTITIONED
+    on dst, and the out-degree persists as its own O(nodes) table that
+    joins the RANK side each round (630k⋈630k broadcast — pennies)
+    instead of widening the 35M-row edge cache (the r12 shape paid an
+    11.4 s setup for that fold: scan + sort-merge + wider cache).
+    With dst-partitioning in place the per-round contribution
+    ``groupBy(dst)`` reuses the cache's HashPartitioning — alias-aware
+    through the project, preserved through the broadcast join — so a
+    round is ONE zero-exchange scan-join-aggregate stage over the
+    cached edges plus two O(nodes) jobs (broadcast build, checkpoint).
+    Per-round partial-agg shuffles are gone entirely (they carried
+    ~20M rows/round at 35M edges: ~|nodes|·|partitions| partials
+    defeats map-side combine once nodes outgrow the per-partition row
+    budget).  The rank table is O(nodes) and checkpoint-backed — a
+    LogicalRDD with no stats, which Catalyst will never auto-broadcast
+    — so ``broadcast_ranks=True`` (default) pins the broadcast,
+    keeping every round's edge work map-side (measured 64 s → 17 s →
+    7.4 s across the r12 reworks at 1.2M edges, then 18.5 s → 11.4 s
+    at 35M edges from this restructure — see BASELINE.md round-13).
+    Pass ``False`` for graphs whose node table exceeds executor memory
+    (web-scale): rounds then shuffle edges on src, which is the
+    correct plan at that size (the dst pre-partitioning is skipped —
+    it would be wasted by the per-round src shuffle).
 
     ``checkpoint_every`` spaces the eager checkpoints.  MEASURED WORSE
     than the per-round default on the broadcast path (7.4 s → 11.2 s
@@ -362,23 +375,50 @@ def pagerank_fixed_point(
     spark = edges.sparkSession
     checkpoint = make_checkpointer(spark, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_deg = persist_tracked(e.join(deg, "src"))
-    nodes = persist_tracked(
-        e.select(F.col("src").alias("node")).distinct()
+    # Out-degree as its own O(nodes) table — one aggregation over the
+    # edges, and the node set falls out of it for free (distinct src
+    # IS deg's key), saving a second full-edge distinct.
+    deg = persist_tracked(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     )
+    nodes = deg.select(F.col("src").alias("node"))
+    if broadcast_ranks:
+        # Pre-partition the bare edge table on dst: each round's
+        # contribution sum groups by dst, and with ~|nodes| distinct
+        # keys per partition map-side combine barely reduces the
+        # exchange (at 35M edges / 630k nodes the per-round shuffle
+        # still carried ~20M partial rows).  One up-front shuffle
+        # instead; the broadcast join and the alias-aware project both
+        # preserve HashPartitioning(dst→node), so every round's
+        # groupBy("node") is a zero-exchange partial+final agg in the
+        # same stage as the cached edge scan.
+        edges_p = persist_tracked(e.repartition(F.col("dst")))
+        # Materialize BEFORE the first round plans against it: an
+        # unmaterialized cached AQE plan reports unknown output
+        # partitioning, so round 1 would re-add the
+        # ENSURE_REQUIREMENTS exchange the repartition exists to
+        # eliminate.  One cheap count (the shuffle runs once anyway).
+        edges_p.count()
+    else:
+        # Web-scale path shuffles edges on src every round; a dst
+        # pre-partition would be pure waste.
+        edges_p = persist_tracked(e)
     teleport = (scale * (100 - damping_pct)) // 100
     ranks, handle = checkpoint(
         nodes.withColumn("rank", F.lit(scale).cast("long"))
     )
+    deg_side = F.broadcast(deg) if broadcast_ranks else deg
     for i in range(iterations):
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        # Fold degree into the RANK side (O(nodes)⋈O(nodes)), never
+        # the edge side: per-source emission rate rank div d.
+        rates = ranks.join(deg_side, ranks["node"] == deg["src"]).select(
+            F.col("node").alias("u"),
+            F.expr("rank div d").alias("c"),
+        )
+        rate_side = F.broadcast(rates) if broadcast_ranks else rates
         contrib = (
-            edges_deg.join(rank_side, edges_deg["src"] == rank_side["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div d").alias("c"),
-            )
+            edges_p.join(rate_side, edges_p["src"] == rate_side["u"])
+            .select(F.col("dst").alias("node"), "c")
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         if broadcast_ranks:
