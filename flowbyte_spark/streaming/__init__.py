@@ -18,7 +18,6 @@ horizon are dropped deterministically.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,30 +151,9 @@ def foreach_batch_sink(
 
 def run_available_now(writer) -> None:
     """Drain everything currently available, then stop — the deterministic
-    trigger used by tests and backfills.
-
-    When ``$SPARK_GRAFT_STREAM_PROGRESS_DIR`` is set, the query's
-    recentProgress (per-trigger durationMs / stateOperators breakdown)
-    is dumped there as JSON after termination — the instrumentation
-    behind BASELINE.md's streaming-constants ledger.  Zero cost when
-    unset.
-    """
+    trigger used by tests and backfills."""
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
-    progress_dir = os.environ.get("SPARK_GRAFT_STREAM_PROGRESS_DIR")
-    if progress_dir:
-        import json as _json
-
-        os.makedirs(progress_dir, exist_ok=True)
-        batches = [
-            p if isinstance(p, dict) else _json.loads(p.json)
-            for p in q.recentProgress
-        ]
-        with open(
-            os.path.join(progress_dir, f"progress_{q.id}.json"), "w"
-        ) as fh:
-            # progress dicts carry UUID/timestamp objects — stringify
-            _json.dump(batches, fh, default=str)
 
 
 import contextlib
