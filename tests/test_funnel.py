@@ -134,3 +134,72 @@ def test_staged_funnel_has_no_collect_list(corpus):
     df = funnel_counts(corpus, segment=F.col("user_id") % 10, variant="staged")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Property: the two physical forms are the SAME operator.  Random event
+# sets (few users/instants so stage collisions, ties, and out-of-order
+# arrivals are guaranteed) must produce identical per-segment counts
+# from the array walk and the staged min-joins, and both must match a
+# sequential Python reference of the funnel contract.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings as _settings
+from hypothesis import strategies as st
+
+_EV = st.tuples(
+    st.integers(0, 3),                       # user
+    st.sampled_from(["view", "click", "purchase"]),
+    st.integers(0, 40),                      # hours offset
+)
+_SETTINGS = _settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_funnel(rows):
+    # sequential reference: first view; first click in (t1, t1+12h];
+    # first purchase in (t2, t2+24h]
+    out = {}
+    users = {u for u, _, _ in rows}
+    for u in users:
+        views = sorted(h for uu, t, h in rows if uu == u and t == "view")
+        if not views:
+            continue
+        t1 = views[0]
+        clicks = sorted(
+            h for uu, t, h in rows
+            if uu == u and t == "click" and t1 < h <= t1 + 12
+        )
+        t2 = clicks[0] if clicks else None
+        t3 = None
+        if t2 is not None:
+            purchases = sorted(
+                h for uu, t, h in rows
+                if uu == u and t == "purchase" and t2 < h <= t2 + 24
+            )
+            t3 = purchases[0] if purchases else None
+        seg = u % 10
+        n1, n2, n3 = out.get(seg, (0, 0, 0))
+        out[seg] = (
+            n1 + 1,
+            n2 + (t2 is not None),
+            n3 + (t3 is not None),
+        )
+    return out
+
+
+@given(rows=st.lists(_EV, min_size=1, max_size=25))
+@_SETTINGS
+def test_funnel_variants_agree_with_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(u, t, T0 + dt.timedelta(hours=h)) for u, t, h in rows],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+    expected = _py_funnel(rows)
+    seg = F.col("user_id") % 10
+    arr = _as_dict(funnel_counts(df, segment=seg, variant="array"))
+    staged = _as_dict(funnel_counts(df, segment=seg, variant="staged"))
+    assert arr == expected
+    assert staged == expected
