@@ -1,0 +1,98 @@
+"""Dry-run the driver's correctness sweep: first N window queries, in
+registry order, through __spark_entry__'s wrapped callables on ONE
+session (so cross-query session state — temp views, confs, lingering
+caches — is exercised exactly as the driver will), each compared
+against its DuckDB oracle at sf0.01 by sorted-column stringified row
+multisets (the driver's comparison).
+
+Usage: python scripts/driver_dryrun.py [N] [start]   (default N=50)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main() -> None:
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    # Driver-owned session shape: plain builder, hostile timezone.
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = list(qs)[start : start + n]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+
+    failures = []
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        try:
+            sp = qs[name](spark, SF).toPandas()
+        except Exception as exc:
+            failures.append((name, f"spark error: {exc}"))
+            print(f"[{i+1:2d}/{len(names)}] {name}: SPARK ERROR {exc}")
+            continue
+        status = "rows-only"
+        if name in oracles:
+            du = con.execute(oracles[name]).df()
+            sp2 = sp[sorted(sp.columns)]
+            du2 = du[sorted(du.columns)]
+            if sorted(sp2.columns) != sorted(du2.columns):
+                failures.append(
+                    (name, f"schema: {sorted(sp2.columns)} vs {sorted(du2.columns)}")
+                )
+                status = "SCHEMA MISMATCH"
+            else:
+                a = sorted(map(str, sp2.astype(str).values.tolist()))
+                b = sorted(map(str, du2.astype(str).values.tolist()))
+                if a == b:
+                    status = "match"
+                else:
+                    failures.append((name, f"values: {len(a)} vs {len(b)} rows"))
+                    status = "VALUE MISMATCH"
+        print(
+            f"[{i+1:2d}/{len(names)}] {name}: {status} "
+            f"({len(sp)} rows, {time.perf_counter()-t0:.1f} s)",
+            flush=True,
+        )
+    print(f"\n{len(names) - len(failures)}/{len(names)} green")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
