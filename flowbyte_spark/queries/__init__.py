@@ -35,6 +35,17 @@ POST_WINDOW_NEW: frozenset[str] = frozenset()
 # are PINNED to lead round 14's window; tests/test_registry.py derives
 # the same set from the CORRECTNESS_r* files and asserts it matches, so
 # the pin cannot drift from the actual freshness ledger.
+#
+# R14 RECIPE (assuming CORRECTNESS_r13 lands green on the current
+# window): these 16 lead, then exactly 34 refill slots remain for the
+# 44 queries whose latest driver row is r11.  Lowest query number
+# first, the 34 refills are v01-v10, v27-v30, v34, v36, v42, v46,
+# v47, v50-v58, v65, v71, v72, v74, v90, v95; the 10-query r11-aged
+# residue to pin for r15 is v100, v101, v102, v116, v117, v119,
+# v120, v121, v123, v125.  This is
+# also why round 13 registered ZERO new queries: any POST_WINDOW_NEW
+# entry would displace a refill and stretch the freshness debt a
+# third round.
 R14_PINNED: frozenset[str] = frozenset(
     {
         "v68_pii_scrub",
