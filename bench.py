@@ -69,6 +69,27 @@ def main() -> None:
         # measures memory pressure, not the query.
         cache.release_persisted()
 
+    # Substrate canary (round 13): a fixed JVM-only workload — no IO,
+    # no engine code — timed once per bench run so round-over-round
+    # artifacts can separate host/JVM drift from code changes
+    # numerically.  Round 13 measured every Spark row 1.3-2x slower
+    # than r12's four consistent passes while DuckDB was byte-stable;
+    # the A/B against the unchanged r12 commit proved it substrate
+    # (BASELINE.md §Round-13).  This probe makes the next such shift
+    # self-evident in the artifact: compare probe values first, walls
+    # second.
+    def _substrate_probe() -> float:
+        samples = []
+        for _ in range(4):  # first sample absorbs codegen; median of rest
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "sum(xxhash64(id)) as h"
+            ).collect()
+            samples.append(time.perf_counter() - t0)
+        return round(statistics.median(samples[1:]), 3)
+
+    substrate_probe = _substrate_probe()
+
     timings: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
     for name, fn in sorted(QUERIES.items()):
@@ -147,6 +168,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "substrate_probe_sec": substrate_probe,
     }
     # Full artifact to a file FIRST: the driver's stdout capture has
     # truncated the (v01-v30 head of the) one-line JSON before (r8 lost
