@@ -19,10 +19,6 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> None:
@@ -49,11 +45,13 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     names = list(qs)[start : start + n]
 
+    from flowbyte_spark.catalog import TABLES, table_path
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF}/{t}.parquet')"
+            f"read_parquet('{table_path(SF, t)}')"
         )
 
     failures = []
