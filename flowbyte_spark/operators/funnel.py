@@ -60,15 +60,23 @@ def funnel_counts(
 ) -> DataFrame:
     """Per-segment funnel counts ``(segment, n_<s1>, n_<s2>, n_<s3>)``.
 
-    ``segment`` is evaluated against the per-user rows (it must be a
-    function of ``user_col`` alone, e.g. ``F.col("user_id") % 10``).
+    ``segment`` is evaluated AFTER the projection renames ``user_col``
+    to the canonical ``user_id`` — it must be a function of the
+    ``user_id`` column alone (e.g. ``F.col("user_id") % 10``), never of
+    the caller's original column name.  Rows with a NULL ``ts_col`` are
+    dropped up front in BOTH variants: an unstamped event can anchor no
+    stage, and filtering here keeps the two physical forms equivalent
+    (``collect_list`` silently drops NULLs while a groupBy-``min``
+    would still emit the user with ``t1=NULL``).
     ``max_events_per_user`` bounds the ``array`` variant's per-key
     aggregation buffer — exceeding it raises mid-job (pass ``None`` to
     waive deliberately); the ``staged`` variant never buffers a key and
     ignores it.
     """
     s1, s2, s3 = stages
-    ev = events.where(F.col(type_col).isin(*stages)).select(
+    ev = events.where(
+        F.col(type_col).isin(*stages) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("event_type"),
         F.col(ts_col).alias("ts"),

@@ -29,23 +29,10 @@ ORACLE: dict[str, str] = {}
 # after its own window saturates.
 POST_WINDOW_NEW: frozenset[str] = frozenset()
 
-# The r13 window holds 26 first-driver-row queries + 24 refreshes, which
-# leaves 16 r10-aged queries un-refreshed (26 + 40 candidates > 50
-# slots — the two-round schedule mandated at r12 close).  These names
-# are PINNED to lead round 14's window; tests/test_registry.py derives
-# the same set from the CORRECTNESS_r* files and asserts it matches, so
-# the pin cannot drift from the actual freshness ledger.
-#
-# R14 RECIPE (assuming CORRECTNESS_r13 lands green on the current
-# window): these 16 lead, then exactly 34 refill slots remain for the
-# 44 queries whose latest driver row is r11.  Lowest query number
-# first, the 34 refills are v01-v10, v27-v30, v34, v36, v42, v46,
-# v47, v50-v58, v65, v71, v72, v74, v90, v95; the 10-query r11-aged
-# residue to pin for r15 is v100, v101, v102, v116, v117, v119,
-# v120, v121, v123, v125.  This is
-# also why round 13 registered ZERO new queries: any POST_WINDOW_NEW
-# entry would displace a refill and stretch the freshness debt a
-# third round.
+# The r13 window held 26 first-driver-row queries + 24 refreshes, which
+# left 16 r10-aged queries un-refreshed.  Those 16 (formerly
+# ``R14_PINNED``) now LEAD round 14's window — see ``_reorder`` —
+# executing the recipe pinned at r13 close exactly.
 R14_PINNED: frozenset[str] = frozenset(
     {
         "v68_pii_scrub",
@@ -64,6 +51,38 @@ R14_PINNED: frozenset[str] = frozenset(
         "v113_null_aware_anti",
         "v114_correlated_max_order",
         "v115_profile_approx",
+    }
+)
+
+# The r14 window = 16 R14_PINNED + 33 of the 34 planned r11-aged refills
+# + v157 (its funnel operator changed in-round — the ADVICE r13 NULL-ts
+# fix — and in-round-changed queries must re-verify inside the window).
+# That displaces ONE refill: v95_two_phase_agg, the highest-numbered of
+# the planned 34, which joins the 10-query r11-aged residue.  These 11
+# names are PINNED to lead round 15's window; tests/test_registry.py
+# derives the same set from the CORRECTNESS_r* ledger (latest driver
+# row <= r11 and outside this round's window) so the pin cannot drift.
+#
+# R15 RECIPE (assuming CORRECTNESS_r14 lands green on the current
+# window): these 11 lead; the remaining 39 slots refill from the 50
+# r12-aged queries, lowest query number first — v11-v18, v31, v33,
+# v37-v39, v43, v61, v70, v75, v77-v79, v81-v89, v97-v99, v103-v105,
+# v109-v111, v118 — leaving the 11-query r12-aged residue (v122, v124,
+# v126-v134) to pin for r16; any in-round-changed query claiming a
+# slot displaces the highest-numbered refill into that residue.
+R15_PINNED: frozenset[str] = frozenset(
+    {
+        "v95_two_phase_agg",
+        "v100_srp_neardup",
+        "v101_url_dedup",
+        "v102_partition_pruning",
+        "v116_q22_idle_customers",
+        "v117_batched_ann",
+        "v119_stream_outer_join",
+        "v120_skewed_join_agg",
+        "v121_bloom_filter_join",
+        "v123_schema_evolution",
+        "v125_stream_session_window",
     }
 )
 
@@ -126,69 +145,69 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-13 WINDOW (executes the recipe pinned at r12 close —
-    # VERDICT r12 "next round" #1):
-    # (a) the 26 r12 POST_WINDOW_NEW queries (v135-v160, tier-3, never
-    # driver-verified) LEAD, in their pinned order;
-    # (b) refill the remaining 24 slots with r10-aged queries, lowest
-    # query number first — EXCEPT v80 is pulled in ahead of v68 because
-    # round 13's v80 soak work (VERDICT r12 task 3) may touch
-    # operators/substrings.py, and in-round-changed queries must sit
-    # inside the window.  The 16-query residue is pinned, in code, to
-    # lead round 14 (R14_PINNED above).
+    # ROUND-14 WINDOW (executes the recipe pinned at r13 close —
+    # VERDICT r13 "next round" #1):
+    # (a) the 16 R14_PINNED r10-aged queries LEAD, lowest number first;
+    # (b) refill with r11-aged queries, lowest query number first —
+    # 33 of the planned 34 (v95, the highest-numbered, is displaced
+    # into R15_PINNED) because
+    # (c) v157 must re-verify in-round: its funnel operator changed
+    # this round (ADVICE r13 NULL-timestamp equivalence fix), and
+    # in-round-changed queries must sit inside the window.
     first = [
-        # (a) r12 post-saturation additions — must lead r13.
-        "v135_incremental_minmax_pruned",
-        "v136_frequent_terms_sketch",
-        "v137_incremental_distinct_hll",
-        "v138_q2_min_cost_supplier",
-        "v139_q13_order_distribution",
-        "v140_q20_excess_shippers",
-        "v141_q19_disjunctive_revenue",
-        "v142_q15_top_supplier",
-        "v143_q16_supplier_count",
-        "v144_q11_important_parts",
-        "v145_q14_promo_share",
-        "v146_incremental_topk",
-        "v147_q4_priority_check",
-        "v148_q5_local_volume",
-        "v149_q6_forecast_revenue",
-        "v150_q9_product_profit",
-        "v151_q10_returned_items",
-        "v152_q12_ship_priority",
-        "v153_incremental_variance",
-        "v154_gapfill_locf",
-        "v155_interval_range_window",
-        "v156_width_bucket_histogram",
+        # (a) r10-aged residue from the r13 rotation — must lead r14.
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        "v73_stream_dedup",
+        "v76_stream_upsert",
+        "v91_lateral_topk",
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
+        "v96_salted_asof",
+        "v106_data_expectations",
+        "v107_snapshot_diff",
+        "v108_table_profile",
+        "v112_bucketed_smb_join",
+        "v113_null_aware_anti",
+        "v114_correlated_max_order",
+        "v115_profile_approx",
+        # (b) r11-aged refills (33 of 44; 11-query residue = R15_PINNED).
+        "v01_scan",
+        "v02_project_filter",
+        "v03_agg_q1",
+        "v04_join_agg",
+        "v05_q3_top10",
+        "v06_left_join_coalesce",
+        "v07_semi_anti",
+        "v08_theta_join",
+        "v09_rollup",
+        "v10_window_rank",
+        "v27_text_quality",
+        "v28_lang_id",
+        "v29_token_count",
+        "v30_fingerprint",
+        "v34_range_join",
+        "v36_grouping_sets",
+        "v42_cube",
+        "v46_array_funcs",
+        "v47_null_conditional",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+        "v53_hash_split",
+        "v54_pack_by_budget",
+        "v55_stratified_sample",
+        "v56_interleave",
+        "v57_corpus_prep",
+        "v58_cross_join",
+        "v65_repetition_signals",
+        "v71_dsir_importance",
+        "v72_global_shuffle",
+        "v74_domain_cap",
+        "v90_q21_waiting_suppliers",
+        # (c) in-round-changed (operators/funnel.py, ADVICE r13 fix).
         "v157_funnel_analysis",
-        "v158_cohort_retention",
-        "v159_stream_topk",
-        "v160_pagerank",
-        # (b) r10-aged refills (24 of 40; residue pinned to lead r14).
-        "v19_dedup_exact",
-        "v20_cosine_topk",
-        "v21_dedup_content_hash",
-        "v22_minhash_lsh",
-        "v23_jaccard_pairs",
-        "v24_simhash",
-        "v25_ann_ivf",
-        "v26_embedding_neardup",
-        "v32_streaming_window",
-        "v35_pivot",
-        "v40_math_funcs",
-        "v41_session_window",
-        "v44_string_funcs",
-        "v45_date_funcs",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
-        "v64_neardup_clusters",
-        "v66_scd2_merge",
-        "v67_cluster_corpus_prep",
-        "v80_exact_substrings",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -79,7 +79,24 @@ def main() -> None:
                 if a == b:
                     status = "match"
                 else:
-                    failures.append((name, f"values: {len(a)} vs {len(b)} rows"))
+                    # Equal row counts with differing cells is the common
+                    # mismatch shape (ADVICE r13) — show the first
+                    # differing row pair, not just the counts.
+                    first_diff = next(
+                        (
+                            f"spark={x!r} vs oracle={y!r}"
+                            for x, y in zip(a, b)
+                            if x != y
+                        ),
+                        "row sets differ only in length",
+                    )
+                    failures.append(
+                        (
+                            name,
+                            f"values: {len(a)} vs {len(b)} rows; "
+                            f"first diff: {first_diff}",
+                        )
+                    )
                     status = "VALUE MISMATCH"
         print(
             f"[{i+1:2d}/{len(names)}] {name}: {status} "

@@ -119,13 +119,19 @@ def main() -> None:
                 F.sum("n_tokens").alias("toks"),
                 F.sum(F.length("text_dedup")).alias("chars"),
             ).collect()[0]
-            cache.release_persisted()
             return tuple(sig)
 
+        # release_persisted() sits OUTSIDE the timed region (ADVICE r13):
+        # the DuckDB pass times only the query, so charging unpersist
+        # overhead to the Spark wall would bias the cross-engine ratio.
+        # It still runs between passes so the timed pass is a full
+        # recompute, not a cache hit.
         spark_pass()
+        cache.release_persisted()
         t0 = time.perf_counter()
         spark_sig = spark_pass()
         t_spark = time.perf_counter() - t0
+        cache.release_persisted()
 
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")

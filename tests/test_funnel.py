@@ -41,6 +41,14 @@ def corpus(spark):
         _ev(12, "view", 100), _ev(12, "view", 0), _ev(12, "click", 30),
         # noise the type filter must drop
         (1, "scroll", T0),
+        # NULL timestamps (ADVICE r13): an unstamped event matches no
+        # stage in EITHER variant — user 5 (view is NULL-ts only) must
+        # vanish entirely, and user 1's NULL-ts click must not perturb
+        # the real conversion.  Without the shared ts-NOT-NULL filter
+        # the staged variant's groupBy-min would emit user 5 with
+        # t1=NULL while the array variant drops them: variant split.
+        (5, "view", None),
+        (1, "click", None),
     ]
     return spark.createDataFrame(
         rows, "user_id bigint, event_type string, ts timestamp"
@@ -149,7 +157,7 @@ from hypothesis import strategies as st
 _EV = st.tuples(
     st.integers(0, 3),                       # user
     st.sampled_from(["view", "click", "purchase"]),
-    st.integers(0, 40),                      # hours offset
+    st.one_of(st.none(), st.integers(0, 40)),  # hours offset; None = NULL ts
 )
 _SETTINGS = _settings(
     max_examples=8,
@@ -160,7 +168,9 @@ _SETTINGS = _settings(
 
 def _py_funnel(rows):
     # sequential reference: first view; first click in (t1, t1+12h];
-    # first purchase in (t2, t2+24h]
+    # first purchase in (t2, t2+24h].  NULL-ts events (h is None) are
+    # outside the contract — dropped before matching.
+    rows = [(u, t, h) for u, t, h in rows if h is not None]
     out = {}
     users = {u for u, _, _ in rows}
     for u in users:
@@ -194,7 +204,10 @@ def _py_funnel(rows):
 @_SETTINGS
 def test_funnel_variants_agree_with_reference(spark, rows):
     df = spark.createDataFrame(
-        [(u, t, T0 + dt.timedelta(hours=h)) for u, t, h in rows],
+        [
+            (u, t, None if h is None else T0 + dt.timedelta(hours=h))
+            for u, t, h in rows
+        ],
         "user_id bigint, event_type string, ts timestamp",
     )
     expected = _py_funnel(rows)

@@ -44,11 +44,12 @@ def test_driver_window_plus_prior_files_cover_everything():
         "CORRECTNESS_r10.json",
         "CORRECTNESS_r11.json",
         "CORRECTNESS_r12.json",
+        "CORRECTNESS_r13.json",
     ):
         prior |= set(json.load(open(os.path.join(repo, fname))))
     window = set(list(QUERIES)[:50])
     uncovered = set(QUERIES) - window - prior - POST_WINDOW_NEW
-    assert not uncovered, f"queries with no driver row in r4-r12: {uncovered}"
+    assert not uncovered, f"queries with no driver row in r4-r13: {uncovered}"
 
 
 def test_never_driver_verified_queries_lead_the_window():
@@ -83,41 +84,24 @@ def _last_driver_round() -> dict[str, int]:
 
 
 def test_stalest_queries_lead_the_window():
-    # r12 VERDICT mandate #1 (the pinned r13 rotation): the 26 r12
-    # POST_WINDOW_NEW queries (v135-v160, never driver-verified) LEAD
-    # in their pinned order, any other never-verified registration sits
-    # inside the window, and nothing outside the window is older than
-    # the r10 freshness floor.
+    # r13 VERDICT mandate #1 (the pinned r14 rotation): the 16
+    # R14_PINNED r10-aged queries LEAD (lowest query number first) —
+    # derived here from the ledger, not restated — any never-verified
+    # registration sits inside the window, and nothing outside the
+    # window is older than the r11 freshness floor (the floor rises one
+    # round per rotation: every r10-aged query is in this window).
+    import re as _re
+
+    from flowbyte_spark.queries import R14_PINNED
+
     last = _last_driver_round()
-    r12_post_window = [
-        "v135_incremental_minmax_pruned",
-        "v136_frequent_terms_sketch",
-        "v137_incremental_distinct_hll",
-        "v138_q2_min_cost_supplier",
-        "v139_q13_order_distribution",
-        "v140_q20_excess_shippers",
-        "v141_q19_disjunctive_revenue",
-        "v142_q15_top_supplier",
-        "v143_q16_supplier_count",
-        "v144_q11_important_parts",
-        "v145_q14_promo_share",
-        "v146_incremental_topk",
-        "v147_q4_priority_check",
-        "v148_q5_local_volume",
-        "v149_q6_forecast_revenue",
-        "v150_q9_product_profit",
-        "v151_q10_returned_items",
-        "v152_q12_ship_priority",
-        "v153_incremental_variance",
-        "v154_gapfill_locf",
-        "v155_interval_range_window",
-        "v156_width_bucket_histogram",
-        "v157_funnel_analysis",
-        "v158_cohort_retention",
-        "v159_stream_topk",
-        "v160_pagerank",
-    ]
-    assert list(QUERIES)[:26] == r12_post_window
+    pinned_sorted = sorted(
+        R14_PINNED, key=lambda q: int(_re.match(r"v(\d+)_", q).group(1))
+    )
+    assert list(QUERIES)[:16] == pinned_sorted
+    # the pin itself must equal the ledger's r10-aged set
+    r10_aged = {q for q in QUERIES if last.get(q, 99) <= 10}
+    assert r10_aged == set(R14_PINNED)
     never = sorted(
         q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
     )
@@ -127,31 +111,31 @@ def test_stalest_queries_lead_the_window():
         f"never-verified queries outside the window: {outside_never}"
     )
     floor_breakers = sorted(
-        q for q in QUERIES if last.get(q, 99) < 10 and q not in window
+        q for q in QUERIES if last.get(q, 99) < 11 and q not in window
     )
     assert not floor_breakers, (
-        f"queries older than the r10 freshness floor outside the window: "
+        f"queries older than the r11 freshness floor outside the window: "
         f"{floor_breakers}"
     )
 
 
-def test_r14_pin_matches_the_freshness_ledger():
-    # The 16-query residue the r13 window cannot hold (26 new + 40
-    # r10-aged > 50 slots) is pinned in code to lead round 14.  Derive
-    # the residue from the CORRECTNESS_r* files themselves so the pin
-    # cannot drift from the actual ledger: it must be EXACTLY the
-    # queries whose latest driver row is r10 and which sit outside this
-    # round's window.
-    from flowbyte_spark.queries import R14_PINNED
+def test_r15_pin_matches_the_freshness_ledger():
+    # The 11-query residue the r14 window cannot hold (16 pinned + 44
+    # r11-aged + 1 in-round-changed > 50 slots) is pinned in code to
+    # lead round 15.  Derive the residue from the CORRECTNESS_r* files
+    # themselves so the pin cannot drift from the actual ledger: it
+    # must be EXACTLY the queries whose latest driver row is <= r11 and
+    # which sit outside this round's window.
+    from flowbyte_spark.queries import R15_PINNED
 
     last = _last_driver_round()
     window = set(list(QUERIES)[:50])
     residue = {
-        q for q in QUERIES if last.get(q, 99) <= 10 and q not in window
+        q for q in QUERIES if last.get(q, 99) <= 11 and q not in window
     }
-    assert residue == set(R14_PINNED), (
-        f"pin drift: ledger-residue - pin = {sorted(residue - R14_PINNED)}, "
-        f"pin - ledger-residue = {sorted(set(R14_PINNED) - residue)}"
+    assert residue == set(R15_PINNED), (
+        f"pin drift: ledger-residue - pin = {sorted(residue - R15_PINNED)}, "
+        f"pin - ledger-residue = {sorted(set(R15_PINNED) - residue)}"
     )
 
 
