@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -129,12 +130,20 @@ def main() -> None:
             ).collect()[0]
             return tuple(sig)
 
-        spark_pass()
-        cache.release_persisted()
-        t0 = time.perf_counter()
-        spark_sig = spark_pass()
-        t_spark = time.perf_counter() - t0
-        cache.release_persisted()
+        # bench.py convention: 2 warm-ups (one leaves this sub-second
+        # operator mid-JIT — the first soak draft's 1x row read 2.95 s
+        # of compilation, not query), median of 3 timed passes,
+        # release_persisted outside every timed region.
+        for _ in range(2):
+            spark_pass()
+            cache.release_persisted()
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark_sig = spark_pass()
+            walls.append(time.perf_counter() - t0)
+            cache.release_persisted()
+        t_spark = statistics.median(walls)
 
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")
@@ -143,9 +152,12 @@ def main() -> None:
             f"read_parquet('{path}/*.parquet')"
         )
         con.execute(DUCK_SQL).fetchone()  # warm-up
-        t0 = time.perf_counter()
-        duck_sig = con.execute(DUCK_SQL).fetchone()
-        t_duck = time.perf_counter() - t0
+        dwalls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            duck_sig = con.execute(DUCK_SQL).fetchone()
+            dwalls.append(time.perf_counter() - t0)
+        t_duck = statistics.median(dwalls)
         con.close()
 
         assert tuple(spark_sig) == tuple(duck_sig), (spark_sig, duck_sig)
