@@ -31,8 +31,22 @@ def _tag_union(
     struct and each right value as a nullable carrier column.  Left rows
     get ``__side__ = 1`` so they sort AFTER right rows at equal time —
     the "trade picks up the quote at the same instant" ASOF convention.
+
+    NULL contract (predicate semantics — ``r.ts <= l.ts`` and
+    ``l.k = r.k`` are never true when a side is NULL): rows with a NULL
+    time OR a NULL key are excluded from BOTH sides here.  A NULL
+    carrier would otherwise sort to the front of the window and get
+    carried into every left row's match, and NULL-key carriers would
+    meet the NULL-key left rows that ``Window.partitionBy`` groups
+    together though SQL equality never matches them (the bug class the
+    r13 funnel ADVICE caught).  Callers union the excluded LEFT rows
+    back as unmatched via :func:`_null_left_unmatched` — left-join
+    semantics keep them, with no NULL ever entering the carry plan.
     """
     lcols = left.columns
+    left = left.where(
+        F.col(on).isNotNull() & F.col(left_time).isNotNull()
+    )
     tagged_left = left.select(
         F.col(on).alias("__k__"),
         F.col(left_time).alias("__t__"),
@@ -41,7 +55,9 @@ def _tag_union(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}__")
           for c in right_values],
     )
-    tagged_right = right.select(
+    tagged_right = right.where(
+        F.col(right_time).isNotNull() & F.col(on).isNotNull()
+    ).select(
         F.col(on).alias("__k__"),
         F.col(right_time).alias("__t__"),
         F.lit(0).alias("__side__"),
@@ -51,6 +67,29 @@ def _tag_union(
         *[F.col(c).alias(f"__rv_{c}__") for c in right_values],
     )
     return tagged_left.unionByName(tagged_right)
+
+
+def _null_left_unmatched(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_values: list[str],
+    suffix: str,
+) -> DataFrame:
+    """Left rows with a NULL key or NULL time, emitted unmatched (every
+    ``*_matched`` column a typed NULL literal) — the rows
+    :func:`_tag_union` excludes from the carry plan.  Map-only: one
+    filter + projection, zero exchanges."""
+    return left.where(
+        F.col(on).isNull() | F.col(left_time).isNull()
+    ).select(
+        *left.columns,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in right_values
+        ],
+    )
 
 
 def asof_join(
@@ -71,6 +110,12 @@ def asof_join(
     timestamp resolve to the right row (it sorts before the left row at
     equal time for backward, after for forward) — matching the common
     "trade picks up the quote at the same instant" ASOF convention.
+
+    NULL times follow predicate semantics (``NULL <= t`` is never true):
+    right rows with NULL time never match anything; left rows with NULL
+    time are kept, unmatched.  (Before round 14 a NULL-time right row
+    sorted nulls-first into the backward carry and matched EVERY left
+    row of its key; forward had the mirror problem on NULL left times.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -99,12 +144,15 @@ def asof_join(
             for c in right_values
         ]
 
-    return (
+    matched = (
         unioned.select("__side__", "__l__", *carried)
         .where(F.col("__side__") == 1)
         .select(*[F.col(f"__l__.{c}").alias(c) for c in lcols], *[
             F.col(f"{c}{suffix}") for c in right_values
         ])
+    )
+    return matched.unionByName(
+        _null_left_unmatched(left, right, on, left_time, right_values, suffix)
     )
 
 
@@ -342,7 +390,7 @@ def salted_asof_join(
     carried = b.select("__k__", "__b__", "__side__", "__l__", *within).join(
         offsets, ["__k__", "__b__"]
     )
-    return (
+    matched = (
         carried.where(F.col("__side__") == 1)
         .select(
             *[F.col(f"__l__.{c}").alias(c) for c in lcols],
@@ -353,4 +401,12 @@ def salted_asof_join(
                 for c in right_values
             ],
         )
+    )
+    # NULL-key / NULL-time left rows never enter the carry plan
+    # (_tag_union excludes them — a null-safe join with offsets would
+    # instead cost an EXTRA full shuffle of the carried stream,
+    # measured 4 → 5 exchanges, just to route rows whose answer is
+    # known).  Union them back unmatched, map-only.
+    return matched.unionByName(
+        _null_left_unmatched(left, right, on, left_time, right_values, suffix)
     )

@@ -54,24 +54,29 @@ R14_PINNED: frozenset[str] = frozenset(
     }
 )
 
-# The r14 window = 16 R14_PINNED + 33 of the 34 planned r11-aged refills
-# + v157 (its funnel operator changed in-round — the ADVICE r13 NULL-ts
-# fix — and in-round-changed queries must re-verify inside the window).
-# That displaces ONE refill: v95_two_phase_agg, the highest-numbered of
-# the planned 34, which joins the 10-query r11-aged residue.  These 11
-# names are PINNED to lead round 15's window; tests/test_registry.py
-# derives the same set from the CORRECTNESS_r* ledger (latest driver
-# row <= r11 and outside this round's window) so the pin cannot drift.
+# The r14 window = 16 R14_PINNED + 31 of the 34 planned r11-aged
+# refills + 3 in-round-changed queries that must re-verify inside the
+# window: v157 (funnel NULL-ts equivalence fix, ADVICE r13) and
+# v33/v89 (asof NULL predicate-semantics fix; the third asof caller
+# v96 is pinned).  That displaces THREE refills — v95, v90, v74, the
+# three highest-numbered of the planned 34 — into the r11-aged
+# residue.  These 13 names are PINNED to lead round 15's window;
+# tests/test_registry.py derives the same set from the CORRECTNESS_r*
+# ledger (latest driver row <= r11 and outside this round's window) so
+# the pin cannot drift.
 #
 # R15 RECIPE (assuming CORRECTNESS_r14 lands green on the current
-# window): these 11 lead; the remaining 39 slots refill from the 50
-# r12-aged queries, lowest query number first — v11-v18, v31, v33,
-# v37-v39, v43, v61, v70, v75, v77-v79, v81-v89, v97-v99, v103-v105,
-# v109-v111, v118 — leaving the 11-query r12-aged residue (v122, v124,
-# v126-v134) to pin for r16; any in-round-changed query claiming a
-# slot displaces the highest-numbered refill into that residue.
+# window): these 13 lead; the remaining 37 slots refill from the 48
+# r12-aged queries (v33/v89 freshen to r14 this round), lowest query
+# number first — v11-v18, v31, v37-v39, v43, v61, v70, v75, v77-v79,
+# v81-v88, v97-v99, v103-v105, v109-v111, v118 — leaving the 11-query
+# r12-aged residue (v122, v124, v126-v134) to pin for r16; any
+# in-round-changed query claiming a slot displaces the
+# highest-numbered refill into that residue.
 R15_PINNED: frozenset[str] = frozenset(
     {
+        "v74_domain_cap",
+        "v90_q21_waiting_suppliers",
         "v95_two_phase_agg",
         "v100_srp_neardup",
         "v101_url_dedup",
@@ -204,9 +209,14 @@ def _reorder() -> None:
         "v65_repetition_signals",
         "v71_dsir_importance",
         "v72_global_shuffle",
-        "v74_domain_cap",
-        "v90_q21_waiting_suppliers",
-        # (c) in-round-changed (operators/funnel.py, ADVICE r13 fix).
+        # (c) in-round-changed: v157 (operators/funnel.py NULL-ts fix,
+        # ADVICE r13) and the asof_join callers v33/v89 (operators/
+        # asof.py NULL predicate-semantics fix; the third caller v96 is
+        # already pinned above).  v33/v89 claim the slots of v74/v90,
+        # the two highest-numbered planned refills; v74/v90 join
+        # R15_PINNED alongside v95.
+        "v33_asof_join",
+        "v89_asof_forward",
         "v157_funnel_analysis",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole

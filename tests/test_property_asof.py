@@ -21,8 +21,16 @@ pytestmark = pytest.mark.filterwarnings("ignore")
 
 T0 = datetime(2024, 1, 1)
 
-# 2 keys x 6 instants: collisions on both are guaranteed at these sizes
-row = st.tuples(st.integers(0, 1), st.integers(0, 5))
+# 2 keys x 6 instants: collisions on both are guaranteed at these sizes.
+# key/time may be None (round 14): predicate semantics — a NULL key or
+# NULL time never satisfies the join predicate, so NULL right rows match
+# nothing and NULL left rows emit unmatched (the r13 funnel ADVICE class:
+# a generator that never produces NULLs cannot catch a NULL carrier
+# being carried into every row of its key).
+row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 1)),
+    st.one_of(st.none(), st.integers(0, 5)),
+)
 rows_strategy = st.lists(row, min_size=1, max_size=6)
 
 SETTINGS = settings(
@@ -35,7 +43,11 @@ SETTINGS = settings(
 def _df(spark, rows, value_base):
     return spark.createDataFrame(
         [
-            (k, T0 + timedelta(minutes=m), float(value_base + i))
+            (
+                k,
+                None if m is None else T0 + timedelta(minutes=m),
+                float(value_base + i),
+            )
             for i, (k, m) in enumerate(rows)
         ],
         "k INT, ts TIMESTAMP, v DOUBLE",
@@ -43,18 +55,23 @@ def _df(spark, rows, value_base):
 
 
 def _reference(left_rows, right_rows, direction):
+    # predicate semantics: a None key or None time on EITHER side makes
+    # `rk == k and rm <= m` unsatisfiable — the left row stays unmatched
     out = {}
     for i, (k, m) in enumerate(left_rows):
+        if k is None or m is None:
+            out[float(i)] = None
+            continue
         if direction == "backward":
             cand = [
                 (rm, j) for j, (rk, rm) in enumerate(right_rows)
-                if rk == k and rm <= m
+                if rk == k and rm is not None and rm <= m
             ]
             pick = max(cand) if cand else None
         else:
             cand = [
                 (-rm, j) for j, (rk, rm) in enumerate(right_rows)
-                if rk == k and rm >= m
+                if rk == k and rm is not None and rm >= m
             ]
             pick = max(cand) if cand else None
         out[float(i)] = None if pick is None else float(100 + pick[1])
