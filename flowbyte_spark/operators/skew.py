@@ -101,6 +101,31 @@ def _time_bucket(order_by: str, width_seconds: int) -> Column:
     )
 
 
+# Bucket id for NULL order_by values.  The unsalted window sorts NULL
+# times FIRST (Spark asc default), so NULL-time rows must land in a
+# bucket that precedes every real one and still carries a JOINABLE
+# (non-NULL) id — a NULL __b__ would fall out of the plain equi-join
+# with the offsets table and the rows would vanish from the output.
+# Real buckets are bounded by |unix_micros|/width < 2^63/10^6, nowhere
+# near -2^62.
+_NULL_TIME_BUCKET = -(2**62)
+
+
+def _group_key(keys: Sequence[str]) -> Column:
+    """Null-safe composite key for the two-phase rewrites.
+
+    ``Window.partitionBy`` and ``groupBy`` put NULL keys in one group,
+    but the phase-merge equi-join would DROP those rows (NULL = NULL is
+    never true), silently losing every NULL-key row the unsalted window
+    keeps.  Struct equality is null-safe per field (``struct(NULL) =
+    struct(NULL)`` is TRUE) and a struct is an ordinary hash-join /
+    hash-partition key, so partitioning, grouping, AND joining on
+    ``struct(*keys)`` preserves NULL groups end-to-end with no extra
+    exchange (an ``eqNullSafe`` join instead re-shuffles both sides:
+    measured 3 → 5 exchanges on the salted-window plan)."""
+    return F.struct(*keys)
+
+
 def salted_window_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -125,6 +150,14 @@ def salted_window_agg(
     same any-order ambiguity the unsalted window has; ties never straddle
     buckets (equal time ⇒ equal bucket).  Pick ``bucket_width_seconds``
     so the hottest key's densest width fits a task (~10-100 M rows).
+
+    NULL handling matches the unsalted window exactly (round 14 — before
+    that, NULL-key and NULL-``order_by`` rows fell out of the phase-merge
+    equi-join and VANISHED from the output): NULL keys form one group
+    (:func:`_group_key`), and NULL times land in a first-sorting sentinel
+    bucket (:data:`_NULL_TIME_BUCKET`) so their values roll into every
+    later bucket's offsets, exactly as nulls-first ordering feeds the
+    unsalted running aggregate.
     """
     bad = [fn for fn, _ in aggs.values() if fn not in _RUNNING_FNS]
     if bad:
@@ -132,43 +165,53 @@ def salted_window_agg(
             f"unsupported running fns {sorted(set(bad))}; "
             f"supported: {sorted(_RUNNING_FNS)} (associative merges only)"
         )
-    if "__b__" in df.columns:
-        raise ValueError("column name __b__ is reserved by salted_window_agg")
+    reserved = {"__b__", "__jk__"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "salted_window_agg"
+        )
 
-    b = df.withColumn("__b__", _time_bucket(order_by, bucket_width_seconds))
+    b = df.withColumn(
+        "__b__",
+        F.coalesce(
+            _time_bucket(order_by, bucket_width_seconds),
+            F.lit(_NULL_TIME_BUCKET),
+        ),
+    ).withColumn("__jk__", _group_key(keys))
     w_in = (
-        Window.partitionBy(*keys, "__b__")
+        Window.partitionBy("__jk__", "__b__")
         .orderBy(order_by, *tiebreakers)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for out, (fn, col) in aggs.items():
         b = b.withColumn(out, _RUNNING_FNS[fn][0](col).over(w_in))
 
-    totals = b.groupBy(*keys, "__b__").agg(
+    totals = b.groupBy("__jk__", "__b__").agg(
         *[
             _RUNNING_FNS[fn][1](col).alias(f"__t_{out}__")
             for out, (fn, col) in aggs.items()
         ]
     )
     w_prev = (
-        Window.partitionBy(*keys)
+        Window.partitionBy("__jk__")
         .orderBy("__b__")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *keys,
+        "__jk__",
         "__b__",
         *[
             _RUNNING_FNS[fn][2](f"__t_{out}__").over(w_prev).alias(f"__o_{out}__")
             for out, (fn, col) in aggs.items()
         ],
     )
-    merged = b.join(offsets, [*keys, "__b__"])
+    merged = b.join(offsets, ["__jk__", "__b__"])
     for out, (fn, _col) in aggs.items():
         merged = merged.withColumn(
             out, _RUNNING_FNS[fn][3](F.col(out), F.col(f"__o_{out}__"))
         )
-    return merged.drop("__b__", *[f"__o_{out}__" for out in aggs])
+    return merged.drop("__b__", "__jk__", *[f"__o_{out}__" for out in aggs])
 
 
 def salted_lag(
@@ -187,33 +230,47 @@ def salted_lag(
     through a one-row-per-bucket boundary table.  Distinguishes "first in
     bucket" from "previous value is genuinely NULL" by row position, not
     coalesce.
+
+    NULL handling matches the unsalted lag exactly (round 14, same fix
+    as :func:`salted_window_agg`): NULL keys form one group, NULL times
+    land in the first-sorting sentinel bucket — neither falls out of the
+    phase-merge join any more.
     """
-    if "__b__" in df.columns:
-        raise ValueError("column name __b__ is reserved by salted_lag")
-    b = df.withColumn("__b__", _time_bucket(order_by, bucket_width_seconds))
-    w_o = Window.partitionBy(*keys, "__b__").orderBy(order_by, *tiebreakers)
+    reserved = {"__b__", "__jk__"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by salted_lag"
+        )
+    b = df.withColumn(
+        "__b__",
+        F.coalesce(
+            _time_bucket(order_by, bucket_width_seconds),
+            F.lit(_NULL_TIME_BUCKET),
+        ),
+    ).withColumn("__jk__", _group_key(keys))
+    w_o = Window.partitionBy("__jk__", "__b__").orderBy(order_by, *tiebreakers)
 
     order_struct = F.struct(order_by, *tiebreakers)
-    bounds = b.groupBy(*keys, "__b__").agg(
+    bounds = b.groupBy("__jk__", "__b__").agg(
         F.max_by(col, order_struct).alias("__last_v__")
     )
-    w_b = Window.partitionBy(*keys).orderBy("__b__")
+    w_b = Window.partitionBy("__jk__").orderBy("__b__")
     prev = bounds.select(
-        *keys,
+        "__jk__",
         "__b__",
         F.lag("__last_v__").over(w_b).alias("__prev_last__"),
     )
     return (
         b.withColumn("__rn__", F.row_number().over(w_o))
         .withColumn("__within__", F.lag(col).over(w_o))
-        .join(prev, [*keys, "__b__"])
+        .join(prev, ["__jk__", "__b__"])
         .withColumn(
             out,
             F.when(F.col("__rn__") == 1, F.col("__prev_last__")).otherwise(
                 F.col("__within__")
             ),
         )
-        .drop("__b__", "__rn__", "__within__", "__prev_last__")
+        .drop("__b__", "__jk__", "__rn__", "__within__", "__prev_last__")
     )
 
 

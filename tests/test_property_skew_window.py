@@ -24,10 +24,15 @@ pytestmark = pytest.mark.filterwarnings("ignore")
 T0 = datetime(2024, 1, 1)
 
 # seconds 0..600 across a 60 s bucket width: rows scatter over ~10 buckets
-# with gaps; value pool includes None for the lag null-semantics case
+# with gaps; value pool includes None for the lag null-semantics case.
+# key and time may ALSO be None (round 14): Window.partitionBy groups
+# NULL keys into one partition and sorts NULL times FIRST — the salted
+# rewrites must reproduce both (before the r14 fix, NULL-key and
+# NULL-time rows fell out of the phase-merge equi-join and vanished;
+# this generator could never catch it).
 row = st.tuples(
-    st.integers(0, 1),  # key
-    st.integers(0, 600),  # seconds offset
+    st.one_of(st.none(), st.integers(0, 1)),  # key (nullable)
+    st.one_of(st.none(), st.integers(0, 600)),  # seconds offset (nullable)
     st.one_of(st.none(), st.integers(-5, 5)),  # value (nullable)
 )
 rows_strategy = st.lists(row, min_size=1, max_size=12)
@@ -42,7 +47,12 @@ SETTINGS = settings(
 def _df(spark, rows):
     return spark.createDataFrame(
         [
-            (k, T0 + timedelta(seconds=s), v, i)  # i = unique tiebreaker
+            (  # i = unique tiebreaker
+                k,
+                None if s is None else T0 + timedelta(seconds=s),
+                v,
+                i,
+            )
             for i, (k, s, v) in enumerate(rows)
         ],
         "k INT, ts TIMESTAMP, v INT, rid INT",
