@@ -128,6 +128,14 @@ def incremental_minmax_update(
     Returns the :func:`minmax_state` schema; equal to
     ``minmax_state(fact_post)`` by construction (differentially tested
     in tests/test_incremental.py, hash-gated as v124).
+
+    NULL group keys are exact (round 14): the merge joins run on a
+    struct-wrapped key (struct equality is null-safe per field, and
+    stays an ordinary hash-join key — the skew.py fix's measured
+    alternative to ``eqNullSafe``, which re-shuffles both sides), so a
+    NULL-key group's state, insert and delete legs pair up exactly as
+    ``groupBy`` groups them; a raw-key join would emit the legs as
+    separate rows and break the equal-to-recompute contract.
     """
     if partition_col is not None and partition_col not in keys:
         raise ValueError(
@@ -174,7 +182,16 @@ def incremental_minmax_update(
     # the 60M soak (cache build ≈ the re-evaluation it saves on a
     # state-sized join), and uncached the unsafe-keys branch keeps full
     # column pruning.
-    j = state.join(ins, keys, "full_outer").join(dels, keys, "full_outer")
+    def _jk(df_: DataFrame) -> DataFrame:
+        # null-safe composite join key; raw key columns are recovered
+        # from the struct after the merge
+        return df_.withColumn("__jk__", F.struct(*keys)).drop(*keys)
+
+    j = (
+        _jk(state)
+        .join(_jk(ins), "__jk__", "full_outer")
+        .join(_jk(dels), "__jk__", "full_outer")
+    )
     if partition_col is not None:
         # The partition-prune path is already eager (the partition-value
         # collect below runs a job), and j feeds THREE consumers (safe
@@ -206,7 +223,7 @@ def incremental_minmax_update(
         j.where(~unsafe)
         .where(new_cnt > 0)
         .select(
-            *keys,
+            *[F.col("__jk__").getField(k).alias(k) for k in keys],
             new_cnt.alias("__cnt__"),
             *[
                 a
@@ -222,7 +239,7 @@ def incremental_minmax_update(
             ],
         )
     )
-    unsafe_keys = j.where(unsafe).select(*keys)
+    unsafe_keys = j.where(unsafe).select("__jk__")
     if partition_col is not None:
         # Bounded collect: distinct PARTITION VALUES of the unsafe
         # groups — at most the fact's partition count, in practice the
@@ -231,14 +248,28 @@ def incremental_minmax_update(
         # join-chain build side; see docstring).
         touched = [
             r[0]
-            for r in unsafe_keys.select(partition_col).distinct().collect()
+            for r in unsafe_keys.select(
+                F.col("__jk__").getField(partition_col)
+            )
+            .distinct()
+            .collect()
         ]
         if not touched:
             fact_post = fact_post.where(F.lit(False))
         else:
-            fact_post = fact_post.where(F.col(partition_col).isin(touched))
+            # isin() is null-unsafe; a NULL partition value among the
+            # unsafe groups needs its own isNull() disjunct or the
+            # recompute would skip that slice.
+            cond = F.col(partition_col).isin(
+                [t for t in touched if t is not None]
+            )
+            if any(t is None for t in touched):
+                cond = cond | F.col(partition_col).isNull()
+            fact_post = fact_post.where(cond)
     recomputed = minmax_state(
-        fact_post.join(F.broadcast(unsafe_keys), keys, "left_semi"),
+        fact_post.withColumn("__jk__", F.struct(*keys))
+        .join(F.broadcast(unsafe_keys), "__jk__", "left_semi")
+        .drop("__jk__"),
         keys,
         cols,
     )

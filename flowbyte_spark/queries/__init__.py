@@ -54,30 +54,33 @@ R14_PINNED: frozenset[str] = frozenset(
     }
 )
 
-# The r14 window = 16 R14_PINNED + 28 of the 34 planned r11-aged
-# refills + 5 in-round-changed queries (v33/v89 — asof NULL
+# The r14 window = 16 R14_PINNED + 26 of the 34 planned r11-aged
+# refills + 8 in-round-changed queries (v33/v89 — asof NULL
 # predicate-semantics fix, the third asof caller v96 is pinned;
-# v85/v86 — salted window/lag NULL-group row-loss fix; v157 — funnel
-# NULL-ts fix, ADVICE r13) + v95, whose operator module's top level
-# changed (conservative re-verification).  That displaces SIX refills
-# — v65, v71, v72, v74, v90, v95, the six highest-numbered of the
-# planned 34 — into the r11-aged residue (v95 re-enters as changed,
-# so FIVE land in the pin).  These 15 names are PINNED to lead round
-# 15's window; tests/test_registry.py derives the same set from the
-# CORRECTNESS_r* ledger (latest driver row <= r11 and outside this
-# round's window) so the pin cannot drift.
+# v85/v86 — salted window/lag NULL-group row-loss fix; v124/v135 —
+# incremental minmax struct-key NULL-group fix; v157 — funnel NULL-ts
+# fix, ADVICE r13; v95 — skew.py module residue, conservative
+# re-verification).  That displaces EIGHT refills — v57, v58, v65,
+# v71, v72, v74, v90, v95, the eight highest-numbered of the planned
+# 34 — and all but re-entering v95 land in the r11-aged residue.
+# These 17 names are PINNED to lead round 15's window;
+# tests/test_registry.py derives the same set from the CORRECTNESS_r*
+# ledger (latest driver row <= r11 and outside this round's window) so
+# the pin cannot drift.
 #
 # R15 RECIPE (assuming CORRECTNESS_r14 lands green on the current
-# window): these 15 lead; the remaining 35 slots refill from the 46
-# r12-aged queries (v33/v85/v86/v89 freshen to r14 this round; v95 was
-# r11-aged and freshens too), lowest query number first — v11-v18,
-# v31, v37-v39, v43, v61, v70, v75, v77-v79, v81-v84, v87, v88,
-# v97-v99, v103-v105, v109-v111, v118 — leaving the 11-query r12-aged
-# residue (v122, v124, v126-v134) to pin for r16; any in-round-changed
-# query claiming a slot displaces the highest-numbered refill into
-# that residue.
+# window): these 17 lead; the remaining 33 slots refill from the 45
+# r12-aged queries (v33/v85/v86/v89/v124 freshen to r14 this round, as
+# do r11-aged v95 and r13-aged v135), lowest query number first —
+# v11-v18, v31, v37-v39, v43, v61, v70, v75, v77-v79, v81-v84, v87,
+# v88, v97-v99, v103-v105, v109-v110 — leaving the 12-query r12-aged
+# residue (v111, v118, v122, v126-v134) to pin for r16; any
+# in-round-changed query claiming a slot displaces the
+# highest-numbered refill into that residue.
 R15_PINNED: frozenset[str] = frozenset(
     {
+        "v57_corpus_prep",
+        "v58_cross_join",
         "v65_repetition_signals",
         "v71_dsir_importance",
         "v72_global_shuffle",
@@ -209,23 +212,23 @@ def _reorder() -> None:
         "v54_pack_by_budget",
         "v55_stratified_sample",
         "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
-        # (c) in-round-changed: v157 (operators/funnel.py NULL-ts fix,
-        # ADVICE r13), the asof_join callers v33/v89 (operators/asof.py
-        # NULL predicate-semantics fix; the third caller v96 is already
-        # pinned above), the salted-window callers v85/v86
-        # (operators/skew.py NULL-group row-loss fix), and v95 (skew.py
-        # module residue changed — two_phase_agg itself did not, but the
-        # coverage policy conservatively re-verifies every unit of a
-        # module whose top level changed).  The six claim the slots of
-        # the six highest-numbered planned refills (v65, v71, v72, v74,
-        # v90, v95), which join R15_PINNED.
+        # (c) in-round-changed queries claim the remaining 8 slots (the
+        # 8 highest-numbered planned refills — v57, v58, v65, v71, v72,
+        # v74, v90, v95 — are displaced; all but re-entering v95 join
+        # R15_PINNED): v157 (operators/funnel.py NULL-ts fix, ADVICE
+        # r13); asof_join callers v33/v89 (operators/asof.py NULL
+        # predicate-semantics fix; the third caller v96 is pinned
+        # above); salted-window callers v85/v86 (operators/skew.py
+        # NULL-group row-loss fix); v95 (skew.py module residue,
+        # conservative re-verification); minmax-merge callers v124/v135
+        # (operators/incremental.py struct-key NULL-group fix).
         "v33_asof_join",
         "v85_salted_window",
         "v86_salted_lag",
         "v89_asof_forward",
         "v95_two_phase_agg",
+        "v124_incremental_minmax",
+        "v135_incremental_minmax_pruned",
         "v157_funnel_analysis",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole

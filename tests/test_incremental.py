@@ -22,17 +22,30 @@ SETTINGS = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
+# group key and measure may be None (round 14): groupBy puts NULL keys
+# in one group, and the minmax merge joins must pair that group's
+# state/insert/delete legs instead of dropping or splitting it — the
+# raw-key full-outer join did exactly that before the struct-key fix.
 row = st.tuples(
-    st.integers(min_value=0, max_value=4),  # group key
-    st.floats(
-        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
     ),
 )
 
 
 def _df(spark, rows, start_id=0):
     return spark.createDataFrame(
-        [(start_id + i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        [
+            (start_id + i, k, None if v is None else float(v))
+            for i, (k, v) in enumerate(rows)
+        ],
         "id long, k int, v double",
     )
 
@@ -40,7 +53,11 @@ def _df(spark, rows, start_id=0):
 def _canon(df):
     # r["__cnt__"]: Row.__getattr__ blocks dunder-prefixed names
     return sorted(
-        (r.k, r["__cnt__"], float(r.sum_v)) for r in df.collect()
+        (
+            (r.k, r["__cnt__"], None if r.sum_v is None else float(r.sum_v))
+            for r in df.collect()
+        ),
+        key=str,
     )
 
 
@@ -64,7 +81,8 @@ def test_incremental_equals_rescan(spark, base, ins, del_keys):
 
 def _canon_mm(df):
     return sorted(
-        (r.k, r["__cnt__"], r.min_v, r.max_v) for r in df.collect()
+        ((r.k, r["__cnt__"], r.min_v, r.max_v) for r in df.collect()),
+        key=str,
     )
 
 
