@@ -22,7 +22,12 @@ KEYS = list(range(1, 8))
 delta_strategy = st.lists(
     st.fixed_dictionaries(
         {
-            "id": st.sampled_from(KEYS + [99, 100]),  # some unmatched keys
+            # unmatched keys (99, 100) and a NULL key (round 14): the
+            # reference's `UPDATE ... WHERE id = NULL` matches nothing,
+            # so a None-id record must be ignored and the target's own
+            # NULL-id row must never be updated (predicate semantics —
+            # audited NULL-correct, pinned here).
+            "id": st.sampled_from(KEYS + [99, 100, None]),
             "val": st.floats(
                 min_value=-1e6, max_value=1e6, allow_nan=False, width=32
             ),
@@ -42,12 +47,15 @@ SETTINGS = settings(
 
 def base_df(spark):
     return spark.createDataFrame(
-        [(k, float(k * 10), "base") for k in KEYS], "id LONG, val DOUBLE, tag STRING"
+        [(k, float(k * 10), "base") for k in KEYS] + [(None, -1.0, "base")],
+        "id LONG, val DOUBLE, tag STRING",
     )
 
 
 def as_rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # key=str: tuples may carry a None id, which plain tuple comparison
+    # cannot order against ints
+    return sorted((tuple(r) for r in df.collect()), key=str)
 
 
 @given(delta=delta_strategy)
@@ -68,8 +76,9 @@ def test_update_by_keys_matches_sql_update_semantics(spark, delta):
     merged = {r[0]: (r[1], r[2]) for r in update_by_keys(target, delta, ["id"]).collect()}
 
     expected = {k: (float(k * 10), "base") for k in KEYS}
+    expected[None] = (-1.0, "base")  # NULL-id target row: never updated
     for rec in delta:  # sequential reference semantics
-        if rec["id"] in expected:
+        if rec["id"] is not None and rec["id"] in expected:
             expected[rec["id"]] = (rec["val"], rec["tag"])
 
     assert set(merged) == set(expected)
@@ -118,8 +127,9 @@ def test_sparse_records_match_sequential_update_loop(spark, delta):
     }
 
     expected = {k: [float(k * 10), "base"] for k in KEYS}
+    expected[None] = [-1.0, "base"]  # NULL-id target row: never updated
     for rec in delta:
-        if rec["id"] in expected:
+        if rec["id"] is not None and rec["id"] in expected:
             if "val" in rec:
                 expected[rec["id"]][0] = rec["val"]
             if "tag" in rec:
@@ -165,10 +175,13 @@ def test_insert_then_delete_roundtrip(spark, tmp_path_factory, n_insert, drop_mo
         "id LONG, val DOUBLE, tag STRING",
     )
     table.append(inserted)
-    assert table.read().count() == len(KEYS) + n_insert
+    # base_df carries a NULL-id row (round 14): the delete predicate's
+    # `id >= 1000` is NULL for it — 3VL keeps the row, like SQL DELETE
+    n_base = len(KEYS) + 1
+    assert table.read().count() == n_base + n_insert
     deleted = table.delete_where(f"id >= 1000 AND id % {drop_mod} = 0")
     survivors = {r.id for r in table.read().collect()}
-    assert survivors == set(KEYS) | {
+    assert survivors == set(KEYS) | {None} | {
         1000 + i for i in range(n_insert) if (1000 + i) % drop_mod != 0
     }
-    assert deleted == len(KEYS) + n_insert - len(survivors)
+    assert deleted == n_base + n_insert - len(survivors)
