@@ -143,6 +143,11 @@ def incremental_minmax_update(
             f"{keys} (a column functionally derived from the group "
             "key and stored as the fact's partition column)"
         )
+    if "__jk__" in {*state.columns, *fact_post.columns, *inserts.columns,
+                    *deletes.columns}:
+        raise ValueError(
+            "column name __jk__ is reserved by incremental_minmax_update"
+        )
     # State ⟗ inserts ⟗ deletes as a full-outer join chain.  A one-
     # union + single-key-shuffle conditional aggregation was built and
     # A/B'd this round (it reconstructs the same row because each leg
