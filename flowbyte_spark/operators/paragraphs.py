@@ -65,6 +65,12 @@ def paragraph_dedup(
     original order (empty string when every paragraph was a repeat),
     ``n_kept`` counts survivors and ``n_paras`` the original paragraph
     count.  Deterministic: independent of partitioning and input order.
+
+    A NULL ``text_col`` is an absent document body: zero paragraphs
+    (``n_paras = 0``, distinct from the empty string's one empty
+    paragraph), nothing kept, empty ``text_dedup``.  Before round 14
+    Spark's non-ANSI ``size(NULL) = -1`` sentinel leaked into
+    ``n_paras`` for such rows.
     """
     # No fan-out repartition here (contrast the CPU-bound operators that
     # route through ensure_parallelism): the pre-shuffle work is a split
@@ -95,7 +101,14 @@ def paragraph_dedup(
         F.count("*").alias("n_kept"),
     )
     return (
-        base.select("id", F.size("paras").cast("long").alias("n_paras"))
+        # coalesce BEFORE size: size(NULL array) is -1 in non-ANSI mode,
+        # and a count column must not leak that sentinel for NULL text.
+        base.select(
+            "id",
+            F.size(F.coalesce("paras", F.array()))
+            .cast("long")
+            .alias("n_paras"),
+        )
         .join(rebuilt, "id", "left")
         .select(
             "id",

@@ -54,31 +54,32 @@ R14_PINNED: frozenset[str] = frozenset(
     }
 )
 
-# The r14 window = 16 R14_PINNED + 26 of the 34 planned r11-aged
-# refills + 8 in-round-changed queries (v33/v89 — asof NULL
+# The r14 window = 16 R14_PINNED + 25 of the 34 planned r11-aged
+# refills + 9 in-round-changed queries (v33/v89 — asof NULL
 # predicate-semantics fix, the third asof caller v96 is pinned;
 # v85/v86 — salted window/lag NULL-group row-loss fix; v124/v135 —
-# incremental minmax struct-key NULL-group fix; v157 — funnel NULL-ts
-# fix, ADVICE r13; v95 — skew.py module residue, conservative
-# re-verification).  That displaces EIGHT refills — v57, v58, v65,
-# v71, v72, v74, v90, v95, the eight highest-numbered of the planned
-# 34 — and all but re-entering v95 land in the r11-aged residue.
-# These 17 names are PINNED to lead round 15's window;
-# tests/test_registry.py derives the same set from the CORRECTNESS_r*
-# ledger (latest driver row <= r11 and outside this round's window) so
-# the pin cannot drift.
+# incremental minmax struct-key NULL-group fix; v78 — paragraph-count
+# size(NULL) sentinel fix; v157 — funnel NULL-ts fix, ADVICE r13;
+# v95 — skew.py module residue, conservative re-verification).  That
+# displaces NINE refills — v56, v57, v58, v65, v71, v72, v74, v90,
+# v95, the nine highest-numbered of the planned 34 — and all but
+# re-entering v95 land in the r11-aged residue.  These 18 names are
+# PINNED to lead round 15's window; tests/test_registry.py derives the
+# same set from the CORRECTNESS_r* ledger (latest driver row <= r11
+# and outside this round's window) so the pin cannot drift.
 #
 # R15 RECIPE (assuming CORRECTNESS_r14 lands green on the current
-# window): these 17 lead; the remaining 33 slots refill from the 45
-# r12-aged queries (v33/v85/v86/v89/v124 freshen to r14 this round, as
-# do r11-aged v95 and r13-aged v135), lowest query number first —
-# v11-v18, v31, v37-v39, v43, v61, v70, v75, v77-v79, v81-v84, v87,
-# v88, v97-v99, v103-v105, v109-v110 — leaving the 12-query r12-aged
-# residue (v111, v118, v122, v126-v134) to pin for r16; any
-# in-round-changed query claiming a slot displaces the
+# window): these 18 lead; the remaining 32 slots refill from the 44
+# r12-aged queries (v33/v78/v85/v86/v89/v124 freshen to r14 this
+# round, as do r11-aged v95 and r13-aged v135), lowest query number
+# first — v11-v18, v31, v37-v39, v43, v61, v70, v75, v77, v79,
+# v81-v84, v87, v88, v97-v99, v103-v105, v109, v110 — leaving the
+# 12-query r12-aged residue (v111, v118, v122, v126-v134) to pin for
+# r16; any in-round-changed query claiming a slot displaces the
 # highest-numbered refill into that residue.
 R15_PINNED: frozenset[str] = frozenset(
     {
+        "v56_interleave",
         "v57_corpus_prep",
         "v58_cross_join",
         "v65_repetition_signals",
@@ -211,18 +212,19 @@ def _reorder() -> None:
         "v53_hash_split",
         "v54_pack_by_budget",
         "v55_stratified_sample",
-        "v56_interleave",
-        # (c) in-round-changed queries claim the remaining 8 slots (the
-        # 8 highest-numbered planned refills — v57, v58, v65, v71, v72,
-        # v74, v90, v95 — are displaced; all but re-entering v95 join
-        # R15_PINNED): v157 (operators/funnel.py NULL-ts fix, ADVICE
-        # r13); asof_join callers v33/v89 (operators/asof.py NULL
-        # predicate-semantics fix; the third caller v96 is pinned
+        # (c) in-round-changed queries claim the remaining 9 slots (the
+        # 9 highest-numbered planned refills — v56, v57, v58, v65, v71,
+        # v72, v74, v90, v95 — are displaced; all but re-entering v95
+        # join R15_PINNED): v157 (operators/funnel.py NULL-ts fix,
+        # ADVICE r13); asof_join callers v33/v89 (operators/asof.py
+        # NULL predicate-semantics fix; the third caller v96 is pinned
         # above); salted-window callers v85/v86 (operators/skew.py
         # NULL-group row-loss fix); v95 (skew.py module residue,
         # conservative re-verification); minmax-merge callers v124/v135
-        # (operators/incremental.py struct-key NULL-group fix).
+        # (operators/incremental.py struct-key NULL-group fix); v78
+        # (operators/paragraphs.py size(NULL)=-1 count-sentinel fix).
         "v33_asof_join",
+        "v78_paragraph_dedup",
         "v85_salted_window",
         "v86_salted_lag",
         "v89_asof_forward",

@@ -21,7 +21,13 @@ pytestmark = pytest.mark.filterwarnings("ignore")
 
 # 4-word vocabulary, 0-4 paragraphs per doc, up to 6 docs: same-doc and
 # cross-doc repeats (and fully-deduplicated docs) occur constantly.
-doc = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=4)
+# A doc may also be None (round 14): NULL text is an absent body —
+# zero paragraphs, nothing kept — and before the fix Spark's non-ANSI
+# size(NULL) = -1 sentinel leaked into the n_paras count column.
+doc = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=4),
+)
 corpus_strategy = st.lists(doc, min_size=1, max_size=6)
 
 SETTINGS = settings(
@@ -35,6 +41,9 @@ def _reference(corpus):
     seen: set[str] = set()
     out = {}
     for doc_id, paras in enumerate(corpus):
+        if paras is None:  # NULL text: zero paragraphs, nothing kept
+            out[doc_id] = ("", 0, 0)
+            continue
         kept = []
         for p in paras:
             if p not in seen:
@@ -49,10 +58,16 @@ def _reference(corpus):
 def test_paragraph_dedup_matches_sequential_reference(spark, corpus):
     # split("", sep) yields [""] — a zero-paragraph doc is not expressible
     # through a text column, so the reference models it as the one-empty-
-    # paragraph doc the operator actually sees.
-    corpus = [paras if paras else [""] for paras in corpus]
+    # paragraph doc the operator actually sees.  None is DIFFERENT: it
+    # stays a NULL text cell (absent body, zero paragraphs).
+    corpus = [
+        paras if paras is None or paras else [""] for paras in corpus
+    ]
     df = spark.createDataFrame(
-        [(i, "\n".join(paras)) for i, paras in enumerate(corpus)],
+        [
+            (i, None if paras is None else "\n".join(paras))
+            for i, paras in enumerate(corpus)
+        ],
         "doc_id INT, text STRING",
     )
     got = {
