@@ -5,7 +5,7 @@ inserts.  (V118's oracle differential lives in test_llm2_oracle.py.)"""
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from flowbyte_spark.operators.incremental import (
@@ -16,8 +16,12 @@ from flowbyte_spark.operators.incremental import (
     minmax_state,
 )
 
+# FB_HYP_EXAMPLES=200 runs the soak profile the round-15 audit used;
+# the default stays CI-sized.
+import os
+
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("FB_HYP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -54,7 +58,12 @@ def _canon(df):
     # r["__cnt__"]: Row.__getattr__ blocks dunder-prefixed names
     return sorted(
         (
-            (r.k, r["__cnt__"], None if r.sum_v is None else float(r.sum_v))
+            (
+                r.k,
+                r["__cnt__"],
+                None if r.sum_v is None else float(r.sum_v),
+                r["__nn_v__"],
+            )
             for r in df.collect()
         ),
         key=str,
@@ -66,6 +75,15 @@ def _canon(df):
     ins=st.lists(row, max_size=15),
     del_keys=st.sets(st.integers(min_value=0, max_value=4)),
 )
+# Round-14 judge counterexample, pinned so it persists as a regression
+# even though the hypothesis example database is gitignored (commit
+# 38183ca): delete a group's only real value, insert a NULL-valued row
+# for the same key — the group's sum must become NULL (SQL SUM over an
+# all-NULL group), not the 0.0 the signed partials cancel to.
+@example(base=[(3, 0.0)], ins=[(3, None)], del_keys={3})
+# The converse leg: a group BORN all-NULL that later gains a real
+# value must come back from NULL, not stay stuck at it.
+@example(base=[(2, None)], ins=[(2, 1.5)], del_keys=set())
 @SETTINGS
 def test_incremental_equals_rescan(spark, base, ins, del_keys):
     base_df = _df(spark, base)
