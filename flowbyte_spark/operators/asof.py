@@ -116,6 +116,15 @@ def asof_join(
     time are kept, unmatched.  (Before round 14 a NULL-time right row
     sorted nulls-first into the backward carry and matched EVERY left
     row of its key; forward had the mirror problem on NULL left times.)
+
+    ``left`` must be DETERMINISTIC (ADVICE r14): it is evaluated in two
+    plan branches — the carry union here and the NULL-time unmatched leg
+    (:func:`_null_left_unmatched`) — so an input whose rows change
+    between evaluations (``rand()``, ``uuid()``, an unstable sample)
+    can lose or duplicate rows between the legs.  Cache/checkpoint such
+    an input first; deterministic inputs (any table scan + deterministic
+    transforms, i.e. everything this engine's query tier feeds it) need
+    nothing.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -321,6 +330,11 @@ def salted_asof_join(
     bucket fits a task (~10-100 M rows), or pass ``"auto"`` to derive it
     from the inputs' row count and time span (:func:`auto_bucket_width`,
     worst-case-hot-key sizing toward ``target_rows_per_bucket``).
+
+    ``left`` must be DETERMINISTIC, same contract as :func:`asof_join`
+    (ADVICE r14): it feeds both the carry union and the NULL-time
+    unmatched leg, so a non-deterministic input can lose or duplicate
+    rows between the two plan branches — cache/checkpoint it first.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")

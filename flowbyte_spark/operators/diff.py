@@ -32,6 +32,13 @@ def snapshot_diff(
     the snapshots share.  Duplicate keys in either snapshot are a
     caller bug that would silently multiply rows — fail loud upstream
     with expectations.check_unique if unsure.
+
+    NULL key values are handled null-safely (round 15): the full outer
+    join runs on a struct-wrapped key (struct equality is null-safe per
+    field — the engine's r14 convention), so a NULL-key row present in
+    both snapshots classifies as updated/unchanged like any other key;
+    a raw-key join would never pair the sides and misreport it as one
+    ``deleted`` plus one ``inserted``.
     """
     if not keys:
         raise ValueError("keys must name at least one column")
@@ -39,16 +46,16 @@ def snapshot_diff(
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
     o = old.select(
-        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(k) for k in keys]).alias("__jk__"),
         F.struct(*[F.col(c) for c in compare_cols]).alias("__old__"),
         F.lit(1).alias("__in_old__"),
     )
     n = new.select(
-        *[F.col(k).alias(k) for k in keys],
+        F.struct(*[F.col(k) for k in keys]).alias("__jk__"),
         F.struct(*[F.col(c) for c in compare_cols]).alias("__new__"),
         F.lit(1).alias("__in_new__"),
     )
-    j = o.join(n, keys, "full_outer")
+    j = o.join(n, "__jk__", "full_outer")
     change = (
         F.when(F.col("__in_old__").isNull(), F.lit("inserted"))
         .when(F.col("__in_new__").isNull(), F.lit("deleted"))
@@ -56,7 +63,10 @@ def snapshot_diff(
         .when(~F.col("__old__").eqNullSafe(F.col("__new__")), F.lit("updated"))
         .otherwise(F.lit("unchanged"))
     )
-    return j.select(*keys, change.alias("change_type"))
+    return j.select(
+        *[F.col("__jk__").getField(k).alias(k) for k in keys],
+        change.alias("change_type"),
+    )
 
 
 def diff_summary(

@@ -63,11 +63,17 @@ def funnel_counts(
     ``segment`` is evaluated AFTER the projection renames ``user_col``
     to the canonical ``user_id`` — it must be a function of the
     ``user_id`` column alone (e.g. ``F.col("user_id") % 10``), never of
-    the caller's original column name.  Rows with a NULL ``ts_col`` are
-    dropped up front in BOTH variants: an unstamped event can anchor no
-    stage, and filtering here keeps the two physical forms equivalent
-    (``collect_list`` silently drops NULLs while a groupBy-``min``
-    would still emit the user with ``t1=NULL``).
+    the caller's original column name.  Rows with a NULL ``ts_col`` OR a
+    NULL ``user_col`` are dropped up front in BOTH variants (predicate
+    semantics, the engine's asof/skew convention): an unstamped event
+    can anchor no stage, an unattributed event belongs to no per-user
+    funnel, and filtering here keeps the two physical forms equivalent —
+    ``collect_list`` silently drops NULL timestamps while a
+    groupBy-``min`` would still emit the user with ``t1=NULL``, and
+    (ADVICE r14) ``groupBy`` would pool every NULL user into one
+    synthetic "user" that can convert through stages while the staged
+    variant's equi-joins on ``user_id`` never advance a NULL user past
+    stage 1.
     ``max_events_per_user`` bounds the ``array`` variant's per-key
     aggregation buffer — exceeding it raises mid-job (pass ``None`` to
     waive deliberately); the ``staged`` variant never buffers a key and
@@ -75,7 +81,9 @@ def funnel_counts(
     """
     s1, s2, s3 = stages
     ev = events.where(
-        F.col(type_col).isin(*stages) & F.col(ts_col).isNotNull()
+        F.col(type_col).isin(*stages)
+        & F.col(ts_col).isNotNull()
+        & F.col(user_col).isNotNull()
     ).select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("event_type"),

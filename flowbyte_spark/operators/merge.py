@@ -281,13 +281,27 @@ def scd2_apply(
 
     Dates travel as strings so results hash identically across engines
     (see SURVEY.md §2.11 determinism convention).
+
+    NULL business keys are handled null-safely (round 15): every join
+    below runs on a struct-wrapped key (struct equality is null-safe
+    per field — the engine's r14 two-phase-rewrite convention), so a
+    NULL-key member versions exactly like any other key.  With raw-key
+    joins a NULL-key update could never close its current row AND
+    always re-inserted a "first version" — two current rows for one
+    member, the invariant this merge exists to keep.
     """
     keys = list(keys)
     tracked = list(tracked)
-    cur = target.where(F.col(current_col))
+    if "__jk__" in {*target.columns, *updates.columns}:
+        raise ValueError("column name __jk__ is reserved by scd2_apply")
+
+    def _jk(df: DataFrame) -> DataFrame:
+        return df.withColumn("__jk__", F.struct(*keys))
+
+    cur = _jk(target.where(F.col(current_col)))
     hist = target.where(~F.col(current_col))
 
-    u = updates.select(*keys, *tracked)
+    u = _jk(updates.select(*keys, *tracked))
     if validate_keys:
         # A batch shares one effective_date, so two versions of the same
         # key in it would produce colliding (valid_from, valid_to) rows
@@ -315,25 +329,25 @@ def scd2_apply(
         differs = term if differs is None else (differs | term)
     changed_keys = (
         cur.alias("t")
-        .join(u.alias("u"), keys)
+        .join(u.alias("u"), "__jk__")
         .where(differs)
-        .select(*[F.col(f"t.{k}").alias(k) for k in keys])
+        .select("__jk__")
     )
 
     closed = (
-        cur.join(changed_keys, keys, "left_semi")
+        cur.join(changed_keys, "__jk__", "left_semi")
         .withColumn(to_col, F.lit(effective_date))
         .withColumn(current_col, F.lit(False))
     )
-    kept = cur.join(changed_keys, keys, "left_anti")
+    kept = cur.join(changed_keys, "__jk__", "left_anti")
     new_versions = (
-        u.join(changed_keys, keys, "left_semi")
+        u.join(changed_keys, "__jk__", "left_semi")
         .withColumn(from_col, F.lit(effective_date))
         .withColumn(to_col, F.lit(None).cast("string"))
         .withColumn(current_col, F.lit(True))
     )
     inserts = (
-        u.join(cur.select(*keys), keys, "left_anti")
+        u.join(cur.select("__jk__"), "__jk__", "left_anti")
         .withColumn(from_col, F.lit(effective_date))
         .withColumn(to_col, F.lit(None).cast("string"))
         .withColumn(current_col, F.lit(True))

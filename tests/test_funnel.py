@@ -49,6 +49,16 @@ def corpus(spark):
         # t1=NULL while the array variant drops them: variant split.
         (5, "view", None),
         (1, "click", None),
+        # NULL users (ADVICE r14): unattributed events belong to no
+        # per-user funnel and must vanish in BOTH variants.  Without
+        # the shared user-NOT-NULL filter this full in-window sequence
+        # converts in the array variant (groupBy pools every NULL user
+        # into one synthetic key) while the staged variant's equi-joins
+        # on user_id never advance it past stage 1: variant split, and
+        # a phantom segment-NULL row in the output.
+        (None, "view", T0),
+        (None, "click", T0 + dt.timedelta(minutes=30)),
+        (None, "purchase", T0 + dt.timedelta(minutes=90)),
     ]
     return spark.createDataFrame(
         rows, "user_id bigint, event_type string, ts timestamp"

@@ -302,6 +302,30 @@ def test_scd2_two_batches_then_idempotent(spark):
     assert _hist(t3) == _hist(t2)
 
 
+def test_scd2_null_key_versions_like_any_other(spark):
+    # Round-15 measure/key-NULL sweep: the struct-wrapped join key makes
+    # a NULL business key version null-safely.  With raw-key joins the
+    # NULL-key update could never close its current row AND always
+    # re-inserted a first version — two current rows for one member.
+    t = _dim(spark, [(None, "A", "2020-01-01", None, True)])
+    out = scd2_apply(t, _upd(spark, [(None, "B")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(out) == [
+        (None, "A", "2020-01-01", "2024-01-01", False),
+        (None, "B", "2024-01-01", None, True),
+    ]
+    # and a no-op NULL-key update stays a no-op
+    out2 = scd2_apply(t, _upd(spark, [(None, "A")]), ["k"], ["seg"], "2024-01-01")
+    assert _hist(out2) == [(None, "A", "2020-01-01", None, True)]
+
+
+def test_scd2_rejects_reserved_column(spark):
+    t = _dim(spark, [(1, "A", "2020-01-01", None, True)]).withColumn(
+        "__jk__", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="__jk__"):
+        scd2_apply(t, _upd(spark, [(1, "B")]), ["k"], ["seg"], "2024-01-01")
+
+
 def test_scd2_duplicate_keys_in_batch_raise(spark):
     t = _dim(spark, [(1, "A", "2020-01-01", None, True)])
     dup = _upd(spark, [(1, "B"), (1, "C")])

@@ -130,6 +130,23 @@ def test_snapshot_diff_unit(spark):
     assert summ == {"inserted": 1, "deleted": 1, "updated": 1, "unchanged": 1}
 
 
+def test_snapshot_diff_null_key_pairs_across_snapshots(spark):
+    # Round-15 measure/key-NULL sweep: a NULL-key row present in both
+    # snapshots must classify as updated/unchanged, not split into one
+    # deleted + one inserted (the raw-key full outer join never paired
+    # the sides — struct-wrapped key is null-safe per field).
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, 9.0), (1, 2.0)], "k int, v double"
+    )
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    got = {r.k: r.change_type for r in rows}
+    assert len(rows) == 2
+    assert got == {None: "updated", 1: "unchanged"}
+
+
 def test_snapshot_diff_identical_yields_zero_churn(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, s string")
     summ = {r.change_type: r.n_rows for r in diff_summary(df, df, ["k"]).collect()}

@@ -131,6 +131,36 @@ def test_topk_state_merge_equals_full_recompute(spark):
         assert sorted(merged.collect()) == sorted(full.collect()), n_loads
 
 
+def test_topk_state_merge_handles_null_order_values(spark):
+    # Round-15 measure-NULL sweep: NULL order values sort LAST under
+    # desc (Spark default), so they enter a load's k-row state only when
+    # the group has fewer than k real values — and the merge must keep
+    # that semantics (the monoid law holds for any TOTAL order, which
+    # (v desc nulls-last, id asc) is).  A NULL-heavy group whose real
+    # values are spread across loads is the regression shape: a load
+    # seeing only NULLs still emits them into its state, and the merge
+    # must rank real values from other loads above them.
+    fact = _fact(spark, n=400).withColumn(
+        "v", F.when(F.col("id") % 3 == 0, F.col("v"))  # 2/3 of rows NULL
+    )
+    full = (
+        top_k_per_group(
+            fact, ["g"], [F.col("v").desc(), F.col("id").asc()], 5
+        )
+        .drop("rn")
+        .select("g", "v", "id")
+    )
+    states = [
+        topk_state(fact.where(F.col("id") % 3 == i), ["g"], "v", "id", 5)
+        for i in range(3)  # load 1 and 2 carry ONLY NULL-v rows
+    ]
+    merged = merge_topk_states(states, ["g"], "v", "id", 5).select(
+        "g", "v", "id"
+    )
+    key = lambda r: (r["g"], r["id"])
+    assert sorted(merged.collect(), key=key) == sorted(full.collect(), key=key)
+
+
 def test_topk_state_is_bounded_per_group(spark):
     # Each load's state holds at most k rows per group — the IO bound
     # that makes the per-load persist cheap.

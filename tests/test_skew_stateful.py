@@ -94,6 +94,55 @@ def test_two_phase_agg_equals_plain_agg(spark):
     assert plain == two
 
 
+def test_two_phase_agg_null_measures_match_plain_agg(spark):
+    # Round-15 measure-NULL sweep: the partial/final split must keep SQL
+    # NULL semantics — an all-NULL group's SUM/MIN/MAX stay NULL through
+    # the two phases (an all-NULL salt-bucket partial is NULL; the final
+    # F.sum/least/greatest SKIP null partials, which is exactly right
+    # BECAUSE a null partial means "contributed no non-null values").
+    # lineitem has no NULL measures, so the fixture test above can never
+    # catch this.
+    df = spark.createDataFrame(
+        [
+            (0, 1.0), (0, None), (0, 3.0),  # mixed group
+            (1, None), (1, None),           # all-NULL group
+            (2, -2.0),                      # singleton
+        ],
+        "k int, v double",
+    )
+    plain = rows(
+        df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("v").alias("nn"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    two = rows(
+        two_phase_agg(
+            df,
+            ["k"],
+            partial_aggs=[
+                F.count(F.lit(1)).alias("pc"),
+                F.count("v").alias("pn"),
+                F.sum("v").alias("ps"),
+                F.min("v").alias("pmn"),
+                F.max("v").alias("pmx"),
+            ],
+            final_aggs=[
+                F.sum("pc").alias("cnt"),
+                F.sum("pn").alias("nn"),
+                F.sum("ps").alias("s"),
+                F.min("pmn").alias("mn"),
+                F.max("pmx").alias("mx"),
+            ],
+            buckets=4,
+        )
+    )
+    assert plain == two
+
+
 # ---------------------------------------------------------------------------
 # applyInPandasWithState
 # ---------------------------------------------------------------------------
