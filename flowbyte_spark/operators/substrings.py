@@ -78,6 +78,14 @@ def exact_substring_dedup(
 
         (id, text_dedup, n_tokens, n_kept)
 
+    NULL-text documents keep their row as ``(id, NULL, NULL, 0)``
+    (round 15 — the r14 size(NULL) audit's deferred site): a NULL body
+    has no tokens, which is distinct from the empty string's one empty
+    token, and before this round such docs VANISHED from the output
+    (``posexplode`` of a NULL array emits no rows — silent data loss
+    for a corpus-rewrite operator).  ``posexplode_outer`` keeps the
+    group row at zero extra corpus passes.
+
     Deterministic: independent of partitioning and input order.
     """
     if k < 2:
@@ -117,10 +125,18 @@ def exact_substring_dedup(
     base = src.select("id", arr_pinned)
     if fan_out:
         base = base.repartition(sc.defaultParallelism, "id")
+    # posexplode_outer + the isNotNull guard keep NULL-text docs: the
+    # outer form emits one (pos=NULL, tok=NULL) row for a NULL array
+    # where plain posexplode emits none (doc silently dropped), and the
+    # guard stops the non-ANSI size(NULL) = -1 sentinel reaching
+    # n_tokens (split() never returns NULL for non-NULL text, so the
+    # guard is exactly the NULL-doc marker).
     toks = base.select(
         "id",
-        F.size("arr").cast("long").alias("n_tokens"),
-        F.posexplode("arr").alias("pos", "tok"),
+        F.when(F.col("arr").isNotNull(), F.size("arr"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.posexplode_outer("arr").alias("pos", "tok"),
     )
 
     # Window key from a slice of the carried token array — NOT k-1
@@ -190,14 +206,28 @@ def exact_substring_dedup(
     # extra (id, n_tokens) branch + left join a where() would force —
     # one fewer pass over the corpus and no final join at all.
     not_cov = F.expr("cov IS NULL OR NOT array_contains(cov, pos)")
+    # NULL-doc fixups (round 15): the posexplode_outer sentinel row has
+    # pos=NULL, so n_kept's count must require a real position, and
+    # text_dedup nulls out where n_tokens is NULL (reassembly of the
+    # one all-NULL struct row would otherwise read as the empty string
+    # — the fully-deduplicated-doc value, a different fact).
     return (
         toks.join(covered, "id", "left")
         .withColumn("tok", F.when(not_cov, F.col("tok")))
         .groupBy("id")
         .agg(
-            reassemble_in_order("pos", "tok", sep).alias("text_dedup"),
+            reassemble_in_order("pos", "tok", sep).alias("__txt__"),
             F.first("n_tokens").alias("n_tokens"),
-            F.count(F.when(not_cov, F.lit(1))).cast("long").alias("n_kept"),
+            F.count(F.when(not_cov & F.col("pos").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_kept"),
         )
-        .select("id", "text_dedup", "n_tokens", "n_kept")
+        .select(
+            "id",
+            F.when(F.col("n_tokens").isNotNull(), F.col("__txt__")).alias(
+                "text_dedup"
+            ),
+            "n_tokens",
+            "n_kept",
+        )
     )

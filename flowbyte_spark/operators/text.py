@@ -32,9 +32,11 @@ STOPWORDS = LANG_PROFILES["en"]
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count."""
+    """Whitespace token count.  NULL text counts NULL (round 15 — the
+    r14 size(NULL) audit's deferred site: the non-ANSI ``size(NULL) =
+    -1`` sentinel leaked into the count for NULL documents)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.split(c, " ")).cast("long")
+    return F.when(c.isNotNull(), F.size(F.split(c, " "))).cast("long")
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -53,10 +55,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Score: fraction-of-alpha-words and stopword presence reward natural
     text; extreme word lengths and punctuation density penalize.  All
     double math, rounded to 4 d.p. for canonical comparison.
+
+    NULL text yields NULL for every appended column (round 15): the
+    guard on ``n_words`` stops the non-ANSI ``size(NULL) = -1``
+    sentinel — which previously surfaced as ``n_words = -1`` and
+    ``alpha_ratio = (-1)/(-1) = 1.0``, a perfect quality signal for a
+    missing document — and every downstream ratio then NULL-propagates.
     """
     c = F.col(text_col)
     w = words(c)
-    n_words = F.size(w)
+    n_words = F.when(c.isNotNull(), F.size(w))
     alpha_words = F.size(F.filter(w, lambda x: x.rlike("^[A-Za-z]+$")))
     stop_hits = _stopword_hits(w, STOPWORDS)
     punct = F.regexp_count(c, F.lit(PUNCT_REGEX))
@@ -91,6 +99,11 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     One pass, no shuffle; the profiles are literals folded into codegen.
     (On fixture word-salad the signal is weak by construction — the
     verification checks determinism against the oracle, not accuracy.)
+
+    NULL text predicts NULL (round 15): the per-language ``size`` hits
+    were all the non-ANSI ``-1`` sentinel for a NULL document, tying
+    every profile and silently classifying missing text as the first
+    profile language.
     """
     w = words(F.col(text_col))
     scores = [
@@ -100,8 +113,8 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     scored = df.select("*", *scores)
     langs = list(LANG_PROFILES)
     best = F.greatest(*[F.col(f"__s_{l}__") for l in langs])
-    pick = F.when(F.col(f"__s_{langs[0]}__") == best, langs[0])
-    for l in langs[1:]:
+    pick = F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+    for l in langs:
         pick = pick.when(F.col(f"__s_{l}__") == best, l)
     return scored.withColumn(out_col, pick).drop(
         *[f"__s_{l}__" for l in langs]

@@ -419,6 +419,32 @@ def test_jaccard_shingle_freq_valve(spark):
     assert not (high <= starved)
 
 
+def test_text_helpers_null_text_yields_null_not_sentinel(spark):
+    # Round-15 (r14 size(NULL) audit's deferred sites): under the
+    # engine's non-ANSI sessions size(NULL) = -1, which leaked -1 into
+    # token/word counts, alpha_ratio = (-1)/(-1) = 1.0 into quality
+    # features, and an all-tied argmax (every language scored -1) into
+    # lang_id, classifying missing text as the first profile language.
+    from flowbyte_spark.operators.text import (
+        lang_id,
+        quality_features,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat is big"), (2, None)], "id int, text string"
+    )
+    tc = {r["id"]: r["tc"] for r in df.select("id", token_count("text").alias("tc")).collect()}
+    assert tc[1] == 7 and tc[2] is None
+    qf = {r["id"]: r for r in quality_features(df).collect()}
+    assert qf[1]["n_words"] == 7 and qf[1]["quality_score"] is not None
+    for c in ("n_words", "n_tokens", "alpha_ratio", "stop_ratio",
+              "punct_ratio", "avg_word_len", "quality_score"):
+        assert qf[2][c] is None, (c, qf[2][c])
+    lp = {r["id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert lp[1] == "en" and lp[2] is None
+
+
 def test_gopher_quality_gate_rules(spark):
     from flowbyte_spark.operators.text import gopher_quality_gate
 

@@ -88,6 +88,26 @@ def test_edge_cases(spark):
     assert out[5] == ("k", 6, 1)
 
 
+def test_null_text_doc_keeps_its_row(spark):
+    # Round-15 (r14 size(NULL) audit's deferred site): a NULL-body doc
+    # must come back as (id, NULL, NULL, 0) — before the fix posexplode
+    # emitted no rows for it and the doc VANISHED from the rewrite, and
+    # the non-ANSI size(NULL) = -1 sentinel sat behind n_tokens.  NULL
+    # must also stay distinct from the fully-deduplicated empty string.
+    df = spark.createDataFrame(
+        [(1, "u v w x y z"), (2, None), (3, "u v w x y z")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: (r["text_dedup"], r["n_tokens"], r["n_kept"])
+        for r in exact_substring_dedup(df, "id", "text", k=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (None, None, 0)
+    assert rows[1] == ("u v w x y z", 6, 6)
+    assert rows[3] == ("", 6, 0)
+
+
 def test_k_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "id long, text string")
     with pytest.raises(ValueError):
