@@ -54,29 +54,14 @@ R14_PINNED: frozenset[str] = frozenset(
     }
 )
 
-# The r14 window = 16 R14_PINNED + 25 of the 34 planned r11-aged
-# refills + 9 in-round-changed queries (v33/v89 — asof NULL
-# predicate-semantics fix, the third asof caller v96 is pinned;
-# v85/v86 — salted window/lag NULL-group row-loss fix; v124/v135 —
-# incremental minmax struct-key NULL-group fix; v78 — paragraph-count
-# size(NULL) sentinel fix; v157 — funnel NULL-ts fix, ADVICE r13;
-# v95 — skew.py module residue, conservative re-verification).  That
-# displaces NINE refills — v56, v57, v58, v65, v71, v72, v74, v90,
-# v95, the nine highest-numbered of the planned 34 — and all but
-# re-entering v95 land in the r11-aged residue.  These 18 names are
-# PINNED to lead round 15's window; tests/test_registry.py derives the
-# same set from the CORRECTNESS_r* ledger (latest driver row <= r11
-# and outside this round's window) so the pin cannot drift.
-#
-# R15 RECIPE (assuming CORRECTNESS_r14 lands green on the current
-# window): these 18 lead; the remaining 32 slots refill from the 44
-# r12-aged queries (v33/v78/v85/v86/v89/v124 freshen to r14 this
-# round, as do r11-aged v95 and r13-aged v135), lowest query number
-# first — v11-v18, v31, v37-v39, v43, v61, v70, v75, v77, v79,
-# v81-v84, v87, v88, v97-v99, v103-v105, v109, v110 — leaving the
-# 12-query r12-aged residue (v111, v118, v122, v126-v134) to pin for
-# r16; any in-round-changed query claiming a slot displaces the
-# highest-numbered refill into that residue.
+# The r14 window ran as pinned and CORRECTNESS_r14.json landed 50/50
+# green, so going into round 15 the freshness ledger holds exactly 18
+# r11-aged queries — the residue the r14 window could not hold (16
+# R14_PINNED + 25 r11-aged refills + 9 in-round-changed saturated its
+# 50 slots, displacing 9 planned refills).  These 18 names LEAD round
+# 15's window; tests/test_registry.py derives the same set from the
+# CORRECTNESS_r* ledger (latest driver row <= r11 as of r14, outside
+# the r14 window) so the pin cannot drift.
 R15_PINNED: frozenset[str] = frozenset(
     {
         "v56_interleave",
@@ -97,6 +82,44 @@ R15_PINNED: frozenset[str] = frozenset(
         "v121_bloom_filter_join",
         "v123_schema_evolution",
         "v125_stream_session_window",
+    }
+)
+
+# The r15 window = 18 R15_PINNED + 21 r12-aged refills (lowest query
+# number first: v11-v18, v31, v37-v39, v43, v61, v70, v75, v77, v79,
+# v81-v83) + 11 in-round-changed queries (v118/v153 — incremental
+# agg_state NULL-measure fix, VERDICT r14 red #1; v66 — scd2 NULL-key
+# struct-join fix; v107 — snapshot-diff NULL-key struct-join fix;
+# v157 — funnel NULL-user fix, ADVICE r14; v27/v28/v29/v54/v67/v80 —
+# the r14 size(NULL) audit's deferred text.py/substrings.py fixes,
+# whose seventh caller v57 is pinned above).  That leaves this
+# 22-query r12-aged residue PINNED to lead round 16's window (after
+# r16 refreshes it plus the 48 r13-aged queries' head, the freshness
+# floor reaches toward r13).
+R16_PINNED: frozenset[str] = frozenset(
+    {
+        "v84_media_decode",
+        "v87_pq_ann",
+        "v88_variant_json",
+        "v97_jpeg_decode",
+        "v98_wav_decode",
+        "v99_y4m_decode",
+        "v103_dpp_star_join",
+        "v104_srp_cluster_dedup",
+        "v105_runtime_filter_join",
+        "v109_q7_volume_shipping",
+        "v110_q8_market_share",
+        "v111_stream_static_join",
+        "v122_sparse_cosine_pairs",
+        "v126_schema_widening",
+        "v127_prefix_cosine_pairs",
+        "v128_q17_small_quantity",
+        "v129_doc_chunking",
+        "v130_stream_full_outer_join",
+        "v131_bucketed_agg",
+        "v132_stream_join_window",
+        "v133_stream_dedup_join_window",
+        "v134_cbo_join_order",
     }
 )
 
@@ -159,78 +182,74 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-14 WINDOW (executes the recipe pinned at r13 close —
-    # VERDICT r13 "next round" #1):
-    # (a) the 16 R14_PINNED r10-aged queries LEAD, lowest number first;
-    # (b) refill with r11-aged queries, lowest query number first —
-    # 33 of the planned 34 (v95, the highest-numbered, is displaced
-    # into R15_PINNED) because
-    # (c) v157 must re-verify in-round: its funnel operator changed
-    # this round (ADVICE r13 NULL-timestamp equivalence fix), and
-    # in-round-changed queries must sit inside the window.
+    # ROUND-15 WINDOW (executes the recipe pinned at r14 close —
+    # VERDICT r14 "next round" #3):
+    # (a) the 18 R15_PINNED r11-aged queries LEAD, lowest number first;
+    # (b) 21 refills from the 44 strictly-r12-aged queries, lowest
+    # query number first;
+    # (c) the 11 in-round-changed queries claim the remaining slots
+    # (in-round-changed queries must sit inside the window): v118/v153
+    # — incremental agg_state/merge_states NULL-measure fix (VERDICT
+    # r14 red #1: all-NULL group sums must be NULL, not 0); v66 —
+    # scd2_apply NULL-key struct-join fix; v107 — snapshot_diff
+    # NULL-key struct-join fix; v157 — funnel NULL-user filter
+    # (ADVICE r14); v27/v28/v29/v54/v67/v80 — text.py/substrings.py
+    # size(NULL) sentinel fixes deferred from r14 (v57, the seventh
+    # caller, is pinned above).  The 22 displaced r12-aged refills =
+    # R16_PINNED.
     first = [
-        # (a) r10-aged residue from the r13 rotation — must lead r14.
-        "v68_pii_scrub",
-        "v69_decontaminate",
-        "v73_stream_dedup",
-        "v76_stream_upsert",
-        "v91_lateral_topk",
-        "v92_recursive_cte",
-        "v93_xml_extract",
-        "v94_salted_join",
-        "v96_salted_asof",
-        "v106_data_expectations",
-        "v107_snapshot_diff",
-        "v108_table_profile",
-        "v112_bucketed_smb_join",
-        "v113_null_aware_anti",
-        "v114_correlated_max_order",
-        "v115_profile_approx",
-        # (b) r11-aged refills (33 of 44; 11-query residue = R15_PINNED).
-        "v01_scan",
-        "v02_project_filter",
-        "v03_agg_q1",
-        "v04_join_agg",
-        "v05_q3_top10",
-        "v06_left_join_coalesce",
-        "v07_semi_anti",
-        "v08_theta_join",
-        "v09_rollup",
-        "v10_window_rank",
+        # (a) r11-aged residue from the r14 rotation — must lead r15.
+        "v56_interleave",
+        "v57_corpus_prep",
+        "v58_cross_join",
+        "v65_repetition_signals",
+        "v71_dsir_importance",
+        "v72_global_shuffle",
+        "v74_domain_cap",
+        "v90_q21_waiting_suppliers",
+        "v100_srp_neardup",
+        "v101_url_dedup",
+        "v102_partition_pruning",
+        "v116_q22_idle_customers",
+        "v117_batched_ann",
+        "v119_stream_outer_join",
+        "v120_skewed_join_agg",
+        "v121_bloom_filter_join",
+        "v123_schema_evolution",
+        "v125_stream_session_window",
+        # (b) r12-aged refills (21 of 44; 22-query residue = R16_PINNED).
+        "v11_window_frames",
+        "v12_set_ops",
+        "v13_scalar_funcs",
+        "v14_json_extract",
+        "v15_time_bucket",
+        "v16_count_distinct",
+        "v17_update_by_keys",
+        "v18_insert_delete",
+        "v31_multimodal_features",
+        "v37_approx_distinct",
+        "v38_tfidf",
+        "v39_map_struct_json",
+        "v43_percentiles_stats",
+        "v61_approx_percentiles",
+        "v70_semantic_dedup",
+        "v75_stateful_totals",
+        "v77_q18_large_orders",
+        "v79_c4_quality_filter",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+        "v83_jdbc_roundtrip",
+        # (c) in-round-changed queries (see the R16_PINNED comment).
         "v27_text_quality",
         "v28_lang_id",
         "v29_token_count",
-        "v30_fingerprint",
-        "v34_range_join",
-        "v36_grouping_sets",
-        "v42_cube",
-        "v46_array_funcs",
-        "v47_null_conditional",
-        "v50_window_battery",
-        "v51_unpivot",
-        "v52_string_agg",
-        "v53_hash_split",
         "v54_pack_by_budget",
-        "v55_stratified_sample",
-        # (c) in-round-changed queries claim the remaining 9 slots (the
-        # 9 highest-numbered planned refills — v56, v57, v58, v65, v71,
-        # v72, v74, v90, v95 — are displaced; all but re-entering v95
-        # join R15_PINNED): v157 (operators/funnel.py NULL-ts fix,
-        # ADVICE r13); asof_join callers v33/v89 (operators/asof.py
-        # NULL predicate-semantics fix; the third caller v96 is pinned
-        # above); salted-window callers v85/v86 (operators/skew.py
-        # NULL-group row-loss fix); v95 (skew.py module residue,
-        # conservative re-verification); minmax-merge callers v124/v135
-        # (operators/incremental.py struct-key NULL-group fix); v78
-        # (operators/paragraphs.py size(NULL)=-1 count-sentinel fix).
-        "v33_asof_join",
-        "v78_paragraph_dedup",
-        "v85_salted_window",
-        "v86_salted_lag",
-        "v89_asof_forward",
-        "v95_two_phase_agg",
-        "v124_incremental_minmax",
-        "v135_incremental_minmax_pruned",
+        "v66_scd2_merge",
+        "v67_cluster_corpus_prep",
+        "v80_exact_substrings",
+        "v107_snapshot_diff",
+        "v118_incremental_agg",
+        "v153_incremental_variance",
         "v157_funnel_analysis",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole

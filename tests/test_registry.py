@@ -69,7 +69,14 @@ def test_never_driver_verified_queries_lead_the_window():
     ), f"never-verified queries not all inside the window: {never}"
 
 
-def _last_driver_round() -> dict[str, int]:
+def _last_driver_round(max_round: int | None = None) -> dict[str, int]:
+    # max_round freezes the ledger view at rounds <= max_round.  Every
+    # rotation assertion about round N must pass max_round=N-1 (the
+    # ledger the rotation was PLANNED against): round 14's drift test
+    # recomputed the ledger from ALL files, so the moment the driver's
+    # own CORRECTNESS_r14.json landed, its "r10-aged set" emptied and
+    # the test failed — falsified by the evidence of its own success
+    # (judge-found, r14 VERDICT red #2).
     import glob
     import json
     import os
@@ -78,64 +85,122 @@ def _last_driver_round() -> dict[str, int]:
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if max_round is not None and rnd > max_round:
+            continue
         for q in json.load(open(path)):
             last[q] = max(last.get(q, 0), rnd)
     return last
 
 
-def test_stalest_queries_lead_the_window():
-    # r13 VERDICT mandate #1 (the pinned r14 rotation): the 16
-    # R14_PINNED r10-aged queries LEAD (lowest query number first) —
-    # derived here from the ledger, not restated — any never-verified
-    # registration sits inside the window, and nothing outside the
-    # window is older than the r11 freshness floor (the floor rises one
-    # round per rotation: every r10-aged query is in this window).
+def _driver_window(round_no: int) -> list[str] | None:
+    # The window round N ACTUALLY ran, read from its artifact (key
+    # order is the driver's execution order).  None before the artifact
+    # lands — callers fall back to the live QUERIES ordering, which is
+    # that round's window-to-be.
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, f"CORRECTNESS_r{round_no:02d}.json")
+    if not os.path.exists(path):
+        return None
+    return list(json.load(open(path)))
+
+
+def test_r14_rotation_ran_as_pinned():
+    # Historical record (r13 VERDICT mandate #1): the 16 R14_PINNED
+    # r10-aged queries led round 14's driver window, and the pin
+    # equalled the ledger's r10-aged set AS OF r13.  Both sides are
+    # frozen — the window comes from CORRECTNESS_r14.json itself and
+    # the ledger stops at r13 — so no later round's artifacts or
+    # reorderings can falsify the statement.
     import re as _re
 
     from flowbyte_spark.queries import R14_PINNED
 
-    last = _last_driver_round()
+    window = _driver_window(14)
+    assert window is not None, "CORRECTNESS_r14.json missing"
     pinned_sorted = sorted(
         R14_PINNED, key=lambda q: int(_re.match(r"v(\d+)_", q).group(1))
     )
-    assert list(QUERIES)[:16] == pinned_sorted
-    # the pin itself must equal the ledger's r10-aged set
+    assert window[:16] == pinned_sorted
+    last = _last_driver_round(max_round=13)
     r10_aged = {q for q in QUERIES if last.get(q, 99) <= 10}
     assert r10_aged == set(R14_PINNED)
-    never = sorted(
-        q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
-    )
-    window = set(list(QUERIES)[:50])
-    outside_never = sorted(q for q in never if q not in window)
-    assert not outside_never, (
-        f"never-verified queries outside the window: {outside_never}"
-    )
-    floor_breakers = sorted(
-        q for q in QUERIES if last.get(q, 99) < 11 and q not in window
-    )
-    assert not floor_breakers, (
-        f"queries older than the r11 freshness floor outside the window: "
-        f"{floor_breakers}"
-    )
 
 
 def test_r15_pin_matches_the_freshness_ledger():
-    # The 11-query residue the r14 window cannot hold (16 pinned + 44
-    # r11-aged + 1 in-round-changed > 50 slots) is pinned in code to
-    # lead round 15.  Derive the residue from the CORRECTNESS_r* files
-    # themselves so the pin cannot drift from the actual ledger: it
-    # must be EXACTLY the queries whose latest driver row is <= r11 and
-    # which sit outside this round's window.
+    # The 18-query residue the r14 window could not hold is pinned in
+    # code to lead round 15.  Both sides frozen (ledger <= r14, window
+    # = the artifact's actual key order): the pin must be EXACTLY the
+    # queries whose latest driver row was <= r11 going into r15 and
+    # which sat outside round 14's window.
     from flowbyte_spark.queries import R15_PINNED
 
-    last = _last_driver_round()
-    window = set(list(QUERIES)[:50])
+    last = _last_driver_round(max_round=14)
+    window = set(_driver_window(14) or list(QUERIES)[:50])
     residue = {
         q for q in QUERIES if last.get(q, 99) <= 11 and q not in window
     }
     assert residue == set(R15_PINNED), (
         f"pin drift: ledger-residue - pin = {sorted(residue - R15_PINNED)}, "
         f"pin - ledger-residue = {sorted(set(R15_PINNED) - residue)}"
+    )
+
+
+def test_stalest_queries_lead_the_window():
+    # CURRENT-round rotation (r14 VERDICT mandate #3): the 18
+    # R15_PINNED r11-aged queries lead round 15's window (lowest query
+    # number first), never-verified registrations sit inside it, and
+    # nothing outside is older than the r12 freshness floor.  The
+    # ledger view is frozen at r14 and the window reads from
+    # CORRECTNESS_r15.json once it exists (live QUERIES order until
+    # then), so landing this round's own artifact cannot break it —
+    # the round-robust pattern r14's test lacked.
+    import re as _re
+
+    from flowbyte_spark.queries import R15_PINNED
+
+    last = _last_driver_round(max_round=14)
+    window_list = _driver_window(15) or list(QUERIES)[:50]
+    pinned_sorted = sorted(
+        R15_PINNED, key=lambda q: int(_re.match(r"v(\d+)_", q).group(1))
+    )
+    assert window_list[:18] == pinned_sorted
+    window = set(window_list)
+    never = sorted(
+        q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
+    )
+    outside_never = sorted(q for q in never if q not in window)
+    assert not outside_never, (
+        f"never-verified queries outside the window: {outside_never}"
+    )
+    floor_breakers = sorted(
+        q for q in QUERIES if last.get(q, 99) < 12 and q not in window
+    )
+    assert not floor_breakers, (
+        f"queries older than the r12 freshness floor outside the window: "
+        f"{floor_breakers}"
+    )
+
+
+def test_r16_pin_matches_the_freshness_ledger():
+    # The 16-query r12-aged residue the r15 window cannot hold is
+    # pinned in code to lead round 16.  Round-robust by construction:
+    # ledger frozen at r14 (the view the r15 rotation was planned
+    # against) and the window read from CORRECTNESS_r15.json once it
+    # lands (live QUERIES order until then) — landing r15's own
+    # artifact cannot break this test.
+    from flowbyte_spark.queries import R16_PINNED
+
+    last = _last_driver_round(max_round=14)
+    window = set(_driver_window(15) or list(QUERIES)[:50])
+    residue = {
+        q for q in QUERIES if last.get(q, 99) <= 12 and q not in window
+    }
+    assert residue == set(R16_PINNED), (
+        f"pin drift: ledger-residue - pin = {sorted(residue - R16_PINNED)}, "
+        f"pin - ledger-residue = {sorted(set(R16_PINNED) - residue)}"
     )
 
 
