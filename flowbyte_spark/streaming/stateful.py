@@ -34,7 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "cnt BIGINT, total DOUBLE"
+# nn = running NON-NULL value count (round 15, the incremental-agg
+# NULL-measure fix's streaming twin): pandas .sum() over an all-NaN
+# series returns 0.0 where SQL SUM over an all-NULL group is NULL, so
+# without it a user whose every value is NULL reports total = 0.0.
+STATE_SCHEMA = "cnt BIGINT, nn BIGINT, total DOUBLE"
 OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE"
 
 DEFAULT_MAX_KEYS = 10_000
@@ -77,15 +81,22 @@ def _update_user(
     (user_id,) = key
     _count_seen_key(guard_id, key, max_keys)
     if state.exists:
-        cnt, total = state.get
+        cnt, nn, total = state.get
     else:
-        cnt, total = 0, 0.0
+        cnt, nn, total = 0, 0, 0.0
     for pdf in pdfs:
         cnt += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((cnt, round(total, 2)))
+        v = pdf["value"].dropna()
+        nn += len(v)
+        total += float(v.sum())
+    state.update((cnt, nn, round(total, 2)))
     yield pd.DataFrame(
-        {"user_id": [user_id], "cnt": [cnt], "total": [round(total, 2)]}
+        {
+            "user_id": [user_id],
+            "cnt": [cnt],
+            # SQL SUM semantics: no non-null value seen yet -> NULL
+            "total": [round(total, 2) if nn else None],
+        }
     )
 
 
@@ -120,7 +131,7 @@ def running_user_totals(
     )
 
 
-EXACT_STATE_SCHEMA = "cnt BIGINT, cents BIGINT"
+EXACT_STATE_SCHEMA = "cnt BIGINT, nn BIGINT, cents BIGINT"
 EXACT_OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE"
 
 
@@ -134,15 +145,25 @@ def _update_user_exact(
     (user_id,) = key
     _count_seen_key(guard_id, key, max_keys)
     if state.exists:
-        cnt, cents = state.get
+        cnt, nn, cents = state.get
     else:
-        cnt, cents = 0, 0
+        cnt, nn, cents = 0, 0, 0
     for pdf in pdfs:
         cnt += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-    state.update((cnt, cents))
+        # dropna BEFORE the int cast (round 15): astype("int64") on a
+        # NaN-bearing series RAISES, so a single NULL value crashed the
+        # stream mid-trigger; and the non-null count keeps SQL SUM
+        # semantics (all-NULL user -> NULL total, not 0.00).
+        v = pdf["value"].dropna()
+        nn += len(v)
+        cents += int((v * 100).round().astype("int64").sum())
+    state.update((cnt, nn, cents))
     yield pd.DataFrame(
-        {"user_id": [user_id], "cnt": [cnt], "total": [cents / 100.0]}
+        {
+            "user_id": [user_id],
+            "cnt": [cnt],
+            "total": [cents / 100.0 if nn else None],
+        }
     )
 
 

@@ -196,6 +196,66 @@ def test_running_user_totals_accumulates_across_batches(spark, tmp_path):
         # running float sum rounded per batch: allow cent-level drift
         assert abs(last_state[uid][1] - expected[uid][1]) < 0.05, uid
 
+def test_running_totals_null_values_follow_sql_sum(spark, tmp_path):
+    # Round-15 measure-NULL sweep (the incremental-agg fix's streaming
+    # twin): pandas .sum() over an all-NaN series is 0.0 where SQL SUM
+    # is NULL, and the exact variant's astype("int64") RAISED on any
+    # NaN-bearing batch.  Users: 1 = mixed NULL/real across two
+    # batches, 2 = all-NULL (total must be NULL), 3 = NULL first batch,
+    # real value second (must come back from NULL).
+    import datetime as dt
+    import shutil
+
+    from flowbyte_spark.streaming import read_event_stream
+    from flowbyte_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = [(1, 1, t0, "e", 2.5, "{}"), (2, 2, t0, "e", None, "{}"),
+          (3, 3, t0, "e", None, "{}")]
+    b2 = [(4, 1, t0, "e", None, "{}"), (5, 2, t0, "e", None, "{}"),
+          (6, 3, t0, "e", 4.0, "{}")]
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "events")
+    import glob as _glob
+    import os as _os
+
+    for i, rows_ in enumerate([b1, b2]):
+        spark.createDataFrame(rows_, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(src + "/*.parquet"):
+            _os.utime(f, (1700000000.0 + 100 * i,) * 2)
+
+    for variant, name in [
+        (running_user_totals, "float"),
+        (running_user_totals_exact, "exact"),
+    ]:
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        last: dict[int, tuple] = {}
+
+        def write(batch_df, batch_id):
+            for r in batch_df.collect():
+                last[r.user_id] = (r.cnt, r.total)
+
+        q = (
+            variant(stream, watermark="365 days")
+            .writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert last[1] == (2, 2.5), (name, last)   # NULL joins later, sum keeps
+        assert last[2] == (2, None), (name, last)  # all-NULL -> NULL, not 0.0
+        assert last[3] == (2, 4.0), (name, last)   # back from NULL
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_stateful_max_keys_guard_trips(spark, tmp_path):
     """VERDICT r5 defect 3: the key-cardinality brake lives on the
     OPERATOR now — a direct caller with an unbounded key domain fails
