@@ -28,9 +28,20 @@ def _tag_union(
     right_values: list[str],
 ) -> DataFrame:
     """Shared union-sort tagging: key/time/side plus the left row as a
-    struct and each right value as a nullable carrier column.  Left rows
-    get ``__side__ = 1`` so they sort AFTER right rows at equal time —
-    the "trade picks up the quote at the same instant" ASOF convention.
+    struct and the right VALUES as ONE struct carrier ``__rv__``.  Left
+    rows get ``__side__ = 1`` so they sort AFTER right rows at equal
+    time — the "trade picks up the quote at the same instant" ASOF
+    convention.
+
+    The single-struct carrier is load-bearing for ROW semantics
+    (round 15): per-column carriers let ``last(ignorenulls)`` skip a
+    nearest carrier's NULL field and backfill it from an OLDER row —
+    tearing the match across two right rows, where the oracle (DuckDB
+    ``ASOF JOIN``, pandas ``merge_asof``) attaches the nearest ROW
+    wholesale, NULL fields included.  The struct is non-NULL for every
+    right row (a struct whose fields are all NULL is still a value), so
+    ``ignorenulls`` skips exactly the left rows' typed-NULL carriers
+    and the nearest right row always wins intact.
 
     NULL contract (predicate semantics — ``r.ts <= l.ts`` and
     ``l.k = r.k`` are never true when a side is NULL): rows with a NULL
@@ -47,24 +58,25 @@ def _tag_union(
     left = left.where(
         F.col(on).isNotNull() & F.col(left_time).isNotNull()
     )
-    tagged_left = left.select(
-        F.col(on).alias("__k__"),
-        F.col(left_time).alias("__t__"),
-        F.lit(1).alias("__side__"),
-        F.struct(*lcols).alias("__l__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}__")
-          for c in right_values],
-    )
     tagged_right = right.where(
         F.col(right_time).isNotNull() & F.col(on).isNotNull()
     ).select(
         F.col(on).alias("__k__"),
         F.col(right_time).alias("__t__"),
         F.lit(0).alias("__side__"),
+        F.struct(*[F.col(c) for c in right_values]).alias("__rv__"),
+    )
+    tagged_left = left.select(
+        F.col(on).alias("__k__"),
+        F.col(left_time).alias("__t__"),
+        F.lit(1).alias("__side__"),
         F.lit(None).cast(
-            tagged_left.schema["__l__"].dataType
-        ).alias("__l__"),
-        *[F.col(c).alias(f"__rv_{c}__") for c in right_values],
+            tagged_right.schema["__rv__"].dataType
+        ).alias("__rv__"),
+        F.struct(*lcols).alias("__l__"),
+    )
+    tagged_right = tagged_right.withColumn(
+        "__l__", F.lit(None).cast(tagged_left.schema["__l__"].dataType)
     )
     return tagged_left.unionByName(tagged_right)
 
@@ -138,26 +150,23 @@ def asof_join(
             .orderBy(F.col("__t__").asc(), F.col("__side__").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [
-            F.last(f"__rv_{c}__", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_values
-        ]
     else:
         w = (
             Window.partitionBy("__k__")
             .orderBy(F.col("__t__").desc(), F.col("__side__").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [
-            F.last(f"__rv_{c}__", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_values
-        ]
+    # ONE ignorenulls carry of the whole right-row struct: the nearest
+    # right row wins wholesale, its NULL fields included (row
+    # semantics — see _tag_union).
+    carried = F.last("__rv__", ignorenulls=True).over(w).alias("__rvm__")
 
     matched = (
-        unioned.select("__side__", "__l__", *carried)
+        unioned.select("__side__", "__l__", carried)
         .where(F.col("__side__") == 1)
         .select(*[F.col(f"__l__.{c}").alias(c) for c in lcols], *[
-            F.col(f"{c}{suffix}") for c in right_values
+            F.col("__rvm__").getField(c).alias(f"{c}{suffix}")
+            for c in right_values
         ])
     )
     return matched.unionByName(
@@ -319,10 +328,12 @@ def salted_asof_join(
        bucket.
 
     Row-identical to :func:`asof_join` (property-tested in
-    tests/test_property_asof.py): a right row whose value column is NULL
-    is invisible to the unsalted ignorenulls carry, so
-    ``coalesce(within-bucket, cross-bucket)`` is exact — "no carrier in
-    bucket" and "carrier with NULL value" coincide in both plans.
+    tests/test_property_asof.py): the carrier is the whole right-row
+    STRUCT (round 15 — row semantics, see :func:`_tag_union`), which is
+    NULL exactly when a bucket holds no right row, so
+    ``coalesce(within-bucket, cross-bucket)`` is exact — a nearest
+    carrier whose FIELDS are all NULL still wins the bucket and
+    surfaces its NULLs, never an older row's values.
 
     ``bucket_width_seconds`` buckets ``left_time``/``right_time`` (any
     type castable to timestamp; ties never straddle buckets because equal
@@ -365,25 +376,25 @@ def salted_asof_join(
         .orderBy(*t_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = [
-        F.last(f"__rv_{c}__", ignorenulls=True).over(w_in).alias(f"__w_{c}__")
-        for c in right_values
-    ]
+    # Whole-row struct carry within the bucket (row semantics — see
+    # _tag_union): __w__ is NULL exactly when the bucket holds NO right
+    # row at-or-before (after, forward) this row — "no carrier in
+    # bucket" and nothing else, so the cross-bucket coalesce below is
+    # exact even when the nearest carrier's FIELDS are all NULL.
+    within = F.last("__rv__", ignorenulls=True).over(w_in).alias("__w__")
 
-    # Boundary: the bucket's nearest carrier per value column.  max_by /
-    # min_by skip rows whose ordering expression is NULL, so masking the
-    # ordering with the value's null-ness yields the last (backward) /
-    # first (forward) NON-NULL carrier — matching the ignorenulls carry.
+    # Boundary: the bucket's nearest carrier ROW.  max_by / min_by skip
+    # rows whose ordering expression is NULL, so masking the ordering
+    # with the carrier's null-ness (struct-level: non-NULL iff a right
+    # row) yields the last (backward) / first (forward) carrier —
+    # matching the ignorenulls carry.
     nearest = F.max_by if asc else F.min_by
     order_struct = F.struct("__t__", "__side__")
     bounds = b.groupBy("__k__", "__b__").agg(
-        *[
-            nearest(
-                F.col(f"__rv_{c}__"),
-                F.when(F.col(f"__rv_{c}__").isNotNull(), order_struct),
-            ).alias(f"__bl_{c}__")
-            for c in right_values
-        ]
+        nearest(
+            F.col("__rv__"),
+            F.when(F.col("__rv__").isNotNull(), order_struct),
+        ).alias("__bl__")
     )
     w_prev = (
         Window.partitionBy("__k__")
@@ -393,25 +404,19 @@ def salted_asof_join(
     offsets = bounds.select(
         "__k__",
         "__b__",
-        *[
-            F.last(f"__bl_{c}__", ignorenulls=True)
-            .over(w_prev)
-            .alias(f"__o_{c}__")
-            for c in right_values
-        ],
+        F.last("__bl__", ignorenulls=True).over(w_prev).alias("__o__"),
     )
 
-    carried = b.select("__k__", "__b__", "__side__", "__l__", *within).join(
+    carried = b.select("__k__", "__b__", "__side__", "__l__", within).join(
         offsets, ["__k__", "__b__"]
     )
+    rv = F.coalesce(F.col("__w__"), F.col("__o__"))
     matched = (
         carried.where(F.col("__side__") == 1)
         .select(
             *[F.col(f"__l__.{c}").alias(c) for c in lcols],
             *[
-                F.coalesce(F.col(f"__w_{c}__"), F.col(f"__o_{c}__")).alias(
-                    f"{c}{suffix}"
-                )
+                rv.getField(c).alias(f"{c}{suffix}")
                 for c in right_values
             ],
         )

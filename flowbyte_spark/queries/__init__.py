@@ -85,20 +85,25 @@ R15_PINNED: frozenset[str] = frozenset(
     }
 )
 
-# The r15 window = 18 R15_PINNED + 20 r12-aged refills (lowest query
-# number first: v11-v18, v31, v37-v39, v43, v61, v70, v75, v77, v79,
-# v81, v82) + 12 in-round-changed queries (v118/v153 — incremental
-# agg_state NULL-measure fix, VERDICT r14 red #1; v66 — scd2 NULL-key
+# The r15 window = 18 R15_PINNED + 17 r12-aged refills (lowest query
+# number first: v11-v18, v31, v37-v39, v43, v61, v70, v75, v77) + 15
+# in-round-changed queries (v118/v153 — incremental agg_state
+# NULL-measure fix, VERDICT r14 red #1; v66 — scd2 NULL-key
 # struct-join fix; v107 — snapshot-diff NULL-key struct-join fix;
 # v157 — funnel NULL-user fix, ADVICE r14; v27/v28/v29/v54/v67/v80 —
 # the r14 size(NULL) audit's deferred text.py/substrings.py fixes,
 # whose seventh caller v57 is pinned above; v159 — stateful.py module
 # residue from the running-totals NULL-measure fix, whose caller v75
-# is a refill in-window).  That leaves this 23-query r12-aged residue
-# PINNED to lead round 16's window (after r16 refreshes it plus the
-# 48 r13-aged queries' head, the freshness floor reaches toward r13).
+# is a refill in-window; v33/v89/v96 — the asof whole-row struct
+# carry, ROW-semantics fix for NULL-valued nearest carriers).  That
+# leaves this 26-query r12-aged residue PINNED to lead round 16's
+# window (after r16 refreshes it plus the 48 r13-aged queries' head,
+# the freshness floor reaches toward r13).
 R16_PINNED: frozenset[str] = frozenset(
     {
+        "v79_c4_quality_filter",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
         "v83_jdbc_roundtrip",
         "v84_media_decode",
         "v87_pq_ann",
@@ -219,7 +224,7 @@ def _reorder() -> None:
         "v121_bloom_filter_join",
         "v123_schema_evolution",
         "v125_stream_session_window",
-        # (b) r12-aged refills (20 of 44; 23-query residue = R16_PINNED).
+        # (b) r12-aged refills (17 of 44; 26-query residue = R16_PINNED).
         "v11_window_frames",
         "v12_set_ops",
         "v13_scalar_funcs",
@@ -237,17 +242,17 @@ def _reorder() -> None:
         "v70_semantic_dedup",
         "v75_stateful_totals",
         "v77_q18_large_orders",
-        "v79_c4_quality_filter",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
         # (c) in-round-changed queries (see the R16_PINNED comment).
         "v27_text_quality",
         "v28_lang_id",
         "v29_token_count",
+        "v33_asof_join",
         "v54_pack_by_budget",
         "v66_scd2_merge",
         "v67_cluster_corpus_prep",
         "v80_exact_substrings",
+        "v89_asof_forward",
+        "v96_salted_asof",
         "v107_snapshot_diff",
         "v118_incremental_agg",
         "v153_incremental_variance",

@@ -114,6 +114,44 @@ from flowbyte_spark.operators.asof import salted_asof_join  # noqa: E402
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
+@given(left_rows=rows_strategy, right_rows=rows_strategy)
+@SETTINGS
+def test_asof_carries_the_nearest_row_wholesale(
+    spark, direction, left_rows, right_rows
+):
+    # ROW semantics (round 15): every matched value must come from ONE
+    # right row — the nearest — even when that row's OTHER fields are
+    # NULL.  Before the whole-row struct carry, the per-column
+    # last(ignorenulls) backfilled a nearest carrier's NULL field from
+    # an OLDER row, tearing the match across two right rows (DuckDB
+    # ASOF JOIN and pandas merge_asof attach the nearest row wholesale).
+    from pyspark.sql import functions as F
+
+    left = _df(spark, left_rows, 0)
+    # v is a unique right-row id; every second right row carries w=NULL
+    right = _df(spark, right_rows, 100).withColumn(
+        "w", F.when(F.col("v").cast("long") % 2 == 1, F.col("v") * 10)
+    )
+    for fn, kw in [
+        (asof_join, {}),
+        (salted_asof_join, {"bucket_width_seconds": 60}),
+    ]:
+        got = {
+            r["v"]: (r["v_matched"], r["w_matched"])
+            for r in fn(
+                left, right, "k", "ts", "ts",
+                right_values=["v", "w"], direction=direction, **kw,
+            ).collect()
+        }
+        for lv, (vm, wm) in got.items():
+            if vm is None:
+                assert wm is None, (lv, vm, wm)
+            else:
+                expected_w = vm * 10 if int(vm) % 2 == 1 else None
+                assert wm == expected_w, (lv, vm, wm)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("width", [60, 300])  # every-instant buckets / 2 buckets
 @given(left_rows=rows_strategy, right_rows=rows_strategy)
 @SETTINGS
