@@ -164,8 +164,12 @@ def test_staged_funnel_has_no_collect_list(corpus):
 from hypothesis import HealthCheck, given, settings as _settings
 from hypothesis import strategies as st
 
+# user may be None (ADVICE r14): a generator that never emits NULL
+# users could not catch the variant split where groupBy pools NULL
+# users into one synthetic converting key while the staged equi-joins
+# never advance them past stage 1.
 _EV = st.tuples(
-    st.integers(0, 3),                       # user
+    st.one_of(st.none(), st.integers(0, 3)),   # user; None = NULL user
     st.sampled_from(["view", "click", "purchase"]),
     st.one_of(st.none(), st.integers(0, 40)),  # hours offset; None = NULL ts
 )
@@ -178,9 +182,10 @@ _SETTINGS = _settings(
 
 def _py_funnel(rows):
     # sequential reference: first view; first click in (t1, t1+12h];
-    # first purchase in (t2, t2+24h].  NULL-ts events (h is None) are
-    # outside the contract — dropped before matching.
-    rows = [(u, t, h) for u, t, h in rows if h is not None]
+    # first purchase in (t2, t2+24h].  NULL-ts and NULL-user events
+    # (predicate semantics, ADVICE r13/r14) are outside the contract —
+    # dropped before matching.
+    rows = [(u, t, h) for u, t, h in rows if h is not None and u is not None]
     out = {}
     users = {u for u, _, _ in rows}
     for u in users:

@@ -164,6 +164,33 @@ def test_minmax_extremum_delete_recomputes_only_that_group(spark):
     assert _canon_mm(out) == [(1, 1, 5.0, 5.0), (2, 2, 3.0, 4.0)]
 
 
+def test_chained_merges_keep_null_sum_semantics(spark):
+    # The NULL guard must survive CHAINED merges: a state whose sum is
+    # already NULL (nn=0) is an input to the next delta merge, where
+    # F.sum skips the NULL leg — correct only because the nn partial
+    # carries what the skipped leg lost.  Chain: group 1 born all-NULL
+    # -> stays NULL after an unrelated delta -> comes back with a real
+    # insert -> returns to NULL when the real rows are deleted.
+    base = _df(spark, [(1, None), (1, None), (2, 5.0)])
+    s0 = agg_state(base, ["k"], ["v"])
+    empty = _df(spark, [], start_id=90)
+    # merge 1: unrelated delta (group 2 only)
+    s1 = incremental_update(
+        s0, _df(spark, [(2, 1.0)], start_id=100), empty, ["k"], ["v"]
+    )
+    rows = {r.k: (r["__cnt__"], r.sum_v, r["__nn_v__"]) for r in s1.collect()}
+    assert rows[1] == (2, None, 0)
+    # merge 2: group 1 gains a real value
+    ins2 = _df(spark, [(1, 7.0)], start_id=200)
+    s2 = incremental_update(s1, ins2, empty, ["k"], ["v"])
+    rows = {r.k: (r["__cnt__"], float(r.sum_v), r["__nn_v__"]) for r in s2.collect()}
+    assert rows[1] == (3, 7.0, 1)
+    # merge 3: delete that real row again -> back to NULL, group survives
+    s3 = incremental_update(s2, empty, ins2, ["k"], ["v"])
+    rows = {r.k: (r["__cnt__"], r.sum_v, r["__nn_v__"]) for r in s3.collect()}
+    assert rows[1] == (2, None, 0)
+
+
 def test_emptied_group_vanishes_exactly(spark):
     base = _df(spark, [(1, 0.1), (1, 0.2), (2, 5.0)])
     deletes = base.where(F.col("k") == 1)

@@ -33,8 +33,12 @@ row = st.tuples(
 )
 rows_strategy = st.lists(row, min_size=1, max_size=6)
 
+# FB_HYP_EXAMPLES=100 runs the deeper soak profile (the r15 audit's
+# knob, shared with tests/test_incremental.py); default stays CI-sized.
+import os
+
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("FB_HYP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
