@@ -192,9 +192,9 @@ def _reorder() -> None:
     # ROUND-15 WINDOW (executes the recipe pinned at r14 close —
     # VERDICT r14 "next round" #3):
     # (a) the 18 R15_PINNED r11-aged queries LEAD, lowest number first;
-    # (b) 21 refills from the 44 strictly-r12-aged queries, lowest
-    # query number first;
-    # (c) the 11 in-round-changed queries claim the remaining slots
+    # (b) 17 refills from the 44 r12-aged queries, lowest query number
+    # first;
+    # (c) the 15 in-round-changed queries claim the remaining slots
     # (in-round-changed queries must sit inside the window): v118/v153
     # — incremental agg_state/merge_states NULL-measure fix (VERDICT
     # r14 red #1: all-NULL group sums must be NULL, not 0); v66 —
@@ -202,8 +202,11 @@ def _reorder() -> None:
     # NULL-key struct-join fix; v157 — funnel NULL-user filter
     # (ADVICE r14); v27/v28/v29/v54/v67/v80 — text.py/substrings.py
     # size(NULL) sentinel fixes deferred from r14 (v57, the seventh
-    # caller, is pinned above).  The 22 displaced r12-aged refills =
-    # R16_PINNED.
+    # caller, is pinned above); v159 — running-totals SUM NULL
+    # semantics (its caller v75 is already a refill in (b));
+    # v33/v89/v96 — the asof whole-row struct carry.
+    # Arithmetic: 44 r12-aged = 17 refills + v118 (r12-aged, seated in
+    # the in-round-changed block) + the 26-query residue = R16_PINNED.
     first = [
         # (a) r11-aged residue from the r14 rotation — must lead r15.
         "v56_interleave",
