@@ -185,7 +185,7 @@ def test_stalest_queries_lead_the_window():
 
 
 def test_r16_pin_matches_the_freshness_ledger():
-    # The 16-query r12-aged residue the r15 window cannot hold is
+    # The 26-query r12-aged residue the r15 window cannot hold is
     # pinned in code to lead round 16.  Round-robust by construction:
     # ledger frozen at r14 (the view the r15 rotation was planned
     # against) and the window read from CORRECTNESS_r15.json once it
