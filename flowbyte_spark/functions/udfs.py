@@ -26,19 +26,39 @@ def cosine_sim_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
     Arrow hands each batch as Series-of-ndarray; stacking them gives one
     (batch, dim) matrix op per batch — NumPy BLAS instead of per-row
     Python.  Semantics match functions.cosine_similarity (double
-    accumulation).
+    accumulation), including NULLs: a NULL in either input yields NULL,
+    exactly as the Catalyst twin's F.aggregate over a NULL array does.
+    The NULL leg needs an explicit mask because Arrow hands a NULL array
+    to pandas as None — ``np.stack`` over a batch containing one would
+    raise, killing the whole job on a single bad row (the r15 pandas-tier
+    audit class).  A FloatingArray keeps computed NaN (zero-norm vectors)
+    distinct from NA, so only genuine NULL inputs become SQL NULL.
+    Element-level NULLs inside a non-NULL array arrive as NaN and
+    propagate as NaN, where the Catalyst twin poisons the sum to NULL —
+    documented divergence, element NULLs have no defined batch shape.
     """
-    ma = np.stack(a.to_numpy()).astype(np.float64)
-    mb = np.stack(b.to_numpy()).astype(np.float64)
-    dots = np.einsum("ij,ij->i", ma, mb)
-    norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    return pd.Series(dots / norms)
+    mask = (a.isna() | b.isna()).to_numpy()
+    vals = np.full(len(a), np.nan)
+    if (~mask).any():
+        ma = np.stack(a[~mask].to_numpy()).astype(np.float64)
+        mb = np.stack(b[~mask].to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        vals[~mask] = dots / norms
+    return pd.Series(pd.arrays.FloatingArray(vals, mask))
 
 
 @F.pandas_udf(LongType())
 def token_count_pandas(text: pd.Series) -> pd.Series:
-    """Whitespace token count, vectorized via pandas str ops."""
-    return text.str.split(" ").str.len().astype("int64")
+    """Whitespace token count, vectorized via pandas str ops.
+
+    NULL text counts NULL (nullable Int64 carries it through Arrow) —
+    the plain ``astype("int64")`` raised on any NULL-bearing batch, the
+    same single-bad-row crash class as the r15 running-totals fix, and
+    matches text.token_count's NULL-propagation post the r15 size(NULL)
+    sweep.
+    """
+    return text.str.split(" ").str.len().astype("Int64")
 
 
 def grouped_mean_embedding(df, group_col: str, vec_col: str):
@@ -50,12 +70,20 @@ def grouped_mean_embedding(df, group_col: str, vec_col: str):
     dim = dim_probe["d"] if dim_probe else 0
 
     def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        # SQL AVG/COUNT(col) semantics: NULL vectors don't contribute,
+        # an all-NULL group averages to NULL, n counts non-null rows —
+        # and np.stack never sees a None (which would raise mid-job).
+        vecs = pdf[vec_col].dropna()
+        mean = (
+            np.stack(vecs.to_numpy()).astype(np.float64).mean(axis=0).tolist()
+            if len(vecs)
+            else None
+        )
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "mean_embedding": [mat.mean(axis=0).tolist()],
-                "n": [len(pdf)],
+                "mean_embedding": [mean],
+                "n": [len(vecs)],
             }
         )
 

@@ -52,6 +52,67 @@ def test_grouped_mean_embedding(spark):
     assert all(len(r.mean_embedding) == 64 for r in rows.values())
 
 
+# -- NULL semantics of the pandas tier (r15 pandas-tier NULL audit): a
+# single NULL row must neither crash the Arrow batch (np.stack of None,
+# astype("int64") of NaN) nor conflate with a real value; the Catalyst
+# twins define the contract.
+
+
+def test_pandas_cosine_null_rows_yield_null(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 1.0], None),
+            (4, None, None),
+        ],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            q4(cosine_similarity(F.col("a"), F.col("b"))).alias("catalyst"),
+            q4(cosine_sim_pandas(F.col("a"), F.col("b"))).alias("pandas"),
+        ).collect()
+    }
+    assert rows[1].pandas == rows[1].catalyst == 1.0
+    for i in (2, 3, 4):
+        assert rows[i].pandas is None and rows[i].catalyst is None
+
+
+def test_pandas_token_count_null_text_counts_null(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, None), (3, "one")], "id int, text string"
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            token_count("text").alias("catalyst"),
+            token_count_pandas(F.col("text")).alias("pandas"),
+        ).collect()
+    }
+    assert rows[1].pandas == rows[1].catalyst == 2
+    assert rows[2].pandas is None and rows[2].catalyst is None
+    assert rows[3].pandas == rows[3].catalyst == 1
+
+
+def test_grouped_mean_embedding_null_vectors_skip_like_sql_avg(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", [2.0, 4.0]),
+            ("a", None),
+            ("a", [4.0, 8.0]),
+            ("b", None),  # all-NULL group: mean NULL, n = 0
+        ],
+        "label string, embedding array<double>",
+    )
+    rows = {r.label: r for r in grouped_mean_embedding(df, "label", "embedding").collect()}
+    assert rows["a"].n == 2 and rows["a"].mean_embedding == [3.0, 6.0]
+    assert rows["b"].n == 0 and rows["b"].mean_embedding is None
+
+
 # ---------------------------------------------------------------------------
 # JDBC configuration building
 # ---------------------------------------------------------------------------
