@@ -47,30 +47,39 @@ def compression_ratio(
     """``(id, n_bytes, n_compressed, compression_ratio)`` per document.
 
     ``compression_ratio`` = deflate(utf-8 bytes) / raw bytes — low means
-    repetitive/templated text, ~1 means high-entropy.  Empty/null text
-    yields ratio 1.0 (nothing to judge).  Deterministic: zlib output at a
-    fixed level is stable for a given input on a given zlib, and the
-    RATIO is robust across zlib builds.
+    repetitive/templated text, ~1 means high-entropy.  Empty text yields
+    ratio 1.0 (a real zero-length document: nothing to judge); NULL text
+    NULL-propagates through every column (r15 pandas-tier NULL audit —
+    the old ``t or ""`` coercion scored a MISSING document 1.0, a
+    perfect-entropy quality signal, the same conflation class as the
+    text.py lang_id/quality_features fixes).  Deterministic: zlib output
+    at a fixed level is stable for a given input on a given zlib, and
+    the RATIO is robust across zlib builds.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nb, nc, ratio = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                raw = (t or "").encode("utf-8")
-                comp = zlib.compress(raw, level) if raw else b""
                 ids.append(i)
+                if t is None:
+                    nb.append(None)
+                    nc.append(None)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level) if raw else b""
                 nb.append(len(raw))
                 nc.append(len(comp))
                 ratio.append(len(comp) / len(raw) if raw else 1.0)
             yield pd.DataFrame(
                 {
                     "id": ids,
-                    "n_bytes": nb,
-                    "n_compressed": nc,
-                    "compression_ratio": ratio,
+                    "n_bytes": pd.array(nb, dtype="Int64"),
+                    "n_compressed": pd.array(nc, dtype="Int64"),
+                    "compression_ratio": pd.array(ratio, dtype="Float64"),
                 }
-            ).astype({"id": "int64", "n_bytes": "int64", "n_compressed": "int64"})
+            ).astype({"id": "int64"})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, RATIO_SCHEMA

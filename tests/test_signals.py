@@ -43,7 +43,10 @@ def test_compression_ratio_separates_repetition_from_entropy(spark):
     assert out[1].compression_ratio < 0.05          # boilerplate collapses
     assert out[2].compression_ratio > 0.5           # entropy barely shrinks
     assert out[3].compression_ratio == 1.0 and out[3].n_bytes == 0
-    assert out[4].compression_ratio == 1.0 and out[4].n_bytes == 0
+    # NULL text NULL-propagates — distinct from the real empty document
+    # (r15 pandas-tier NULL audit: NULL must not score as perfect entropy)
+    assert out[4].compression_ratio is None and out[4].n_bytes is None
+    assert out[4].n_compressed is None
     # map-only: no shuffle
     from flowbyte_spark import plans
 
