@@ -30,9 +30,31 @@ from flowbyte_spark.functions import cosine_similarity, ensure_parallelism, q4
 
 
 def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
-    return df.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv__")
-    )
+    """One-row (``__qv__``) query-vector side for the broadcast cross
+    joins.  A NULL query embedding yields an EMPTY side — so every
+    consumer (cosine/IVF/PQ top-k) returns zero rows for a NULL query
+    instead of k junk rows ranked on all-NULL sims (Spark sorts DESC
+    NULLS LAST, so without the guard the "top-k" would be the first k
+    ids).  Predicate semantics: a NULL query matches nothing."""
+    return df.where(
+        (F.col(id_col) == query_id) & F.col(vec_col).isNotNull()
+    ).select(F.col(vec_col).alias("__qv__"))
+
+
+def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Catalyst-side entry guard shared by every GEMM/assign kernel: drop
+    rows whose embedding is NULL.
+
+    Predicate semantics — a NULL embedding can never pair, match, or
+    assign (the same treatment the minhash/tfidf tier gives NULL
+    documents: ``size(shingles) > 0`` drops them before any kernel).
+    Without it, ``np.stack`` over an Arrow batch containing a NULL array
+    raises an opaque ValueError mid-stage — one NULL vector kills a
+    12-hour 100 TB job (round-15 pandas-tier NULL audit).  The guard is
+    a plain Catalyst predicate, so it pushes down to the parquet scan
+    and costs nothing on NULL-free corpora.
+    """
+    return df.where(F.col(vec_col).isNotNull())
 
 
 def cosine_topk(
@@ -116,10 +138,15 @@ def embedding_neardup_gemm(
     float64) must fit in executor memory — 64-dim vectors up to ~10M rows
     at 5 GB.  Past that, block with :func:`ivf_assign` buckets or MinHash
     LSH (dedup.py) before pairing; this kernel then runs per block.
+
+    NULL embeddings are dropped at entry (:func:`_non_null_vectors` —
+    predicate semantics, matching :func:`embedding_neardup_pairs` where
+    ``NULL >= threshold`` filters the pair out).
     """
     import numpy as np
     import pandas as pd
 
+    df = _non_null_vectors(df, vec_col)
     spark = df.sparkSession
     base = df.select(id_col, vec_col).toPandas()
     ids = base[id_col].to_numpy()
@@ -130,6 +157,8 @@ def embedding_neardup_gemm(
     def pairs(batches):
         all_ids, all_mat, all_norms = b.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             bm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bi = pdf[id_col].to_numpy()
             bn = np.sqrt((bm * bm).sum(axis=1))
@@ -177,10 +206,14 @@ def embedding_neardup_blocked(
     O(n²) — that is what "exact all-pairs" means; cut the candidate set
     with MinHash LSH or IVF (dedup.py, :func:`ivf_assign`) when
     approximate recall is acceptable.
+
+    NULL embeddings are dropped at entry (:func:`_non_null_vectors`),
+    so the per-block-pair ``np.stack`` only ever sees dense batches.
     """
     import numpy as np
     import pandas as pd
 
+    df = _non_null_vectors(df, vec_col)
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"),
@@ -254,6 +287,12 @@ def cosine_topk_gemm(
     of per-row interpreted array folds.  The per-partition partial top-k
     keeps the final sort at O(partitions × k).  This is the template for
     any "score the corpus against one query" kernel at 100 TB.
+
+    Corpus rows with a NULL embedding are dropped at entry
+    (:func:`_non_null_vectors`); a NULL QUERY vector fails loud with a
+    typed error — there is no meaningful ranking against a missing
+    query, and silently returning NULL-sim rows (what the pure-Catalyst
+    twin degrades to) would read as a real answer downstream.
     """
     import numpy as np
     import pandas as pd
@@ -261,6 +300,9 @@ def cosine_topk_gemm(
     qrow = df.where(F.col(id_col) == query_id).select(vec_col).first()
     if qrow is None:
         raise ValueError(f"query id {query_id!r} not found")
+    if qrow[0] is None:
+        raise ValueError(f"query id {query_id!r} has a NULL embedding")
+    df = _non_null_vectors(df, vec_col)
     qv = np.asarray(qrow[0], dtype=np.float64)
     qn = np.linalg.norm(qv)
     spark = df.sparkSession
@@ -271,6 +313,8 @@ def cosine_topk_gemm(
         qnorm = np.linalg.norm(q)
         best: list[pd.DataFrame] = []
         for pdf in batches:
+            if pdf.empty:
+                continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qnorm)
             out = pd.DataFrame({"id": pdf[id_col], "sim": np.round(sims, 4)})
@@ -330,10 +374,18 @@ def semantic_dedup(
     reshaped v69).  ``pair_mode='join'`` is the pure-Catalyst reference
     implementation (norms hoisted per row, pair stage dot-product-only);
     both produce identical q4-rounded sims and are equivalence-tested.
+
+    Rows with a NULL embedding are dropped at entry
+    (:func:`_non_null_vectors`): a NULL vector can never cluster or
+    prune, so it appears in neither the kept nor the pruned set — the
+    predicate semantics the whole near-dup tier shares.  (The drop also
+    happens inside :func:`ivf_assign`; the explicit entry filter makes
+    the operator's own contract independent of the quantizer's.)
     """
     from flowbyte_spark.functions import dot, l2_norm
     from flowbyte_spark.operators import cache
 
+    df = _non_null_vectors(df, vec_col)
     _, assignments = ivf_assign(
         df,
         id_col,
@@ -496,7 +548,16 @@ def ivf_assign(
     STABLY.  Fold wins small warm corpora (v25's fixture path); gemm
     wins large or latency-sensitive runs and any k in the hundreds
     (real IVF indexes: k ≈ √n), since the BLAS product is ~flat in k.
+
+    NULL embeddings are dropped at entry (:func:`_non_null_vectors`) in
+    BOTH assign modes, keeping them row-for-row equivalent under dirty
+    corpora: fold mode would otherwise assign a NULL row to the lowest
+    cid (every csim NULL → every coalesced sort key +inf), and gemm
+    mode would crash ``np.stack`` — neither is an assignment a NULL
+    vector can earn.  The filter also keeps a NULL vector from being
+    picked as a ``lowest_id`` centroid.
     """
+    df = _non_null_vectors(df, vec_col)
     if centroid_mode == "kmeans":
         centroids = kmeans_centroids(
             df, id_col, vec_col, num_centroids=num_centroids, seed=seed
@@ -561,11 +622,21 @@ def _assign_gemm(
     by cid and ``np.argmax`` returns the first maximum), and NaN sims
     (zero-norm vector or centroid) rank last via ``-inf`` — the twin of
     fold mode's NULL-coalesce-to-+inf on the negated sim.
+
+    NULL guards (round-16, closing the r15 pandas-tier NULL audit):
+    input rows with a NULL vector are dropped at entry (predicate
+    semantics, same as fold mode post-filter), and a NULL centroid
+    vector is dropped before the collect — it can never win an argmax
+    (fold mode ranks it last via the +inf coalesce).  Zero usable
+    centroids fails loud: every assignment would be undefined.
     """
     import numpy as np
     import pandas as pd
 
-    rows = centroids.orderBy("cid").collect()
+    df = _non_null_vectors(df, vec_col)
+    rows = centroids.where(F.col("cvec").isNotNull()).orderBy("cid").collect()
+    if not rows:
+        raise ValueError("ivf assign: no centroid has a non-NULL vector")
     cids = np.array([r["cid"] for r in rows])
     cmat = np.stack(
         [np.asarray(r["cvec"], dtype=np.float64) for r in rows]
@@ -783,9 +854,12 @@ def pq_codebooks(
     of a silently empty/undersized one (round-6 review finding).
     Deterministic and engine-portable (the ivf_assign ``lowest_id``
     convention); production swaps in per-subspace k-means — codebook
-    quality is orthogonal to the encode/search machinery."""
+    quality is orthogonal to the encode/search machinery.  Rows with a
+    NULL vector are skipped — a NULL codeword would poison every
+    subspace distance it appears in."""
     from pyspark.sql import Window
 
+    df = _non_null_vectors(df, vec_col)
     lowest = df.select(
         F.col(id_col).alias("__cb_id"), F.col(vec_col).alias("cvec")
     ).orderBy("__cb_id").limit(codes)
@@ -808,7 +882,15 @@ def pq_encode(
     """``(id, j, code)`` PQ codes: per subspace j, the codeword with the
     smallest quantized squared distance (ties -> lowest code).  One
     broadcast join + one (id, j) aggregate; the m-per-vector fan-out
-    collapses map-side."""
+    collapses map-side.
+
+    Rows with a NULL vector are dropped at entry: every subspace
+    distance would be NULL, and ``min(struct(dq, code))`` sorts NULL
+    FIRST — a NULL row would silently encode as code 0 in every
+    subspace, the conflate-NULL-with-real-value class the round-15
+    audit targets.  A NULL vector has no code; it is simply absent
+    from the index."""
+    df = _non_null_vectors(df, vec_col)
     ds = dim // m
     sub = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -930,13 +1012,17 @@ def pq_codebooks_kmeans(
     concatenation of subspace c-th centroids), so encode/ADC are
     unchanged.  :func:`pq_codebooks` (lowest-id) stays the
     engine-portable mode the v87 oracle replicates; this is the
-    production-quality mode (recall gate: tests/test_pq_recall.py)."""
+    production-quality mode (recall gate: tests/test_pq_recall.py).
+    NULL vectors are dropped before the training sample (they cannot
+    train a centroid, and ``np.array`` over a ragged batch would build
+    an object array and crash the subspace slicing)."""
     import numpy as np
 
     spark = df.sparkSession
     ds = dim // m
     rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        _non_null_vectors(df, vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .limit(sample)
         .collect()

@@ -130,6 +130,42 @@ R16_PINNED: frozenset[str] = frozenset(
     }
 )
 
+# The r16 window = 26 R16_PINNED (lead, lowest query number first) + 22
+# refills from the 43 r13-aged queries (lowest query number first:
+# v19-v26, v32, v35, v40, v41, v44, v45, v48, v49, v59, v60, v62, v63,
+# v64, v136 — this head covers v20/v25/v26, three of the six queries
+# touched by the round-16 similarity NULL-embedding fix) + the 2
+# remaining in-round-changed queries (v70, v117 — both r15-fresh, both
+# touched by the same fix; v87, the sixth, is already pinned above).
+# That leaves this 21-query r13-aged residue PINNED to lead round 17's
+# window (43 r13-aged = 22 refills + 21 residue; after r17 refreshes
+# it, the freshness floor reaches r14).
+R17_PINNED: frozenset[str] = frozenset(
+    {
+        "v137_incremental_distinct_hll",
+        "v138_q2_min_cost_supplier",
+        "v139_q13_order_distribution",
+        "v140_q20_excess_shippers",
+        "v141_q19_disjunctive_revenue",
+        "v142_q15_top_supplier",
+        "v143_q16_supplier_count",
+        "v144_q11_important_parts",
+        "v145_q14_promo_share",
+        "v146_incremental_topk",
+        "v147_q4_priority_check",
+        "v148_q5_local_volume",
+        "v149_q6_forecast_revenue",
+        "v150_q9_product_profit",
+        "v151_q10_returned_items",
+        "v152_q12_ship_priority",
+        "v154_gapfill_locf",
+        "v155_interval_range_window",
+        "v156_width_bucket_histogram",
+        "v158_cohort_retention",
+        "v160_pagerank",
+    }
+)
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optionally its DuckDB oracle) to the
@@ -189,78 +225,74 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-15 WINDOW (executes the recipe pinned at r14 close —
-    # VERDICT r14 "next round" #3):
-    # (a) the 18 R15_PINNED r11-aged queries LEAD, lowest number first;
-    # (b) 17 refills from the 44 r12-aged queries, lowest query number
-    # first;
-    # (c) the 15 in-round-changed queries claim the remaining slots
-    # (in-round-changed queries must sit inside the window): v118/v153
-    # — incremental agg_state/merge_states NULL-measure fix (VERDICT
-    # r14 red #1: all-NULL group sums must be NULL, not 0); v66 —
-    # scd2_apply NULL-key struct-join fix; v107 — snapshot_diff
-    # NULL-key struct-join fix; v157 — funnel NULL-user filter
-    # (ADVICE r14); v27/v28/v29/v54/v67/v80 — text.py/substrings.py
-    # size(NULL) sentinel fixes deferred from r14 (v57, the seventh
-    # caller, is pinned above); v159 — running-totals SUM NULL
-    # semantics (its caller v75 is already a refill in (b));
-    # v33/v89/v96 — the asof whole-row struct carry.
-    # Arithmetic: 44 r12-aged = 17 refills + v118 (r12-aged, seated in
-    # the in-round-changed block) + the 26-query residue = R16_PINNED.
+    # ROUND-16 WINDOW (executes the recipe pinned at r15 close —
+    # VERDICT r15 "next round" #2):
+    # (a) the 26 R16_PINNED r12-aged queries LEAD, lowest number first;
+    # (b) 22 refills from the 43 r13-aged queries, lowest query number
+    # first (the head v19-v26 covers v20/v25/v26, three of the six
+    # queries the round-16 similarity NULL-embedding fix touches);
+    # (c) the 2 remaining in-round-changed queries claim the last
+    # slots: v70 (semantic_dedup) and v117 (ivf_topk_batch), both
+    # r15-fresh callers of the guarded kernels — the round-16 fix adds
+    # Catalyst-side isNotNull entry filters at the 8 np.stack sites in
+    # operators/similarity.py (VERDICT r15 red #1 / "next round" #1);
+    # v87, the sixth touched caller, is already pinned in (a).
+    # Arithmetic: 26 pinned + 22 refills + 2 in-round-changed = 50;
+    # 43 r13-aged = 22 refills + the 21-query residue = R17_PINNED.
     first = [
-        # (a) r11-aged residue from the r14 rotation — must lead r15.
-        "v56_interleave",
-        "v57_corpus_prep",
-        "v58_cross_join",
-        "v65_repetition_signals",
-        "v71_dsir_importance",
-        "v72_global_shuffle",
-        "v74_domain_cap",
-        "v90_q21_waiting_suppliers",
-        "v100_srp_neardup",
-        "v101_url_dedup",
-        "v102_partition_pruning",
-        "v116_q22_idle_customers",
-        "v117_batched_ann",
-        "v119_stream_outer_join",
-        "v120_skewed_join_agg",
-        "v121_bloom_filter_join",
-        "v123_schema_evolution",
-        "v125_stream_session_window",
-        # (b) r12-aged refills (17 of 44; 26-query residue = R16_PINNED).
-        "v11_window_frames",
-        "v12_set_ops",
-        "v13_scalar_funcs",
-        "v14_json_extract",
-        "v15_time_bucket",
-        "v16_count_distinct",
-        "v17_update_by_keys",
-        "v18_insert_delete",
-        "v31_multimodal_features",
-        "v37_approx_distinct",
-        "v38_tfidf",
-        "v39_map_struct_json",
-        "v43_percentiles_stats",
-        "v61_approx_percentiles",
+        # (a) r12-aged residue from the r15 rotation — must lead r16.
+        "v79_c4_quality_filter",
+        "v81_stream_stream_join",
+        "v82_python_datasource",
+        "v83_jdbc_roundtrip",
+        "v84_media_decode",
+        "v87_pq_ann",
+        "v88_variant_json",
+        "v97_jpeg_decode",
+        "v98_wav_decode",
+        "v99_y4m_decode",
+        "v103_dpp_star_join",
+        "v104_srp_cluster_dedup",
+        "v105_runtime_filter_join",
+        "v109_q7_volume_shipping",
+        "v110_q8_market_share",
+        "v111_stream_static_join",
+        "v122_sparse_cosine_pairs",
+        "v126_schema_widening",
+        "v127_prefix_cosine_pairs",
+        "v128_q17_small_quantity",
+        "v129_doc_chunking",
+        "v130_stream_full_outer_join",
+        "v131_bucketed_agg",
+        "v132_stream_join_window",
+        "v133_stream_dedup_join_window",
+        "v134_cbo_join_order",
+        # (b) r13-aged refills (22 of 43; 21-query residue = R17_PINNED).
+        "v19_dedup_exact",
+        "v20_cosine_topk",
+        "v21_dedup_content_hash",
+        "v22_minhash_lsh",
+        "v23_jaccard_pairs",
+        "v24_simhash",
+        "v25_ann_ivf",
+        "v26_embedding_neardup",
+        "v32_streaming_window",
+        "v35_pivot",
+        "v40_math_funcs",
+        "v41_session_window",
+        "v44_string_funcs",
+        "v45_date_funcs",
+        "v48_exists_subquery",
+        "v49_scalar_subquery",
+        "v59_sliding_window",
+        "v60_late_data_drop",
+        "v62_full_outer_join",
+        "v63_right_outer_join",
+        "v64_neardup_clusters",
+        "v136_frequent_terms_sketch",
+        # (c) in-round-changed queries (see the R17_PINNED comment).
         "v70_semantic_dedup",
-        "v75_stateful_totals",
-        "v77_q18_large_orders",
-        # (c) in-round-changed queries (see the R16_PINNED comment).
-        "v27_text_quality",
-        "v28_lang_id",
-        "v29_token_count",
-        "v33_asof_join",
-        "v54_pack_by_budget",
-        "v66_scd2_merge",
-        "v67_cluster_corpus_prep",
-        "v80_exact_substrings",
-        "v89_asof_forward",
-        "v96_salted_asof",
-        "v107_snapshot_diff",
-        "v118_incremental_agg",
-        "v153_incremental_variance",
-        "v157_funnel_analysis",
-        "v159_stream_topk",
+        "v117_batched_ann",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -74,8 +74,15 @@ def main() -> None:
                 )
                 status = "SCHEMA MISMATCH"
             else:
-                a = sorted(map(str, sp2.astype(str).values.tolist()))
-                b = sorted(map(str, du2.astype(str).values.tolist()))
+                # NULL canonicalization before stringifying (ADVICE
+                # r15, same fix as dryrun_names._canon_rows): Spark
+                # None vs DuckDB nan/NaT must not read as a mismatch.
+                import pandas as pd
+
+                sp2 = sp2.astype(object).where(pd.notna(sp2), None)
+                du2 = du2.astype(object).where(pd.notna(du2), None)
+                a = sorted(map(str, sp2.values.tolist()))
+                b = sorted(map(str, du2.values.tolist()))
                 if a == b:
                     status = "match"
                 else:

@@ -15,6 +15,16 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _canon_rows(df):
+    """Sorted stringified row multiset with NULLs canonicalized to None
+    first — so Spark's None and DuckDB's nan/NaT stringify identically
+    instead of producing spurious VALUE MISMATCH (ADVICE r15)."""
+    import pandas as pd
+
+    df = df.astype(object).where(pd.notna(df), None)
+    return sorted(map(str, df.values.tolist()))
+
+
 def main() -> None:
     import time
 
@@ -63,10 +73,19 @@ def main() -> None:
                 failures.append((name, "schema mismatch"))
                 status = "SCHEMA MISMATCH"
             else:
-                a = sorted(map(str, sp2.astype(str).values.tolist()))
-                b = sorted(map(str, du2.astype(str).values.tolist()))
+                # Canonicalize NULLs BEFORE stringifying (ADVICE r15):
+                # Spark-side pandas renders missing values as None,
+                # DuckDB as nan/NaT — astype(str) would turn the same
+                # NULL into different strings.
+                a = _canon_rows(sp2)
+                b = _canon_rows(du2)
                 if a == b:
                     status = "match"
+                elif len(a) != len(b):
+                    failures.append(
+                        (name, f"row count: {len(a)} vs {len(b)}")
+                    )
+                    status = "ROW COUNT MISMATCH"
                 else:
                     first = next(
                         (f"{x!r} vs {y!r}" for x, y in zip(a, b) if x != y),

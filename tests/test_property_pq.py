@@ -39,6 +39,12 @@ vec = st.lists(
     st.integers(min_value=0, max_value=3), min_size=DIM, max_size=DIM
 )
 corpus_strategy = st.lists(vec, min_size=CODES + 2, max_size=14)
+# NULL-embedding rows interleaved at odd ids (round-16: the r15
+# pandas-tier NULL audit's generator mandate) — they must be invisible
+# to codebook selection, encoding, and the ADC ranking alike.
+null_slots_strategy = st.lists(
+    st.integers(min_value=0, max_value=15), max_size=3, unique=True
+)
 
 
 def _ref_codes(vecs: np.ndarray) -> np.ndarray:
@@ -59,23 +65,25 @@ def _ref_codes(vecs: np.ndarray) -> np.ndarray:
     return out
 
 
-@given(corpus_strategy)
+@given(corpus_strategy, null_slots_strategy)
 @SETTINGS
-def test_pq_encode_and_adc_match_numpy(spark, corpus):
+def test_pq_encode_and_adc_match_numpy(spark, corpus, null_slots):
     vecs = np.array(corpus, dtype=float)
-    df = spark.createDataFrame(
-        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
-        "vec_id INT, emb ARRAY<DOUBLE>",
-    )
+    # real vectors at even ids 2*i (id order == corpus order, so the
+    # lowest-id codebook is still corpus[:CODES]); NULL rows at odd ids
+    # interleave among them and must change nothing.
+    rows = [(2 * i, [float(x) for x in v]) for i, v in enumerate(corpus)]
+    rows += [(2 * s + 1, None) for s in null_slots]
+    df = spark.createDataFrame(rows, "vec_id INT, emb ARRAY<DOUBLE>")
     cb = pq_codebooks(df, "vec_id", "emb", CODES)
-    got_codes = {
-        (r.id, r.j): r.code
-        for r in pq_encode(df, "vec_id", "emb", cb, m=M, dim=DIM).collect()
-    }
+    encoded = pq_encode(df, "vec_id", "emb", cb, m=M, dim=DIM).collect()
+    got_codes = {(r.id, r.j): r.code for r in encoded}
+    # NULL rows have no code — absent, not code-0 (the conflation class)
+    assert {r.id for r in encoded} == {2 * i for i in range(len(corpus))}
     want = _ref_codes(vecs)
     for i in range(len(corpus)):
         for j in range(M):
-            assert got_codes[(i, j)] == want[i, j], (i, j, corpus)
+            assert got_codes[(2 * i, j)] == want[i, j], (i, j, corpus)
 
     # ADC ranking vs reference for query 0
     ds = DIM // M
@@ -86,7 +94,7 @@ def test_pq_encode_and_adc_match_numpy(spark, corpus):
             d = qv[j * ds : (j + 1) * ds] - vecs[c, j * ds : (j + 1) * ds]
             table[j, c] = math.floor(float((d * d).sum()) * PQ_QUANTUM + 0.5)
     ref = sorted(
-        (sum(table[j, want[i, j]] for j in range(M)) / PQ_QUANTUM, i)
+        (sum(table[j, want[i, j]] for j in range(M)) / PQ_QUANTUM, 2 * i)
         for i in range(len(corpus))
         if i != 0
     )
