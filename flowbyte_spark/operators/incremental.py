@@ -77,6 +77,18 @@ def merge_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     otherwise safe precisely BECAUSE of that guard: an all-NULL leg
     contributes a NULL partial that ``F.sum`` skips, and the non-null
     count carries the information the skipped leg would have lost.
+
+    STATE-FORMAT BUMP (r15, ADVICE r15): states built before the
+    ``__nn_<c>__`` columns existed (pre-r15 :func:`agg_state` output)
+    cannot be merged with current states — ``unionByName`` raises on
+    the missing columns, a LOUD failure by design.  Silently
+    backfilling ``__nn_`` for an old state is unsound: the true
+    non-null count of its groups is unrecoverable (0 would wrongly
+    NULL every sum the old state contributes; +inf-style sentinels
+    would wrongly un-NULL cancelled groups).  Migration path: rebuild
+    the persisted state once from the base table with the current
+    :func:`agg_state` — one rescan, after which incremental
+    maintenance resumes.
     """
     if not states:
         raise ValueError("no states to merge")

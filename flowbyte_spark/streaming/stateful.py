@@ -38,6 +38,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # NULL-measure fix's streaming twin): pandas .sum() over an all-NaN
 # series returns 0.0 where SQL SUM over an all-NULL group is NULL, so
 # without it a user whose every value is NULL reports total = 0.0.
+#
+# STATE-FORMAT BREAK (r15, ADVICE r15): the pre-r15 state was the
+# 2-field "cnt BIGINT, total DOUBLE".  A stream restored from a
+# checkpoint written under that schema will fail at the 3-way
+# `cnt, nn, total = state.get` unpack — LOUDLY, not by misbinding
+# (tuple unpack of 2 into 3 raises).  There is no in-place upgrade:
+# Spark pins the state schema inside the checkpoint, so resuming an
+# old stream requires a NEW checkpointLocation (the stream then
+# rebuilds state from the source, the standard Structured Streaming
+# schema-evolution posture for applyInPandasWithState).
 STATE_SCHEMA = "cnt BIGINT, nn BIGINT, total DOUBLE"
 OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE"
 
