@@ -1,11 +1,17 @@
 """Compare BENCH_FULL.json against a same-day DuckDB baseline log.
 
 Prints the three headline numbers the round verdicts use — all-in
-ratio, batch-comparable ratio (the 15 streaming rows excluded: their
+ratio, batch-comparable ratio (the 14 streaming rows excluded: their
 walls are per-trigger state-store constants with no DuckDB analogue),
 and the weak-row list (ratio > 2x with a twin > 0.25 s) — plus the
 substrate probe, so a wall shift is attributed to host or code before
 any ratio is read.
+
+Definition change (r16, VERDICT r15 "what's wrong" #3): v41 is the
+BATCH session-window twin (SURVEY §2.11; v125 is the real 3-batch
+stream), so it now counts in the batch-comparable set.  Its exclusion
+understated the batch numerator by ~0.7 s; the judge-recomputed effect
+on the r15 ratio was <=0.01x either way.
 
 Usage: python scripts/compare_bench.py [bench_json] [duck_log]
        (defaults: BENCH_FULL.json, newest .tmp/duck_r*_full*.log)
@@ -22,7 +28,6 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STREAMING = {
     "v32_streaming_window",
-    "v41_session_window",
     "v59_sliding_window",
     "v60_late_data_drop",
     "v73_stream_dedup",
