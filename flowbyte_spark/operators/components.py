@@ -100,11 +100,44 @@ def connected_components(
     # reused every round: keep it resident instead of re-shuffling
     edges = persist_tracked(edges)
 
-    labels, handle = checkpoint(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
+    # Round-1 fusion (r16, guide §2.4 — remove shuffles outright): the old
+    # init built `comp = id` from a distinct over the symmetrized edges —
+    # one shuffle that computed NOTHING the first loop round didn't
+    # immediately redo (round 1's neighbor minimum over all-initial labels
+    # is just min(src) per dst group).  Fold that first round into the
+    # init aggregate: same single shuffle, but the labels start at the
+    # round-1 state, so a typical near-dup graph (diameter 2-3, measured
+    # 2 label rounds on the v64 fixture graph) saves one full
+    # join+aggregate+checkpoint+convergence cycle per call.  Every node
+    # appears as dst in the symmetrized edge list, so the groupBy(dst)
+    # key set IS the old distinct(src) node set.  max_iterations=0 keeps
+    # the pre-fusion contract (labels = own id, zero rounds).
+    converged = False
+    rounds_left = max_iterations
+    if max_iterations == 0:
+        labels, handle = checkpoint(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+        )
+    else:
+        labels, handle = checkpoint(
+            edges.groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src").alias("nbr_min"))
+            .select(
+                "id",
+                F.least(F.col("id"), F.col("nbr_min")).alias("comp"),
+                (F.least(F.col("id"), F.col("nbr_min")) != F.col("id"))
+                .cast("long")
+                .alias("changed"),
+            )
+        )
+        changed = labels.agg(F.sum("changed")).collect()[0][0] or 0
+        rounds_left = max_iterations - 1  # the fused init consumed round 1
+        if changed == 0:
+            converged = True  # round 1 moved nothing: done before the loop
+            rounds_left = 0
+        labels = labels.select("id", "comp")
     # Convergence = a round changed zero labels.  The changed flag is
     # exact for every id type (a sum over the labels themselves would be
     # NULL for string ids and can alias under overflow for long ones).
@@ -115,8 +148,7 @@ def connected_components(
     # per round: driver OOM rendering it long before 500 rounds).  The
     # superseded round's blocks are freed deterministically inside
     # local_checkpoint — executor storage holds at most two round tables.
-    converged = False
-    for _ in range(max_iterations):
+    for _ in range(rounds_left):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))

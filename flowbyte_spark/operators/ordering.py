@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
@@ -123,3 +124,72 @@ def global_sort(df: DataFrame, cols, *, single_partition: bool) -> DataFrame:
     if single_partition:
         return df.sortWithinPartitions(*cols)
     return df.orderBy(*cols)
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[tuple[float, str]],
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per group, sort-based.
+
+    Bit-identical to ``F.percentile(value_col, [p...])`` (asserted in
+    tests/test_percentile_rewrite.py) but executed as order statistics
+    over a window sort instead of Spark's ObjectHashAggregate, whose
+    per-partition value->count maps (and their serialization into the
+    merge) dominate once the aggregate can no longer run whole-stage
+    codegen.  Plan shape: one hash-partitioned window sort of
+    ``(group, value)`` — narrow columns only, so the exchange carries
+    exactly what the computation needs (guide §2.3) — then a codegen
+    aggregate that keeps only the two order statistics each requested
+    percentile interpolates between.  At scale the shuffle carries
+    O(rows) narrow pairs, the same bytes Spark's percentile buffers
+    would cross in partial-aggregate form, with per-group memory O(1)
+    instead of O(distinct values).
+
+    Groups whose values are all NULL are ABSENT from the result (the
+    builtin returns NULL for them) — callers that need those groups
+    join this result back to the group universe, which is what
+    v43_percentiles_stats does.
+
+    ``percentiles``: list of ``(fraction, output_name)``.  Returns one
+    row per group: ``group_cols + [output_name...]`` (double).
+    """
+    from pyspark.sql import Window
+
+    values = df.select(*group_cols, value_col).where(
+        F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    cw = Window.partitionBy(*group_cols)
+    ranked = values.withColumn(
+        "__rn__", F.row_number().over(w) - 1
+    ).withColumn("__n__", F.count(F.lit(1)).over(cw))
+    aggs, finals = [], []
+    for p, name in percentiles:
+        # Spark's Percentile.getPercentile arithmetic, reproduced op for
+        # op: position = p * (n - 1) in doubles; lower/higher are the
+        # values at floor/ceil(position); result =
+        # lower * (1 - frac) + higher * frac.  The weighted form (NOT
+        # lower + (higher-lower)*frac) matters: the two differ by an ulp
+        # on real data and the gate is a value hash.
+        pos = F.lit(p) * (F.col("__n__") - 1)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        aggs += [
+            F.sum(F.when(F.col("__rn__") == lo, F.col(value_col))).alias(
+                f"__lo_{name}__"
+            ),
+            F.sum(F.when(F.col("__rn__") == hi, F.col(value_col))).alias(
+                f"__hi_{name}__"
+            ),
+            F.max(pos - F.floor(pos)).alias(f"__fr_{name}__"),
+        ]
+        lo_v = F.col(f"__lo_{name}__")
+        hi_v = F.col(f"__hi_{name}__")
+        fr_v = F.col(f"__fr_{name}__")
+        finals.append(
+            (lo_v * (F.lit(1.0) - fr_v) + hi_v * fr_v).alias(name)
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs).select(*group_cols, *finals)

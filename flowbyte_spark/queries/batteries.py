@@ -33,29 +33,48 @@ from flowbyte_spark.queries import register
     """,
 )
 def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flowbyte_spark.functions import ensure_parallelism, q4
+    # r16 rewrite (guide §1.2 "per-task work", §2.3 "aggregate before you
+    # shuffle"): the old single agg mixed F.percentile with the moment
+    # stats, which forced the WHOLE aggregate down the ObjectHashAggregate
+    # path — every group buffered a value->count map per partition (plus
+    # the ensure_parallelism round-robin exchange, which pays a local sort
+    # of all rows and made the plain stats ~2x SLOWER than a single-task
+    # codegen aggregate at this scale; interleaved A/B in
+    # OPTIMIZATION_r16.md).  Now the moment stats run as a pure codegen
+    # HashAggregate and the exact percentiles come from the sort-based
+    # order-statistics form in exact_group_percentiles — bit-identical to
+    # F.percentile (the weighted interpolation lower*(1-f)+higher*f is
+    # Spark's own formula; asserted in tests/test_percentile_rewrite.py)
+    # — joined back per group.  Interleaved A/B: 2.34 s -> 1.79 s median.
+    from flowbyte_spark.functions import q4
+    from flowbyte_spark.operators.ordering import exact_group_percentiles
 
-    # Fan the 3-split fixture scan out before the percentile partial
-    # buffers build (no-op when the scan already has parallelism).
-    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
-    # one percentile aggregate for all three quantiles (array form) —
-    # three separate aggs each maintain their own value buffer
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        q4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        q4(F.var_samp("l_quantity")).alias("var_qty"),
+        q4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_p"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_p"),
+    )
+    pct = exact_group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
+    ).select(
+        "l_returnflag",
+        q4(F.col("p50"), scale=2).alias("p50"),
+        q4(F.col("p90"), scale=2).alias("p90"),
+        q4(F.col("p99"), scale=2).alias("p99"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            pct.alias("pcts"),
-            q4(F.stddev_samp("l_quantity")).alias("sd_qty"),
-            q4(F.var_samp("l_quantity")).alias("var_qty"),
-            q4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_p"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_p"),
-        )
+        stats.join(pct, "l_returnflag", "left")
         .select(
             "l_returnflag",
-            q4(F.col("pcts")[0], scale=2).alias("p50"),
-            q4(F.col("pcts")[1], scale=2).alias("p90"),
-            q4(F.col("pcts")[2], scale=2).alias("p99"),
+            "p50",
+            "p90",
+            "p99",
             "sd_qty",
             "var_qty",
             "corr_qp",
