@@ -187,12 +187,26 @@ def v36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.3 "aggregate before you shuffle"): dedup the
+    # (event_type, user_id) pairs FIRST, then run both counters over the
+    # deduped stream.  HLL++ registers are insensitive to duplicates, so
+    # approx_count_distinct over the distinct pairs is bit-identical to
+    # running it over the raw rows, and the exact distinct count becomes
+    # a plain count(user_id) — the mixed distinct/non-distinct aggregate
+    # (two chained aggregate phases carrying the HLL buffers through
+    # both) collapses to dedup + one simple aggregate.  NULL user_ids:
+    # both counters ignore NULLs, and count("user_id") over the deduped
+    # pairs preserves that.  Interleaved: 0.78 s -> 0.47 s
+    # (equivalence asserted on both fixtures incl. a NULL case;
+    # OPTIMIZATION_r16.md).
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy("event_type")
+        events.select("event_type", "user_id")
+        .dropDuplicates()
+        .groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count("user_id").alias("exact_users"),
         )
         .select(
             "event_type",

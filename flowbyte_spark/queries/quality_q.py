@@ -247,24 +247,40 @@ _V115_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
     """,
 )
 def v115_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flowbyte_spark.operators.profile import profile
+    # r16 (guide §2.3, the v37 pattern): both counters run over each
+    # column's pre-deduped value stream instead of two full profile
+    # passes (exact Expand + approx) joined after the fact.  HLL++
+    # registers are duplicate-insensitive, so approx_count_distinct over
+    # the distinct values is bit-identical to running it over the raw
+    # rows, and the exact count becomes count(v); the error-bound
+    # contract is computed from the same pair of numbers as before.
+    # Each branch scans ONE parquet column and shuffles only its
+    # map-side-deduped values — the same total I/O as the old single
+    # scan of 4 columns, without the Expand row multiplication.  A
+    # combined one-pass agg (count_distinct + approx per column) was
+    # measured WORSE (5.7 s: the mixed multi-distinct Expand carries the
+    # HLL buffers through every branch); measured: two-profile 3.0 s ->
+    # per-column 1.2 s, rows identical (OPTIMIZATION_r16.md).
+    from functools import reduce
 
     orders = load_table(spark, sf_dir, "orders")
-    exact = profile(orders, _V115_COLS, exact=True).select(
-        "column", F.col("n_distinct").alias("n_distinct_exact")
-    )
-    approx = profile(orders, _V115_COLS, exact=False).select(
-        "column", F.col("n_distinct").alias("n_distinct_approx")
-    )
+    parts = []
+    for c in _V115_COLS:
+        d = orders.select(F.col(c).alias("v")).dropDuplicates()
+        parts.append(
+            d.agg(
+                F.count("v").cast("long").alias("ex"),
+                F.approx_count_distinct("v", rsd=0.02).alias("ap"),
+            ).select(F.lit(c).alias("column"), "ex", "ap")
+        )
     return (
-        exact.join(approx, "column")
+        reduce(lambda a, b: a.unionByName(b), parts)
         .select(
             "column",
-            "n_distinct_exact",
-            (
-                F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
-                <= 5 * 0.02 * F.col("n_distinct_exact")
-            ).alias("within_bound"),
+            F.col("ex").alias("n_distinct_exact"),
+            (F.abs(F.col("ap") - F.col("ex")) <= 5 * 0.02 * F.col("ex")).alias(
+                "within_bound"
+            ),
         )
         .orderBy("column")
     )

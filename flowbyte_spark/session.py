@@ -33,6 +33,21 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Join strategy (r16, guide §3.1/§9): allow shuffled hash join when
+    # its size conditions hold instead of always sorting both sides —
+    # the planner still prefers broadcast first, and AQE additionally
+    # converts a planned sort-merge join to shuffled-hash at runtime
+    # when every post-shuffle partition is under the local-map threshold
+    # (64m = the advisory partition size; per-partition build memory is
+    # bounded by it, and AQE skew-split applies to SHJ too, so the OOM
+    # risk class the SMJ default guards is capped).  Bucket-sorted SMB
+    # joins keep an explicit merge hint (queries/relational4.py) — on
+    # pre-sorted buckets the merge join needs no sort AND no hash table,
+    # which is strictly better there.  Interleaved A/B on the 8-query
+    # join subset: 9.58 s -> 8.40 s (v66 -0.51 s, v120 -0.26 s;
+    # OPTIMIZATION_r16.md).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # deterministic cross-engine semantics (duckdb oracle runs naive-UTC)
     "spark.sql.session.timeZone": "UTC",
     # local-test-appropriate shuffle width; cluster deployments override

@@ -41,7 +41,12 @@ def bucketed_tables(spark):
 def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
     orders = read_bucketed(spark, "b_orders")
     lineitem = read_bucketed(spark, "b_lineitem")
-    joined = lineitem.join(
+    # merge hint: this test verifies the SMB shape specifically (bucketed
+    # scans report their layout as output partitioning, so the merge join
+    # needs neither shuffle nor sort).  Since r16 the engine default
+    # allows shuffled-hash joins (session.py), which would also be
+    # shuffle-free here but is not the shape under test.
+    joined = lineitem.hint("merge").join(
         orders, lineitem.l_orderkey == orders.o_orderkey
     ).select("l_orderkey", "o_totalprice")
     plan = plans.physical_plan(joined)
