@@ -1,19 +1,30 @@
-"""Column profiling: one-pass per-column statistics as a DataFrame.
+"""Column profiling: per-column statistics as a DataFrame.
 
 The first thing anyone does with an unfamiliar 100 TB table — null
-rates, cardinalities, numeric ranges — expressed as ONE aggregate over
-one scan, then unpivoted to (column, metric...) rows.  No per-column
-jobs, no driver loops: the battery is a single ``agg(...)`` whose
-result is one row, melted executor-side.
+rates, cardinalities, numeric ranges — as ONE lazy plan (a union of
+thin per-column branches for ``exact=True``, a single aggregate for
+``exact=False``), one action, no driver loops.
 
-Exact distinct counts use Spark's multi-distinct Expand (rows multiply
-by the number of profiled columns before the shuffle) — fine for a
-profiling pass, but at 100 TB prefer ``exact=False``, which swaps in
-``approx_count_distinct`` (HLL++, rsd 2%): partial-aggregatable, one
-ordinary shuffle, bounded state.
+The exact path used to be a single ``agg`` with one ``count_distinct``
+per column, which plans as Spark's multi-distinct Expand: rows multiply
+by (k+1) for k profiled columns BEFORE the shuffle.  Since r16 each
+column instead gets its own branch — ``groupBy(col).count()`` (map-side
+partial aggregation collapses to distinct values pre-shuffle) feeding
+one tiny global aggregate that derives every metric from the
+(value, count) pairs.  Parquet being columnar, k single-column scans
+read the same bytes as one k-column scan, and the shuffle carries each
+column's distinct values ONCE instead of (k+1)x the full row count
+(guide §2.3 "aggregate before you shuffle"; interleaved A/B on v108's
+5-column profile at sf0.1: 1.44 s -> 1.16 s median, identical rows).
+
+At 100 TB still prefer ``exact=False``: approx_count_distinct (HLL++,
+rsd 2%) is one ordinary partial-aggregatable shuffle with bounded
+state, no per-value groups at all.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -40,10 +51,52 @@ def profile(
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
 
-    distinct_of = (
-        F.count_distinct if exact
-        else lambda c: F.approx_count_distinct(c, rsd=0.02)
-    )
+    if exact:
+        parts = []
+        for c in cols:
+            is_num = isinstance(fields[c], _NUMERIC)
+            grouped = (
+                df.select(F.col(c).alias("__v"))
+                .groupBy("__v")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+            )
+            # Same empty-input semantics as the one-pass aggregate:
+            # n_rows 0, n_nulls NULL (a SUM over zero rows), n_distinct 0.
+            parts.append(
+                grouped.agg(
+                    F.coalesce(F.sum("__cnt"), F.lit(0))
+                    .cast("long")
+                    .alias("n_rows"),
+                    F.sum(
+                        F.when(F.col("__v").isNull(), F.col("__cnt")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias("n_nulls"),
+                    F.count("__v").cast("long").alias("n_distinct"),
+                    (
+                        F.min("__v").cast("double")
+                        if is_num
+                        else F.lit(None).cast("double")
+                    ).alias("min_num"),
+                    (
+                        F.max("__v").cast("double")
+                        if is_num
+                        else F.lit(None).cast("double")
+                    ).alias("max_num"),
+                ).select(
+                    F.lit(c).alias("column"),
+                    "n_rows",
+                    "n_nulls",
+                    "n_distinct",
+                    "min_num",
+                    "max_num",
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts).orderBy("column")
+
+    distinct_of = lambda c: F.approx_count_distinct(c, rsd=0.02)  # noqa: E731
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"))

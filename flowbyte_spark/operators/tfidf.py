@@ -119,6 +119,18 @@ def sparse_cosine_pairs(
     w = terms.join(doc_freq, "term").select(
         "id", "term", (F.col("tf") * idf).alias("w")
     )
+    # ``w`` feeds three legs (norms + both self-join sides; the r16
+    # before-plan for v122 shows four corpus scans, one per leg), which
+    # makes it LOOK like a persist candidate — measured, it is not: a
+    # tracked persist here ran v122 ~25 % SLOWER at sf0.1 (interleaved
+    # A/B, 4.04 s -> 5.19 s median, all iterations worse; same outcome
+    # class as the r16 minhash-signature experiment).  The duplicated
+    # tokenize legs run as parallel stages across 32 cores, while the
+    # persist serializes the pipeline behind one materialization and
+    # pays executor-storage writes.  At 100 TB, where a corpus re-scan
+    # is the dominant cost, the calculus flips — that shape already
+    # exists measured and documented in ``_prefix_filtered_pairs``
+    # (unit-table persist, neutral at fixture scale).
     norms = w.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

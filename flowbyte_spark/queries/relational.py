@@ -98,22 +98,59 @@ def v03_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture is a single parquet file (3 scan splits): fan out before
     # the 7-decimal-sum partial agg so it uses every core.  At production
     # scale the scan has natural parallelism and this is a no-op.
-    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
+    #
+    # r16 (guide §2.3): the single mixed aggregate (7 decimal sums +
+    # countDistinct) planned as a 3-key partial agg keyed by
+    # (returnflag, linestatus, PARTKEY) — every sum buffer rode a
+    # 17-column exchange with ~200k partkey groups, then got re-merged.
+    # Split instead: a clean 2-phase codegen aggregate for the sums
+    # (partial agg collapses to ~6 groups pre-shuffle) joined with a
+    # thin dedup-count branch that shuffles only the 3 key columns.
+    # count("l_partkey") over deduped triples == countDistinct (both
+    # ignore NULLs); join is null-safe on the group keys so NULL groups
+    # keep single-aggregate semantics.  Interleaved A/B: 3.97 -> 3.43 s
+    # median, rows identical (OPTIMIZATION_r16.md).
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    stats = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        dec_sum(disc_price, "sum_disc_price"),
+        dec_sum(charge, "sum_charge"),
+        dec_avg("l_quantity", "avg_qty"),
+        dec_avg("l_extendedprice", "avg_price"),
+        dec_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    parts = (
+        li.select("l_returnflag", "l_linestatus", "l_partkey")
+        .dropDuplicates()
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum(disc_price, "sum_disc_price"),
-            dec_sum(charge, "sum_charge"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            dec_avg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-            F.countDistinct("l_partkey").alias("distinct_parts"),
+        .agg(F.count("l_partkey").alias("distinct_parts"))
+        .withColumnRenamed("l_returnflag", "rf")
+        .withColumnRenamed("l_linestatus", "ls")
+    )
+    return (
+        stats.join(
+            parts,
+            stats["l_returnflag"].eqNullSafe(parts["rf"])
+            & stats["l_linestatus"].eqNullSafe(parts["ls"]),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+            "distinct_parts",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
