@@ -15,7 +15,8 @@ one tiny global aggregate that derives every metric from the
 read the same bytes as one k-column scan, and the shuffle carries each
 column's distinct values ONCE instead of (k+1)x the full row count
 (guide §2.3 "aggregate before you shuffle"; interleaved A/B on v108's
-5-column profile at sf0.1: 1.44 s -> 1.16 s median, identical rows).
+5-column profile at sf0.1 under the engine conf: 1.75 s -> 1.29 s
+median, identical rows).
 
 At 100 TB still prefer ``exact=False``: approx_count_distinct (HLL++,
 rsd 2%) is one ordinary partial-aggregatable shuffle with bounded

@@ -108,8 +108,12 @@ def v03_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thin dedup-count branch that shuffles only the 3 key columns.
     # count("l_partkey") over deduped triples == countDistinct (both
     # ignore NULLs); join is null-safe on the group keys so NULL groups
-    # keep single-aggregate semantics.  Interleaved A/B: 3.97 -> 3.43 s
-    # median, rows identical (OPTIMIZATION_r16.md).
+    # keep single-aggregate semantics.  Measured: a clear win under wide
+    # shuffles (3.97 -> 3.43 s at 200 shuffle partitions) and NEUTRAL
+    # under the engine conf's 32+AQE (2.40 vs 2.42 s interleaved) — kept
+    # for the scale shape: the bytes crossing the exchange drop from 17
+    # columns x partkey-grain groups to 3, which is what matters when
+    # the shuffle is a network, not a local memcpy (OPTIMIZATION_r16.md).
     li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
