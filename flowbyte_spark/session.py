@@ -35,17 +35,21 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Join strategy (r16, guide §3.1/§9): allow shuffled hash join when
     # its size conditions hold instead of always sorting both sides —
-    # the planner still prefers broadcast first, and AQE additionally
-    # converts a planned sort-merge join to shuffled-hash at runtime
-    # when every post-shuffle partition is under the local-map threshold
-    # (64m = the advisory partition size; per-partition build memory is
-    # bounded by it, and AQE skew-split applies to SHJ too, so the OOM
-    # risk class the SMJ default guards is capped).  Bucket-sorted SMB
-    # joins keep an explicit merge hint (queries/relational4.py) — on
-    # pre-sorted buckets the merge join needs no sort AND no hash table,
-    # which is strictly better there.  Interleaved A/B on the 8-query
-    # join subset: 9.58 s -> 8.40 s (v66 -0.51 s, v120 -0.26 s;
-    # OPTIMIZATION_r16.md).
+    # the planner still prefers broadcast first, and AQE can convert a
+    # planned sort-merge join to shuffled-hash at runtime under the
+    # local-map threshold (64m = the advisory partition size, bounding
+    # per-partition build memory; AQE skew-split applies to SHJ too).
+    # MEASURED HONESTLY at sf0.1 (OPTIMIZATION_r16.md, r16 close): the
+    # only bench query whose executed plan changes is v62 full outer
+    # (SMJ -> SHJ x4, cannot broadcast), within noise of neutral; every
+    # other join in the bench set is already broadcast or keeps its
+    # plan, and earlier claimed subset "wins" on plan-identical queries
+    # were ambient, disproven by plan-diff + order-alternating A/B.
+    # Kept as the guide-§9 baseline for the scale shape (large-large
+    # equi-joins where the no-sort build pays), not as a local win.
+    # Bucket-sorted SMB joins keep an explicit merge hint
+    # (tests/test_bucketed.py) — on pre-sorted buckets the merge join
+    # needs no sort AND no hash table, which is strictly better there.
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # deterministic cross-engine semantics (duckdb oracle runs naive-UTC)
