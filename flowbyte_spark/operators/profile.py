@@ -21,6 +21,15 @@ median, identical rows).
 At 100 TB still prefer ``exact=False``: approx_count_distinct (HLL++,
 rsd 2%) is one ordinary partial-aggregatable shuffle with bounded
 state, no per-value groups at all.
+
+INPUT-SHAPE ASSUMPTION for ``exact=True`` (ADVICE r16): the k branches
+each re-evaluate ``df``'s upstream plan once.  The equal-I/O argument
+holds when that plan is a bare columnar scan (k single-column parquet
+reads == one k-column read); for a DERIVED input — joins, filters,
+exploded text — the upstream pipeline replays k times.  Callers
+profiling a derived frame should persist it first (materialize-then-
+release via operators.cache) or use ``exact=False``, whose single
+aggregate scans the input once regardless of shape.
 """
 
 from __future__ import annotations

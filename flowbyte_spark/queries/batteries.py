@@ -63,13 +63,19 @@ def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], "l_extendedprice",
         [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
     ).select(
-        "l_returnflag",
+        F.col("l_returnflag").alias("rf"),
         q4(F.col("p50"), scale=2).alias("p50"),
         q4(F.col("p90"), scale=2).alias("p90"),
         q4(F.col("p99"), scale=2).alias("p99"),
     )
+    # Null-safe group-key join (ADVICE r16): a NULL l_returnflag group
+    # would have percentiles in `pct` (its VALUES are non-null) that a
+    # null-unsafe USING key silently drops.  Unreachable on TPC-H data
+    # (l_returnflag is never NULL) but the single-aggregate form this
+    # rewrite replaced preserved NULL groups, so the join must too —
+    # same idiom as v03_agg_q1.
     return (
-        stats.join(pct, "l_returnflag", "left")
+        stats.join(pct, stats["l_returnflag"].eqNullSafe(pct["rf"]), "left")
         .select(
             "l_returnflag",
             "p50",

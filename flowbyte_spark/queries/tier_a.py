@@ -23,18 +23,23 @@ from flowbyte_spark.queries import register
 # medium is deployment-specific — durable shared storage on a cluster
 # (checkpoints must survive the driver there), the fastest local medium
 # for a single-node run — so it is env-parameterized.  Local default:
-# tmpfs (/dev/shm) when present, because every file here is ephemeral by
-# contract (fresh per query run, swept hourly) and the streaming rows pay
-# the WAL/commit/sink I/O per micro-batch — measured r16: the 4-query
-# streaming subset (v32/v75/v125/v132) runs 13.8 s from disk vs 11.8 s
-# from tmpfs on the same host (~14%, all of it per-trigger I/O constants;
-# OPTIMIZATION_r16.md).  Falls back to the repo-local .tmp of prior
-# rounds when tmpfs is absent.
+# the repo-local .tmp on DISK.  r16 defaulted to tmpfs (/dev/shm), which
+# measured ~13% faster on the streaming subset on a roomy host — but the
+# r16 driver run showed the streaming family 1.5-2x SLOWER (v132 5.6 ->
+# 10.7 s, v133 -> 12.2 s; VERDICT r16 #1): tmpfs pages are RAM charged
+# against the container's memory cgroup, where they compete with the
+# local[32] JVM heap, and the 8-core run beating 32-core on exactly
+# those rows is the contention signature.  There is no portable probe
+# for "enough headroom" (this sandbox shows no cgroup cap at all and
+# tmpfs still lost in the driver's), so the default is the medium that
+# cannot invert; hosts with measured headroom opt in to tmpfs via
+# SPARK_GRAFT_SCRATCH.  Security (ADVICE r16): a fixed path under
+# world-writable /dev/shm could be pre-created by another local user —
+# the repo-local default is user-owned, and explicitly chosen roots are
+# created 0700 below.
 
 
 def _default_scratch() -> str:
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm/flowbyte_scratch"
     return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".tmp")
 
@@ -44,7 +49,7 @@ _SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH") or _default_scratch()
 
 def _scratch_dir(prefix: str) -> str:
     """Fresh scratch dir; sweep siblings older than an hour."""
-    os.makedirs(_SCRATCH, exist_ok=True)
+    os.makedirs(_SCRATCH, mode=0o700, exist_ok=True)
     cutoff = time.time() - 3600
     for old in glob.glob(os.path.join(_SCRATCH, f"{prefix}_*")):
         try:

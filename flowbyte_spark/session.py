@@ -47,6 +47,16 @@ ENGINE_CONF: dict[str, str] = {
     # were ambient, disproven by plan-diff + order-alternating A/B.
     # Kept as the guide-§9 baseline for the scale shape (large-large
     # equi-joins where the no-sort build pays), not as a local win.
+    # STATIC-PLANNING CAVEAT (ADVICE r16): prefer=false also lets the
+    # static planner pick SHJ from plan-time SIZE ESTIMATES, which can
+    # be badly wrong for post-filter/post-UDF intermediates — a
+    # misestimated build side then hashes in memory where SMJ would
+    # have sorted and spilled.  The 64m threshold below bounds only the
+    # AQE conversion path, not static planning.  Acceptable here: every
+    # bench-set join except v62 is broadcast or hint-pinned, and AQE
+    # re-plans from RUNTIME sizes; deployments with estimate-hostile
+    # inputs should flip prefer back to true and keep only the AQE
+    # threshold.
     # Bucket-sorted SMB joins keep an explicit merge hint
     # (tests/test_bucketed.py) — on pre-sorted buckets the merge join
     # needs no sort AND no hash table, which is strictly better there.
