@@ -166,6 +166,33 @@ R17_PINNED: frozenset[str] = frozenset(
     }
 )
 
+# The r17 window = 21 R17_PINNED (lead, lowest query number first) + 29
+# refills from the 41 r14-aged queries, lowest query number first
+# (v01-v10, v30, v34, v36, v42, v46, v47, v50-v53, v55, v68, v69, v73,
+# v76, v78, v85, v86, v91).  That leaves this 12-query r14-aged residue
+# PINNED to lead round 18's window (41 r14-aged = 29 refills + 12
+# residue; after r18 refreshes it, the freshness floor reaches r15).
+# Round 17 is an optimization round: in-round-changed queries outside
+# the window take the amended overflow gate (hash oracle + in-suite
+# differential, test_registry.py) and the driver's full-registry
+# re-run, so the frozen-ledger window stays exactly as pinned.
+R18_PINNED: frozenset[str] = frozenset(
+    {
+        "v92_recursive_cte",
+        "v93_xml_extract",
+        "v94_salted_join",
+        "v95_two_phase_agg",
+        "v106_data_expectations",
+        "v108_table_profile",
+        "v112_bucketed_smb_join",
+        "v113_null_aware_anti",
+        "v114_correlated_max_order",
+        "v115_profile_approx",
+        "v124_incremental_minmax",
+        "v135_incremental_minmax_pruned",
+    }
+)
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optionally its DuckDB oracle) to the
@@ -225,74 +252,69 @@ def _reorder() -> None:
     row (the gap that shipped v34 broken in r3 and left v64/v65/v67
     unverified in r4).
     """
-    # ROUND-16 WINDOW (executes the recipe pinned at r15 close —
-    # VERDICT r15 "next round" #2):
-    # (a) the 26 R16_PINNED r12-aged queries LEAD, lowest number first;
-    # (b) 22 refills from the 43 r13-aged queries, lowest query number
-    # first (the head v19-v26 covers v20/v25/v26, three of the six
-    # queries the round-16 similarity NULL-embedding fix touches);
-    # (c) the 2 remaining in-round-changed queries claim the last
-    # slots: v70 (semantic_dedup) and v117 (ivf_topk_batch), both
-    # r15-fresh callers of the guarded kernels — the round-16 fix adds
-    # Catalyst-side isNotNull entry filters at the 8 np.stack sites in
-    # operators/similarity.py (VERDICT r15 red #1 / "next round" #1);
-    # v87, the sixth touched caller, is already pinned in (a).
-    # Arithmetic: 26 pinned + 22 refills + 2 in-round-changed = 50;
-    # 43 r13-aged = 22 refills + the 21-query residue = R17_PINNED.
+    # ROUND-17 WINDOW (executes the recipe pinned at r16 close —
+    # VERDICT r16 "next round" #8):
+    # (a) the 21 R17_PINNED r13-aged queries LEAD, lowest number first;
+    # (b) 29 refills from the 41 r14-aged queries, lowest query number
+    # first.  Arithmetic: 21 pinned + 29 refills = 50; 41 r14-aged =
+    # 29 refills + the 12-query residue = R18_PINNED.  Round 17 is an
+    # optimization round, so in-round-changed queries outside this
+    # frozen window take the amended overflow gate (hash oracle +
+    # in-suite differential) instead of displacing refills — see the
+    # R18_PINNED comment and test_registry.py.
     first = [
-        # (a) r12-aged residue from the r15 rotation — must lead r16.
-        "v79_c4_quality_filter",
-        "v81_stream_stream_join",
-        "v82_python_datasource",
-        "v83_jdbc_roundtrip",
-        "v84_media_decode",
-        "v87_pq_ann",
-        "v88_variant_json",
-        "v97_jpeg_decode",
-        "v98_wav_decode",
-        "v99_y4m_decode",
-        "v103_dpp_star_join",
-        "v104_srp_cluster_dedup",
-        "v105_runtime_filter_join",
-        "v109_q7_volume_shipping",
-        "v110_q8_market_share",
-        "v111_stream_static_join",
-        "v122_sparse_cosine_pairs",
-        "v126_schema_widening",
-        "v127_prefix_cosine_pairs",
-        "v128_q17_small_quantity",
-        "v129_doc_chunking",
-        "v130_stream_full_outer_join",
-        "v131_bucketed_agg",
-        "v132_stream_join_window",
-        "v133_stream_dedup_join_window",
-        "v134_cbo_join_order",
-        # (b) r13-aged refills (22 of 43; 21-query residue = R17_PINNED).
-        "v19_dedup_exact",
-        "v20_cosine_topk",
-        "v21_dedup_content_hash",
-        "v22_minhash_lsh",
-        "v23_jaccard_pairs",
-        "v24_simhash",
-        "v25_ann_ivf",
-        "v26_embedding_neardup",
-        "v32_streaming_window",
-        "v35_pivot",
-        "v40_math_funcs",
-        "v41_session_window",
-        "v44_string_funcs",
-        "v45_date_funcs",
-        "v48_exists_subquery",
-        "v49_scalar_subquery",
-        "v59_sliding_window",
-        "v60_late_data_drop",
-        "v62_full_outer_join",
-        "v63_right_outer_join",
-        "v64_neardup_clusters",
-        "v136_frequent_terms_sketch",
-        # (c) in-round-changed queries (see the R17_PINNED comment).
-        "v70_semantic_dedup",
-        "v117_batched_ann",
+        # (a) r13-aged residue from the r16 rotation — must lead r17.
+        "v137_incremental_distinct_hll",
+        "v138_q2_min_cost_supplier",
+        "v139_q13_order_distribution",
+        "v140_q20_excess_shippers",
+        "v141_q19_disjunctive_revenue",
+        "v142_q15_top_supplier",
+        "v143_q16_supplier_count",
+        "v144_q11_important_parts",
+        "v145_q14_promo_share",
+        "v146_incremental_topk",
+        "v147_q4_priority_check",
+        "v148_q5_local_volume",
+        "v149_q6_forecast_revenue",
+        "v150_q9_product_profit",
+        "v151_q10_returned_items",
+        "v152_q12_ship_priority",
+        "v154_gapfill_locf",
+        "v155_interval_range_window",
+        "v156_width_bucket_histogram",
+        "v158_cohort_retention",
+        "v160_pagerank",
+        # (b) r14-aged refills (29 of 41; 12-query residue = R18_PINNED).
+        "v01_scan",
+        "v02_project_filter",
+        "v03_agg_q1",
+        "v04_join_agg",
+        "v05_q3_top10",
+        "v06_left_join_coalesce",
+        "v07_semi_anti",
+        "v08_theta_join",
+        "v09_rollup",
+        "v10_window_rank",
+        "v30_fingerprint",
+        "v34_range_join",
+        "v36_grouping_sets",
+        "v42_cube",
+        "v46_array_funcs",
+        "v47_null_conditional",
+        "v50_window_battery",
+        "v51_unpivot",
+        "v52_string_agg",
+        "v53_hash_split",
+        "v55_stratified_sample",
+        "v68_pii_scrub",
+        "v69_decontaminate",
+        "v73_stream_dedup",
+        "v76_stream_upsert",
+        "v78_paragraph_dedup",
+        "v85_salted_window",
+        "v86_salted_lag",
+        "v91_lateral_topk",
     ]
     # Runtime stays lenient (an import-time crash here would zero a whole
     # driver round); tests/test_registry.py asserts the list is exact.

@@ -260,6 +260,62 @@ def test_r17_pin_matches_the_freshness_ledger():
     )
 
 
+def test_r17_rotation_leads_with_the_pin():
+    # CURRENT-round rotation (r16 VERDICT mandate #8): the 21 R17_PINNED
+    # r13-aged queries lead round 17's window (lowest query number
+    # first), never-verified registrations sit inside it, and nothing
+    # outside is older than the r14 freshness floor.  Round-robust by
+    # construction: the ledger view is frozen at r16 and the window
+    # reads from CORRECTNESS_r17.json once it exists (live QUERIES
+    # order until then), so landing this round's own artifact cannot
+    # break it.
+    import re as _re
+
+    from flowbyte_spark.queries import R17_PINNED
+
+    last = _last_driver_round(max_round=16)
+    window_list = _driver_window(17) or list(QUERIES)[:50]
+    pinned_sorted = sorted(
+        R17_PINNED, key=lambda q: int(_re.match(r"v(\d+)_", q).group(1))
+    )
+    assert window_list[:21] == pinned_sorted
+    window = set(window_list)
+    never = sorted(
+        q for q in QUERIES if q not in last and q not in POST_WINDOW_NEW
+    )
+    outside_never = sorted(q for q in never if q not in window)
+    assert not outside_never, (
+        f"never-verified queries outside the window: {outside_never}"
+    )
+    floor_breakers = sorted(
+        q for q in QUERIES if last.get(q, 99) < 14 and q not in window
+    )
+    assert not floor_breakers, (
+        f"queries older than the r14 freshness floor outside the window: "
+        f"{floor_breakers}"
+    )
+
+
+def test_r18_pin_matches_the_freshness_ledger():
+    # The 12-query r14-aged residue the r17 window cannot hold is
+    # pinned in code to lead round 18.  Round-robust: ledger frozen at
+    # r16 (the view the r17 rotation was planned against) and the
+    # window read from CORRECTNESS_r17.json once it lands (live QUERIES
+    # order until then) — landing r17's own artifact cannot break this
+    # test.
+    from flowbyte_spark.queries import R18_PINNED
+
+    last = _last_driver_round(max_round=16)
+    window = set(_driver_window(17) or list(QUERIES)[:50])
+    residue = {
+        q for q in QUERIES if last.get(q, 99) <= 14 and q not in window
+    }
+    assert residue == set(R18_PINNED), (
+        f"pin drift: ledger-residue - pin = {sorted(residue - R18_PINNED)}, "
+        f"pin - ledger-residue = {sorted(set(R18_PINNED) - residue)}"
+    )
+
+
 def test_post_window_new_queries_carry_tier3_coverage():
     # If the window saturates mid-round, queries added after that point
     # cannot get an in-round driver row without evicting re-verification
