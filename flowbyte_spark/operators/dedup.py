@@ -26,7 +26,7 @@ from flowbyte_spark.operators.cache import persist_tracked
 from flowbyte_spark.functions.hashing import (
     hamming_distance,
     lsh_band_hashes,
-    minhash_signature,
+    seeded_md5,
     simhash_bits,
     word_shingles,
     words,
@@ -165,6 +165,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int
+) -> DataFrame:
+    """``(id, sig)`` MinHash signatures via explode + codegen aggregation.
+
+    Semantically identical to the fold form (``hashing.minhash_signature``
+    — kept as its oracle-anchored twin; equality pinned in
+    tests/test_llm_operators.py) but executes inside whole-stage codegen:
+    the higher-order ``transform(seeds, array_min(transform(sh, md5...)))``
+    lambdas run INTERPRETED (BASELINE.md round-5 finding 1), while here
+    each (doc, shingle) row projects its ``num_hashes`` seeded digests as
+    plain columns and the per-seed minima are ordinary partial-aggregated
+    ``min``s — the groupBy(id) exchange carries one ``num_hashes``-column
+    row per (id, map partition), not the shingle stream.  Same
+    md5(seed|shingle) family, same lexicographic min == numeric min over
+    fixed-width lowercase hex.
+
+    Rows whose shingle array is empty are dropped (explode of an empty
+    array yields no rows, so the id never reaches the aggregate) — same
+    contract as the ``size(sh) > 0`` guard every caller applies.
+    """
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles_col).alias("g"))
+    hashed = exploded.select(
+        "id",
+        *[
+            seeded_md5(F.lit(i), F.col("g")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        hashed.groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)])
+        .select(
+            "id",
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -189,22 +228,39 @@ def minhash_lsh_pairs(
     are filtered by stage 3, not trusted from banding).
     """
     rows_per_band = num_hashes // bands
-    base = (
+    # Split-frame shape (r17, guide §4.1/§2.3): the shingle sets and the
+    # band keys serve DISJOINT consumers — verification joins need (id,
+    # sh), the bucket self-join needs (id, bands) — so they live in two
+    # persisted frames and no (sh <-> sig) rejoin is ever paid.  The
+    # signature comes from the codegen explode+aggregate kernel
+    # (``minhash_signatures`` above).  r16 measured that rewrite 1.9x
+    # faster in ISOLATION but a net loss at sf0.1, where the extra
+    # exchange+persist stage constants beat the CPU saved; at the r17
+    # heavy tier (x10 corpus) the regime inverts — interleaved A/B
+    # 20.3 s -> 9.3 s end-to-end on v22 — which is the CPU-bound shape
+    # a real cluster sees (OPTIMIZATION_r16.md negative-results note
+    # predicted exactly this crossover).
+    sh_df = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
         .where(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .withColumn("bands", lsh_band_hashes(F.col("sig"), bands, rows_per_band))
         # persist = plan barrier + reuse: without it Catalyst's
-        # InferFiltersFromGenerate synthesizes size(bands)>0 from the
-        # posexplode below, pushes it to the parquet scan, and inlines the
-        # whole minhash expression into a pre-repartition (serial!) filter —
-        # then recomputes it per join side.  The cached signature table is
-        # tiny relative to the corpus and feeds all three downstream
-        # branches exactly once.  Tracked for cache.release_persisted().
+        # InferFiltersFromGenerate synthesizes size(sh)>0 from the explode
+        # below, pushes it to the parquet scan, and inlines the whole
+        # shingling expression into a pre-repartition (serial!) filter —
+        # then recomputes it per consumer.  Feeds the signature aggregate
+        # and both verification legs.  Tracked for cache.release_persisted().
     )
-    base = persist_tracked(base)
-    buckets = base.select(
+    sh_df = persist_tracked(sh_df)
+    sigs = (
+        minhash_signatures(sh_df, "id", "sh", num_hashes)
+        .withColumn("bands", lsh_band_hashes(F.col("sig"), bands, rows_per_band))
+        .select("id", "bands")
+        # persisted so the bucket self-join's two sides scan the tiny
+        # (id, bands) table instead of re-running the signature aggregate.
+    )
+    sigs = persist_tracked(sigs)
+    buckets = sigs.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -218,7 +274,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = base.select("id", "sh")
+    sets = sh_df.select("id", "sh")
     verified = (
         candidates.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

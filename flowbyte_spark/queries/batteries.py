@@ -41,11 +41,14 @@ def v43_percentiles_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of all rows and made the plain stats ~2x SLOWER than a single-task
     # codegen aggregate at this scale; interleaved A/B in
     # OPTIMIZATION_r16.md).  Now the moment stats run as a pure codegen
-    # HashAggregate and the exact percentiles come from the sort-based
-    # order-statistics form in exact_group_percentiles — bit-identical to
-    # F.percentile (the weighted interpolation lower*(1-f)+higher*f is
+    # HashAggregate and the exact percentiles come from the
+    # distinct-value-histogram order statistics in exact_group_percentiles
+    # (r17: the r16 window sort of every row became a codegen
+    # groupBy(group, value).count() + a window over distinct values only;
+    # heavy-tier A/B 6.5 s -> 1.65 s, sf0.1 2.3 -> 2.0 s) — bit-identical
+    # to F.percentile (the weighted interpolation lower*(1-f)+higher*f is
     # Spark's own formula; asserted in tests/test_percentile_rewrite.py)
-    # — joined back per group.  Interleaved A/B: 2.34 s -> 1.79 s median.
+    # — joined back per group.  r16 interleaved A/B: 2.34 s -> 1.79 s.
     from flowbyte_spark.functions import q4
     from flowbyte_spark.operators.ordering import exact_group_percentiles
 

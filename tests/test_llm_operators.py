@@ -290,6 +290,38 @@ def test_paragraph_dedup_is_partitioning_independent(spark):
     assert a == b
 
 
+def test_minhash_signature_forms_agree(spark):
+    """The codegen explode+agg signature path (r17 split-frame kernel)
+    must equal the fold-form twin (hashing.minhash_signature)
+    bit-for-bit on real corpus text, and empty-shingle docs must drop
+    out of both."""
+    from flowbyte_spark.functions.hashing import minhash_signature, word_shingles
+    from flowbyte_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    fold = {
+        r.id: tuple(r.sig)
+        for r in sh.withColumn("sig", minhash_signature(F.col("sh"), 32))
+        .select("id", "sig")
+        .collect()
+    }
+    agg = {
+        r.id: tuple(r.sig)
+        for r in minhash_signatures(sh, "id", "sh", 32).collect()
+    }
+    assert fold and fold == agg
+    # an empty shingle array yields no signature row from the aggregate
+    # (the explode emits nothing), matching the size(sh) > 0 caller guard
+    empty = spark.createDataFrame(
+        [(1, []), (2, ["a b c"])], "id long, sh array<string>"
+    )
+    got = {r.id for r in minhash_signatures(empty, "id", "sh", 4).collect()}
+    assert got == {2}
+
+
 def test_simhash_signature_forms_agree(spark):
     """The codegen explode+agg signature path must equal the fold-form
     twin (hashing.simhash_bits) bit-for-bit on real corpus text."""
