@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from flowbyte_spark.functions import ensure_parallelism
 from flowbyte_spark.operators.cache import persist_tracked
 from flowbyte_spark.functions.hashing import (
-    hamming_distance,
     lsh_band_hashes,
     seeded_md5,
     simhash_bits,
@@ -366,17 +365,30 @@ def simhash_pairs(
         .select(F.col(id_col).alias("id"), words(text_col).alias("w"))
         .where(F.size("w") > 0)
     )
-    base = simhash_signatures(tokens, "id", "w", SIMHASH_BITS).withColumn(
-        "bands",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda j: F.array_join(
-                F.slice(F.col("bits"), j * slice_len + 1, slice_len), ""
+    base = (
+        simhash_signatures(tokens, "id", "w", SIMHASH_BITS)
+        .withColumn(
+            "bands",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.array_join(
+                    F.slice(F.col("bits"), j * slice_len + 1, slice_len), ""
+                ),
             ),
-        ),
-        # this transform IS a higher-order lambda, but it runs once per
-        # document over a 60-element array — not once per word per bit —
-        # so interpretation cost is noise
+            # this transform IS a higher-order lambda, but it runs once per
+            # document over a 60-element array — not once per word per bit —
+            # so interpretation cost is noise
+        )
+        .withColumn(
+            # the signature packed into ONE long (60 bits fit a signed
+            # 64-bit lane), MSB-first so bit order matches the array; the
+            # fold is interpreted but runs once per DOCUMENT — verification
+            # below then runs per CANDIDATE, where it matters
+            "pk",
+            F.aggregate(
+                F.col("bits"), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+            ),
+        )
     )
     # persist: same InferFiltersFromGenerate trap as minhash_lsh_pairs —
     # cache the signatures once for all downstream branches; tracked for
@@ -394,11 +406,21 @@ def simhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sigs = base.select("id", "bits")
+    # Packed-long Hamming verification (r17, guide §2.3 narrower types +
+    # §4.1 builtins): per candidate the distance is
+    # bit_count(pk_a XOR pk_b) — one codegen expression — instead of the
+    # interpreted zip_with/aggregate lambda over two 60-element int
+    # arrays, and the verify joins ship an 8-byte long per side instead
+    # of the arrays.  Bit-exact: popcount of XOR over MSB-first-packed
+    # 0/1 arrays IS the elementwise |a-b| sum (candidate-set count +
+    # per-pair value checksum verified equal at the heavy tier, where
+    # this leg went 7.7 s -> 0.5 s over 24.5M candidates; equality also
+    # pinned in tests/test_llm_operators.py).
+    pks = base.select("id", "pk")
     return (
-        candidates.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("bits", "bits_a"), "id_a")
-        .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("bits", "bits_b"), "id_b")
-        .withColumn("hamming", hamming_distance(F.col("bits_a"), F.col("bits_b")))
+        candidates.join(pks.withColumnRenamed("id", "id_a").withColumnRenamed("pk", "pk_a"), "id_a")
+        .join(pks.withColumnRenamed("id", "id_b").withColumnRenamed("pk", "pk_b"), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("pk_a").bitwiseXOR(F.col("pk_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -322,6 +322,41 @@ def test_minhash_signature_forms_agree(spark):
     assert got == {2}
 
 
+def test_packed_hamming_matches_array_form(spark):
+    """simhash_pairs' packed-long verification (bit_count of XOR over
+    MSB-first-packed signatures) must equal the array-form twin
+    (hashing.hamming_distance) on real signature pairs."""
+    from flowbyte_spark.functions.hashing import (
+        SIMHASH_BITS,
+        hamming_distance,
+        words,
+    )
+    from flowbyte_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    tokens = docs.select(
+        F.col("doc_id").alias("id"), words("text").alias("w")
+    ).where(F.size("w") > 0)
+    sigs = simhash_signatures(tokens, "id", "w", SIMHASH_BITS).withColumn(
+        "pk",
+        F.aggregate(
+            F.col("bits"), F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+        ),
+    )
+    a = sigs.select(
+        F.col("id").alias("ia"), F.col("bits").alias("ba"), F.col("pk").alias("pa")
+    )
+    b = sigs.select(
+        F.col("id").alias("ib"), F.col("bits").alias("bb"), F.col("pk").alias("pb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        hamming_distance(F.col("ba"), F.col("bb")).alias("arr"),
+        F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).alias("packed"),
+    )
+    assert pairs.where(F.col("arr") != F.col("packed")).count() == 0
+    assert pairs.count() > 0
+
+
 def test_simhash_signature_forms_agree(spark):
     """The codegen explode+agg signature path must equal the fold-form
     twin (hashing.simhash_bits) bit-for-bit on real corpus text."""
